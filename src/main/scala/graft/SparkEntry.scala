@@ -1,13 +1,45 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.agg.Resampler
+import graft.core.FrameSpec
+import graft.queries._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Each entry in `queries` exercises one operator from SURVEY §2 (or one
+  * beyond-reference LLM-pipeline operator) through the graft library, over
+  * the driver's testdata tables; `oracleSql` carries the DuckDB-equivalent
+  * SQL for the hash compare.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:
+    * the engine's flagship tumbling-window OHLCV resample.
+    */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    Resampler.resample(
+      BarQueries.eventBars(spark, "/root/testdata/sf0.001"), FrameSpec.F5m)
+
+  private val packs: Seq[QueryPack] = Seq(
+    new QueryPack { // time-series / OHLCV operators
+      def queries = BarQueries.queries
+      def oracles = BarQueries.oracles
+    },
+    new QueryPack { // relational operators
+      def queries = RelQueries.queries
+      def oracles = RelQueries.oracles
+    }
+  )
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    packs.flatMap(_.queries).toMap
+
+  def oracleSql: Map[String, String] =
+    packs.flatMap(_.oracles).toMap
+}
+
+trait QueryPack {
+  def queries: Map[String, (SparkSession, String) => DataFrame]
+  def oracles: Map[String, String]
 }

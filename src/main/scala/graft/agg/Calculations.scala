@@ -1,0 +1,96 @@
+package graft.agg
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Financial calculation services: VWAP, daily summary, rolling indicators.
+  * (ref: src/marketpipe/domain/services.py:38-371,
+  *  src/marketpipe/domain/aggregates.py:212-330)
+  *
+  * All are column-expression / window-function compositions — no UDFs, so
+  * everything stays inside whole-stage codegen.
+  */
+object Calculations {
+
+  /** Price used for VWAP: explicit vwap if present, else typical price
+    * (high+low+close)/3 (ref: domain/services.py:44-56).
+    */
+  def typicalPrice: Column =
+    (col("high") + col("low") + col("close")) / 3.0
+
+  /** VWAP per group: sum(price*volume)/sum(volume), skipping zero-volume
+    * bars (ref: domain/services.py:38-76). Group keys are caller-chosen.
+    */
+  def vwap(bars: DataFrame, groupCols: Seq[String]): DataFrame = {
+    val price = typicalPrice
+    bars
+      .where(col("volume") > 0)
+      .groupBy(groupCols.map(col): _*)
+      // micro-unit quantization + decimal sum: order-insensitive (see
+      // dailySummary) so results are stable under any partitioning
+      .agg((sum((floor(price * 1000000.0 + 0.5) * col("volume")).cast("decimal(38,0)"))
+        .cast("double") / lit(1000000.0) /
+        sum(col("volume")).cast("double")).as("vwap"))
+  }
+
+  /** Daily summary per (symbol, day): open=first, close=last, high=max,
+    * low=min, volume=sum, bar_count, first/last bar time, vwap.
+    * (ref: domain/services.py:78-139; aggregates.py:212-330)
+    */
+  def dailySummary(bars: DataFrame): DataFrame = {
+    val dayNs = 86400L * 1000000000L
+    val price = typicalPrice
+    bars
+      .groupBy(col("symbol"), Resampler.bucketNs(col("ts_ns"), dayNs).as("day_ts"))
+      .agg(
+        min_by(col("open"), col("ts_ns")).as("open"),
+        max(col("high")).as("high"),
+        min(col("low")).as("low"),
+        max_by(col("close"), col("ts_ns")).as("close"),
+        sum(col("volume")).as("volume"),
+        count(lit(1)).as("bar_count"),
+        min(col("ts_ns")).as("first_bar_ts"),
+        max(col("ts_ns")).as("last_bar_ts"),
+        // order-insensitive accumulation: double sums vary with partial-agg
+        // order, so quantize price to integer micro-units (pure IEEE ops,
+        // deterministic) and sum exactly in decimal — associative, no
+        // overflow at any group size
+        (sum(when(col("volume") > 0,
+            (floor(price * 1000000.0 + 0.5) * col("volume")).cast("decimal(38,0)"))
+            .otherwise(lit(0).cast("decimal(38,0)"))).cast("double") /
+          lit(1000000.0) /
+          sum(when(col("volume") > 0, col("volume")).otherwise(lit(0L)))
+            .cast("double")).as("vwap")
+      )
+  }
+
+  private def perSymbol = Window.partitionBy("symbol").orderBy("ts_ns")
+
+  /** Rolling simple moving average over the last `n` bars per symbol;
+    * null until the window is full (ref: domain/services.py:284-326).
+    */
+  def sma(bars: DataFrame, n: Int, valueCol: String = "close"): DataFrame = {
+    val w = perSymbol.rowsBetween(-(n - 1), 0)
+    bars.withColumn(
+      s"sma_$n",
+      when(count(lit(1)).over(w) === n, avg(col(valueCol)).over(w)))
+  }
+
+  /** Rolling volatility: sample stddev of log returns ln(close/prev_close)
+    * over the last `n` returns; null until full
+    * (ref: domain/services.py:328-371).
+    */
+  def volatility(bars: DataFrame, n: Int): DataFrame = {
+    val ret = log(col("close") / lag(col("close"), 1).over(perSymbol))
+    val w = perSymbol.rowsBetween(-(n - 1), 0)
+    bars
+      .withColumn("log_ret", ret)
+      .withColumn(
+        s"volatility_$n",
+        when(count(col("log_ret")).over(w) === n, stddev_samp(col("log_ret")).over(w)))
+  }
+
+  /** Percent change per bar: (close-open)/open*100 (ref: entities.py:178-204). */
+  def pctChange: Column = (col("close") - col("open")) / col("open") * 100.0
+}

@@ -1,0 +1,337 @@
+package graft.queries
+
+import graft.core.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Relational operator queries over the TPC-H-ish tables: scans,
+  * projections/filters, joins (semi/anti/outer/range), aggregations,
+  * window functions, sorts/top-K, set ops, scalar functions.
+  * Each mirrors an inventory row from SURVEY §2.
+  */
+object RelQueries {
+
+  private def t(s: SparkSession, dir: String, n: String) = Tables.load(s, dir, n)
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // S1/P1/P2: scan + projection + range predicate (pushed to parquet)
+    "p1_scan_project_filter" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .where(col("l_quantity") >= 30.0 && col("l_discount") < 0.05)
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+        .orderBy("l_orderkey", "l_linenumber")),
+
+    // P3/P5: equality + null filters
+    "p3_equality_filter" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .where(col("o_orderstatus") === "F" && col("o_orderpriority").isNotNull)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy("o_orderkey")),
+
+    // A-class: grouped agg with decimal-exact money sums (flagship TPC-H q1 shape)
+    "q1_pricing_summary" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          sum(col("l_quantity").cast("decimal(18,4)")).cast("decimal(38,4)").as("sum_qty"),
+          sum(col("l_extendedprice").cast("decimal(18,4)")).cast("decimal(38,4)").as("sum_base_price"),
+          sum((col("l_extendedprice").cast("decimal(18,4)") *
+            (lit(1).cast("decimal(18,4)") - col("l_discount").cast("decimal(18,4)")))
+            .cast("decimal(38,8)")).cast("decimal(38,8)").as("sum_disc_price"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")),
+
+    // J-class: broadcast dimension join chain + agg (TPC-H q5 shape)
+    "j_dim_join_chain" -> ((s, dir) =>
+      t(s, dir, "customer")
+        .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(t(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
+        .groupBy("r_name", "n_name")
+        .agg(count(lit(1)).as("customers"),
+          sum(col("c_acctbal").cast("decimal(18,4)")).cast("decimal(38,4)").as("sum_acctbal"))
+        .orderBy("r_name", "n_name")),
+
+    // J1: left-semi join (IN-subquery shape, ref scd_writer.py:128-149)
+    "j1_semi_join" -> ((s, dir) => {
+      val bigOrders = t(s, dir, "orders").where(col("o_totalprice") > 100000.0)
+      t(s, dir, "customer")
+        .join(bigOrders.select("o_custkey"), col("c_custkey") === col("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    }),
+
+    // J2: anti join (NOT EXISTS shape, ref cli/jobs.py:519-535)
+    "j2_anti_join" -> ((s, dir) =>
+      t(s, dir, "customer")
+        .join(t(s, dir, "orders").select("o_custkey"),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name", "c_mktsegment")
+        .orderBy("c_custkey")),
+
+    // J3: snapshot-vs-master full-outer diff classification
+    // (ref ingestion/pipeline/symbol_pipeline.py:65-134): customers with
+    // recent orders = "snapshot"; classify against the full dimension.
+    "j3_diff_classify" -> ((s, dir) => {
+      val snapshot = t(s, dir, "orders")
+        .groupBy("o_custkey").agg(max("o_totalprice").as("latest_price"))
+      t(s, dir, "customer")
+        .join(snapshot, col("c_custkey") === col("o_custkey"), "full_outer")
+        .select(
+          coalesce(col("c_custkey"), col("o_custkey")).as("key"),
+          when(col("c_custkey").isNull, "insert")
+            .when(col("o_custkey").isNull, "absent")
+            .when(col("latest_price") > col("c_acctbal"), "update")
+            .otherwise("unchanged").as("action"))
+        .groupBy("action").agg(count(lit(1)).as("n"))
+        .orderBy("action")
+    }),
+
+    // J4: point-in-time range join (ref create_symbol_views.sql:10-18):
+    // each order joined to the customer's account-balance "version" —
+    // here: order matched to its customer's order-sequence interval.
+    "j4_range_join" -> ((s, dir) => {
+      val versions = t(s, dir, "orders")
+        .select(col("o_custkey").as("v_custkey"), col("o_orderdate").as("valid_from"),
+          col("o_orderkey").as("version_key"))
+        .withColumn("valid_to",
+          lead(col("valid_from"), 1).over(
+            Window.partitionBy("v_custkey").orderBy(col("valid_from"), col("version_key"))))
+      val li = t(s, dir, "lineitem")
+        .join(t(s, dir, "orders").select("o_orderkey", "o_custkey", "o_orderdate"),
+          col("l_orderkey") === col("o_orderkey"))
+      li.join(versions,
+          col("o_custkey") === col("v_custkey") &&
+          col("l_shipdate") >= col("valid_from") &&
+          (col("valid_to").isNull || col("l_shipdate") < col("valid_to")))
+        .groupBy("version_key")
+        .agg(count(lit(1)).as("n_lineitems"))
+        .orderBy("version_key")
+    }),
+
+    // W1: dedup rank — keep latest order per customer, tie-break orderkey
+    // (ref symbol_normalizer.sql:25-44)
+    "w1_dedup_rank" -> ((s, dir) => {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_orderdate").desc, col("o_orderkey").asc)
+      t(s, dir, "orders")
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") === 1)
+        .select("o_custkey", "o_orderkey", "o_totalprice")
+        .orderBy("o_custkey")
+    }),
+
+    // W2: dense surrogate-ID assignment by natural key order
+    // (ref symbol_normalizer.sql:46-82) — small-dimension global window
+    "w2_surrogate_ids" -> ((s, dir) =>
+      t(s, dir, "nation")
+        .withColumn("id", row_number().over(Window.orderBy("n_name")))
+        .select("id", "n_name", "n_nationkey")
+        .orderBy("id")),
+
+    // W3: latest-version-per-key view (ref create_symbol_views.sql:27-37)
+    "w3_latest_per_key" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts").desc, col("event_id").desc)
+      Tables.events(s, dir)
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") === 1)
+        .select(col("user_id"), col("event_id").as("latest_event"), col("event_type"))
+        .orderBy("user_id")
+    }),
+
+    // O4/A10: top-K by count (ref repositories.py:138-143)
+    "o4_topk_counts" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .groupBy("event_type").agg(count(lit(1)).as("n"))
+        .orderBy(desc("n"), col("event_type"))
+        .limit(5)),
+
+    // U1: union-all availability summary across two "frames"
+    // (ref duckdb_views.py:128-162)
+    "u1_union_availability" -> ((s, dir) => {
+      val o = t(s, dir, "orders").select(
+        lit("orders").as("src"), to_date(col("o_orderdate")).as("d"))
+      val e = Tables.events(s, dir).select(
+        lit("events").as("src"), to_date(col("ts")).as("d"))
+      o.unionByName(e)
+        .groupBy("src")
+        .agg(countDistinct(col("d")).as("days"), count(lit(1)).as("n_rows"))
+        .orderBy("src")
+    }),
+
+    // U3: gap detection — expected-vs-existing date set difference
+    // (ref gap_detector.py:33-104): days in Jan 2024 with no events per user
+    "u3_gap_detect" -> ((s, dir) => {
+      val expected = Tables.events(s, dir)
+        .select(col("user_id")).distinct()
+        .crossJoin(
+          s.range(1).select(explode(sequence(
+            to_date(lit("2024-01-01")), to_date(lit("2024-01-30")))).as("d")))
+      val existing = Tables.events(s, dir)
+        .select(col("user_id"), to_date(col("ts")).as("d")).distinct()
+      expected.except(existing)
+        .groupBy("user_id").agg(count(lit(1)).as("missing_days"))
+        .orderBy("user_id")
+    }),
+
+    // A6: availability detail per (src, day) with distinct counts
+    "a6_availability_detail" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(col("event_type"), to_date(col("ts")).as("d"))
+        .agg(count(lit(1)).as("n"), countDistinct(col("user_id")).as("users"))
+        .orderBy("event_type", "d")),
+
+    // A12/A13: distinct + point aggregates
+    "a12_distinct_symbols" -> ((s, dir) =>
+      Tables.events(s, dir).select("event_type").distinct().orderBy("event_type")),
+    "a13_point_aggregates" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .groupBy("user_id")
+        .agg(max(col("ts_ns")).as("max_ts_ns"), count(lit(1)).as("n"))
+        .orderBy("user_id")),
+
+    // F4/F6: natural-key construction + regex validation
+    // (ref symbol_normalizer.sql:29-33; value_objects.py:33-41)
+    "f4_natural_key" -> ((s, dir) =>
+      t(s, dir, "customer")
+        .select(
+          col("c_custkey"),
+          concat_ws("|", upper(col("c_name")), col("c_mktsegment")).as("natural_key"),
+          upper(col("c_mktsegment")).rlike("^[A-Z0-9\\.]{1,10}$").as("valid_symbol"))
+        .orderBy("c_custkey")),
+
+    // F7/F8: decimal quantize + math (pct change shape, ref entities.py:178-204)
+    "f8_math_pct_change" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .select(
+          col("l_orderkey"), col("l_linenumber"),
+          round((col("l_extendedprice") * (lit(1.0) - col("l_discount")) -
+            col("l_extendedprice")) / col("l_extendedprice") * 100.0, 4).as("pct_disc"),
+          col("l_extendedprice").cast("decimal(18,4)").as("price_4dp"))
+        .orderBy("l_orderkey", "l_linenumber")),
+
+    // F9: market-hours predicate (fixed -5h offset, deliberately no DST —
+    // parity with ref value_objects.py:254-266)
+    "f9_market_hours" -> ((s, dir) => {
+      val et = col("ts") - expr("INTERVAL 5 HOURS")
+      val mins = hour(et) * 60 + minute(et)
+      Tables.events(s, dir)
+        .select(col("event_id"),
+          (dayofweek(et).between(2, 6) &&
+            mins >= (9 * 60 + 30) && mins < (16 * 60)).as("in_market_hours"))
+        .groupBy("in_market_hours").agg(count(lit(1)).as("n"))
+        .orderBy("in_market_hours")
+    })
+  )
+
+  def oracles: Map[String, String] = Map(
+    "p1_scan_project_filter" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+        |FROM lineitem WHERE l_quantity >= 30.0 AND l_discount < 0.05
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "p3_equality_filter" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |WHERE o_orderstatus = 'F' AND o_orderpriority IS NOT NULL
+        |ORDER BY o_orderkey""".stripMargin,
+    "q1_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS sum_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS sum_base_price,
+        |  CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4))) AS DECIMAL(38,8))) AS DECIMAL(38,8)) AS sum_disc_price,
+        |  count(*) AS count_order
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "j_dim_join_chain" ->
+      """SELECT r_name, n_name, count(*) AS customers,
+        |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS sum_acctbal
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin,
+    "j1_semi_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 100000.0)
+        |ORDER BY c_custkey""".stripMargin,
+    "j2_anti_join" ->
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+    "j3_diff_classify" ->
+      """WITH snapshot AS (
+        |  SELECT o_custkey, max(o_totalprice) AS latest_price FROM orders GROUP BY o_custkey)
+        |SELECT CASE WHEN c_custkey IS NULL THEN 'insert'
+        |            WHEN o_custkey IS NULL THEN 'absent'
+        |            WHEN latest_price > c_acctbal THEN 'update'
+        |            ELSE 'unchanged' END AS action, count(*) AS n
+        |FROM customer FULL OUTER JOIN snapshot ON c_custkey = o_custkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "j4_range_join" ->
+      """WITH versions AS (
+        |  SELECT o_custkey AS v_custkey, o_orderdate AS valid_from, o_orderkey AS version_key,
+        |         lead(o_orderdate) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS valid_to
+        |  FROM orders),
+        |li AS (
+        |  SELECT l.*, o.o_custkey, o.o_orderdate FROM lineitem l
+        |  JOIN orders o ON l.l_orderkey = o.o_orderkey)
+        |SELECT version_key, count(*) AS n_lineitems
+        |FROM li JOIN versions ON o_custkey = v_custkey
+        |  AND l_shipdate >= valid_from AND (valid_to IS NULL OR l_shipdate < valid_to)
+        |GROUP BY version_key ORDER BY version_key""".stripMargin,
+    "w1_dedup_rank" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey ASC) AS rn
+        |  FROM orders) WHERE rn = 1 ORDER BY o_custkey""".stripMargin,
+    "w2_surrogate_ids" ->
+      """SELECT row_number() OVER (ORDER BY n_name) AS id, n_name, n_nationkey
+        |FROM nation ORDER BY id""".stripMargin,
+    "w3_latest_per_key" ->
+      """SELECT user_id, event_id AS latest_event, event_type FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events) WHERE rn = 1 ORDER BY user_id""".stripMargin,
+    "o4_topk_counts" ->
+      """SELECT event_type, count(*) AS n FROM events
+        |GROUP BY event_type ORDER BY n DESC, event_type LIMIT 5""".stripMargin,
+    "u1_union_availability" ->
+      """WITH u AS (
+        |  SELECT 'orders' AS src, CAST(o_orderdate AS DATE) AS d FROM orders
+        |  UNION ALL
+        |  SELECT 'events' AS src, CAST(ts AS DATE) AS d FROM events)
+        |SELECT src, count(DISTINCT d) AS days, count(*) AS n_rows
+        |FROM u GROUP BY src ORDER BY src""".stripMargin,
+    "u3_gap_detect" ->
+      """WITH expected AS (
+        |  SELECT user_id, CAST(d AS DATE) AS d
+        |  FROM (SELECT DISTINCT user_id FROM events),
+        |       (SELECT unnest(generate_series(DATE '2024-01-01', DATE '2024-01-30', INTERVAL 1 DAY)) AS d)),
+        |existing AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events)
+        |SELECT user_id, count(*) AS missing_days
+        |FROM (SELECT * FROM expected EXCEPT SELECT * FROM existing)
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "a6_availability_detail" ->
+      """SELECT event_type, CAST(ts AS DATE) AS d, count(*) AS n,
+        |       count(DISTINCT user_id) AS users
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "a12_distinct_symbols" ->
+      "SELECT DISTINCT event_type FROM events ORDER BY event_type",
+    "a13_point_aggregates" ->
+      """SELECT user_id, max(epoch_ns(ts)) AS max_ts_ns, count(*) AS n
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "f4_natural_key" ->
+      """SELECT c_custkey,
+        |  concat_ws('|', upper(c_name), c_mktsegment) AS natural_key,
+        |  regexp_matches(upper(c_mktsegment), '^[A-Z0-9\.]{1,10}$') AS valid_symbol
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+    "f8_math_pct_change" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  round((l_extendedprice * (1.0 - l_discount) - l_extendedprice) / l_extendedprice * 100.0, 4) AS pct_disc,
+        |  CAST(l_extendedprice AS DECIMAL(18,4)) AS price_4dp
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "f9_market_hours" ->
+      """WITH et AS (SELECT event_id, ts - INTERVAL 5 HOUR AS t FROM events)
+        |SELECT (dayofweek(t) + 1 BETWEEN 2 AND 6
+        |        AND hour(t) * 60 + minute(t) >= 570
+        |        AND hour(t) * 60 + minute(t) < 960) AS in_market_hours,
+        |       count(*) AS n
+        |FROM et GROUP BY 1 ORDER BY 1""".stripMargin
+  )
+}

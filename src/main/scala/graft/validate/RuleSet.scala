@@ -1,0 +1,74 @@
+package graft.validate
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Data-quality validation ruleset — each rule yields error rows
+  * (symbol, ts_ns, reason) identical to the reference
+  * (ref: src/marketpipe/validation/domain/services.py:14-124; SURVEY §2.11).
+  *
+  * Implemented as column predicates assembled into an array of reason
+  * strings, filtered and exploded — pure built-ins, fully codegen'd, one
+  * window pass per symbol for the lag-based rules. No per-row UDFs.
+  */
+object RuleSet {
+
+  /** reason -> predicate over a bars row (with prev_close/prev_ts lag cols
+    * and dup_count already attached).
+    */
+  def rules: Seq[(String, Column)] = Seq(
+    "non_monotonic_timestamp" ->
+      (col("prev_ts").isNotNull && col("ts_ns") <= col("prev_ts")),
+    "non_positive_price" ->
+      (least(col("open"), col("high"), col("low"), col("close")) <= 0.0),
+    "negative_volume" -> (col("volume") < 0),
+    "ohlc_inconsistent" -> !(
+      col("high") >= col("open") && col("high") >= col("close") &&
+      col("high") >= col("low") && col("low") <= col("open") &&
+      col("low") <= col("close")),
+    "timestamp_not_minute_aligned" -> (col("ts_ns") % 60000000000L =!= 0L),
+    "zero_volume_price_move" ->
+      (col("volume") === 0 && col("open") =!= col("close")),
+    "extreme_price_move" ->
+      (col("prev_close").isNotNull && col("prev_close") =!= 0.0 &&
+        abs(col("open") - col("prev_close")) / col("prev_close") > 0.5),
+    "unreasonable_volume" -> (col("volume") > 1000000000L),
+    "duplicate_timestamp" -> (col("dup_count") > 1)
+  )
+
+  /** Attach the context columns the rules need: one window pass per symbol
+    * for lag(prev close / prev ts) and the (symbol, ts_ns) duplicate count.
+    */
+  def withContext(bars: DataFrame): DataFrame = {
+    val bySymbol = Window.partitionBy("symbol").orderBy("ts_ns", "volume")
+    val byKey = Window.partitionBy("symbol", "ts_ns")
+    bars
+      .withColumn("prev_ts", lag(col("ts_ns"), 1).over(bySymbol))
+      .withColumn("prev_close", lag(col("close"), 1).over(bySymbol))
+      .withColumn("dup_count", count(lit(1)).over(byKey))
+  }
+
+  /** All error rows (symbol, ts_ns, reason) for a bars DataFrame. */
+  def validate(bars: DataFrame): DataFrame = {
+    val reasons = array(rules.map { case (name, pred) =>
+      when(pred, lit(name)).otherwise(lit(null).cast("string"))
+    }: _*)
+    withContext(bars)
+      .withColumn("reason", explode(filter(reasons, _.isNotNull)))
+      .select("symbol", "ts_ns", "reason")
+  }
+
+  /** Split into (clean, errors): clean rows are those with no error at all. */
+  def split(bars: DataFrame): (DataFrame, DataFrame) = {
+    val anyError = rules.map(_._2).reduce(_ || _)
+    val ctx = withContext(bars)
+    val clean = ctx.where(!coalesce(anyError, lit(false)))
+      .select("symbol", "ts_ns", "open", "high", "low", "close", "volume")
+    (clean, validate(bars))
+  }
+
+  /** Top-K error reasons (ref: validation/infrastructure/repositories.py:138-143). */
+  def topErrors(errors: DataFrame, k: Int = 5): DataFrame =
+    errors.groupBy("reason").count().orderBy(desc("count"), col("reason")).limit(k)
+}
