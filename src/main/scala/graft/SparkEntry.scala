@@ -29,6 +29,14 @@ object SparkEntry {
     new QueryPack { // relational operators
       def queries = RelQueries.queries
       def oracles = RelQueries.oracles
+    },
+    new QueryPack { // SCD-2 dimension pipeline
+      def queries = ScdQueries.queries
+      def oracles = ScdQueries.oracles
+    },
+    new QueryPack { // remaining inventory operators
+      def queries = MiscQueries.queries
+      def oracles = MiscQueries.oracles
     }
   )
 

@@ -1,0 +1,115 @@
+package graft.queries
+
+import graft.core.Tables
+import graft.storage.ParquetStore
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Remaining inventory operators: append-dedup upsert (S4), partial
+  * trade_count aggregation (A3), metrics window average (A7), null-ratio
+  * profile (A9), ns<->timestamp conversions (F3).
+  */
+object MiscQueries {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // S4: keep-last upsert — incoming (modified close) wins over existing
+    "s4_append_dedup" -> ((s, dir) => {
+      val existing = BarQueries.eventBars(s, dir)
+      val incoming = existing
+        .where(col("volume") % 2 === 0)
+        .withColumn("close", col("close") * 2.0)
+      ParquetStore.appendDedup(existing, incoming)
+        .orderBy("symbol", "ts_ns")
+    }),
+
+    // A3: partial trade_count — null unless every member has it
+    // (ref: domain/services.py:141-263 trade_count semantics)
+    "a3_partial_trade_count" -> ((s, dir) => {
+      val li = Tables.load(s, dir, "lineitem")
+        .withColumn("tc",
+          when(col("l_linenumber") <= 4, col("l_linenumber")).cast("long"))
+      li.groupBy("l_orderkey")
+        .agg(
+          when(count(col("tc")) === count(lit(1)), sum(col("tc")))
+            .as("trade_count"),
+          count(lit(1)).as("n"))
+        .orderBy("l_orderkey")
+    }),
+
+    // A7: metrics window average: AVG(value) WHERE name=? AND ts>=?
+    // (ref: metrics.py:201-216)
+    "a7_metrics_avg" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .where(col("event_type") === "click" &&
+          col("ts_ns") >= 1705000000000000000L)
+        .agg((sum(col("value").cast("decimal(18,6)")).cast("double") /
+          count(lit(1)).cast("double")).as("avg_value"),
+          count(lit(1)).as("n"))),
+
+    // A9: one-pass null-ratio profile (ref: symbol_pipeline.py:140-170)
+    "a9_null_ratio" -> ((s, dir) => {
+      val o = Tables.load(s, dir, "orders")
+        .withColumn("maybe_null",
+          when(col("o_totalprice") <= 100000.0, col("o_totalprice")))
+      o.agg(
+        (sum(col("o_orderpriority").isNull.cast("long")).cast("double") /
+          count(lit(1)).cast("double")).as("null_ratio_priority"),
+        (sum(col("maybe_null").isNull.cast("long")).cast("double") /
+          count(lit(1)).cast("double")).as("null_ratio_bigprice"))
+    }),
+
+    // F3: ns <-> timestamp <-> iso conversions (ref: value_objects.py:183-288)
+    "f3_time_convert" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .select(
+          col("event_id"),
+          col("ts_ns"),
+          to_date(col("ts")).as("d"),
+          hour(col("ts")).as("h"),
+          minute(col("ts")).as("m"),
+          date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ss").as("iso_sec"))
+        .orderBy("event_id"))
+  )
+
+  def oracles: Map[String, String] = Map(
+    "s4_append_dedup" ->
+      s"""${BarQueries.barsCte},
+         |incoming AS (
+         |  SELECT symbol, ts_ns, open, high, low, close * 2.0 AS close, volume
+         |  FROM bars WHERE volume % 2 = 0),
+         |u AS (
+         |  SELECT symbol, ts_ns, open, high, low, close, volume, 0 AS seq FROM bars
+         |  UNION ALL
+         |  SELECT symbol, ts_ns, open, high, low, close, volume, 1 AS seq FROM incoming)
+         |SELECT symbol, ts_ns, open, high, low, close, volume FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY symbol, ts_ns ORDER BY seq DESC) AS rn
+         |  FROM u)
+         |WHERE rn = 1 ORDER BY symbol, ts_ns""".stripMargin,
+    "a3_partial_trade_count" ->
+      """SELECT l_orderkey,
+        |  CASE WHEN count(tc) = count(*) THEN sum(tc) END AS trade_count,
+        |  count(*) AS n
+        |FROM (SELECT *, CAST(CASE WHEN l_linenumber <= 4 THEN l_linenumber END AS BIGINT) AS tc
+        |      FROM lineitem)
+        |GROUP BY l_orderkey
+        |ORDER BY l_orderkey""".stripMargin,
+    "a7_metrics_avg" ->
+      """SELECT CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_value,
+        |       count(*) AS n
+        |FROM events
+        |WHERE event_type = 'click' AND epoch_ns(ts) >= 1705000000000000000""".stripMargin,
+    "a9_null_ratio" ->
+      """SELECT
+        |  CAST(sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / CAST(count(*) AS DOUBLE) AS null_ratio_priority,
+        |  CAST(sum(CASE WHEN maybe_null IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / CAST(count(*) AS DOUBLE) AS null_ratio_bigprice
+        |FROM (SELECT *, CASE WHEN o_totalprice <= 100000.0 THEN o_totalprice END AS maybe_null
+        |      FROM orders)""".stripMargin,
+    "f3_time_convert" ->
+      """SELECT event_id, epoch_ns(ts) AS ts_ns, CAST(ts AS DATE) AS d,
+        |       hour(ts) AS h, minute(ts) AS m,
+        |       strftime(ts, '%Y-%m-%dT%H:%M:%S') AS iso_sec
+        |FROM events ORDER BY event_id""".stripMargin
+  )
+}

@@ -33,20 +33,9 @@ final class ParquetStore(spark: SparkSession, root: String) {
       .parquet(root)
   }
 
-  /** Append with keep-last dedup on (symbol, ts_ns): new rows win over
-    * existing ones, reproducing pandas `keep="last"` with an explicit
-    * ingest-order column (ref: parquet_engine.py:127-182; SURVEY §7.4.4).
-    */
-  def appendDedup(existing: DataFrame, incoming: DataFrame): DataFrame = {
-    val cols = Seq("symbol", "ts_ns", "open", "high", "low", "close", "volume")
-    val tagged = existing.select(cols.map(col): _*).withColumn("_ingest_seq", lit(0))
-      .unionByName(incoming.select(cols.map(col): _*).withColumn("_ingest_seq", lit(1)))
-    val w = Window.partitionBy("symbol", "ts_ns").orderBy(col("_ingest_seq").desc)
-    tagged
-      .withColumn("_rn", row_number().over(w))
-      .where(col("_rn") === 1)
-      .drop("_rn", "_ingest_seq")
-  }
+  /** Append with keep-last dedup on (symbol, ts_ns) — see companion. */
+  def appendDedup(existing: DataFrame, incoming: DataFrame): DataFrame =
+    ParquetStore.appendDedup(existing, incoming)
 
   /** Load with partition pruning — replaces the reference's manual
     * directory walks (ref: parquet_engine.py:302-452). All filters are
@@ -66,8 +55,8 @@ final class ParquetStore(spark: SparkSession, root: String) {
     df
   }
 
-  /** Storage stats (ref: parquet_engine.py:500-535): file count, bytes,
-    * distinct frames/symbols — from the file index, no data scan.
+  /** Storage stats (ref: parquet_engine.py:500-535): file count, bytes —
+    * from the file index, no data scan.
     */
   def stats(): DataFrame = {
     val files = spark.read.option("basePath", root).parquet(root).inputFiles
@@ -78,5 +67,23 @@ final class ParquetStore(spark: SparkSession, root: String) {
       (f, fs.getFileStatus(p).getLen)
     }.toDF("path", "bytes")
     sizes.agg(count("*").as("files"), sum("bytes").as("total_bytes"))
+  }
+}
+
+object ParquetStore {
+
+  /** Append with keep-last dedup on (symbol, ts_ns): new rows win over
+    * existing ones, reproducing pandas `keep="last"` with an explicit
+    * ingest-order column (ref: parquet_engine.py:127-182; SURVEY §7.4.4).
+    */
+  def appendDedup(existing: DataFrame, incoming: DataFrame): DataFrame = {
+    val cols = Seq("symbol", "ts_ns", "open", "high", "low", "close", "volume")
+    val tagged = existing.select(cols.map(col): _*).withColumn("_ingest_seq", lit(0))
+      .unionByName(incoming.select(cols.map(col): _*).withColumn("_ingest_seq", lit(1)))
+    val w = Window.partitionBy("symbol", "ts_ns").orderBy(col("_ingest_seq").desc)
+    tagged
+      .withColumn("_rn", row_number().over(w))
+      .where(col("_rn") === 1)
+      .drop("_rn", "_ingest_seq")
   }
 }

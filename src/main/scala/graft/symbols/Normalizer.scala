@@ -1,0 +1,46 @@
+package graft.symbols
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Symbol-snapshot normalizer: natural-key construction, duplicate
+  * resolution, surrogate-ID assignment.
+  * (ref: src/marketpipe/ingestion/normalizer/symbol_normalizer.sql:24-82)
+  */
+object Normalizer {
+
+  /** natural_key = COALESCE(figi, ticker || '|' || exchange_mic)
+    * (ref: symbol_normalizer.sql:29,33)
+    */
+  def withNaturalKey(snapshot: DataFrame): DataFrame =
+    snapshot.withColumn(
+      "natural_key",
+      coalesce(col("figi"), concat_ws("|", col("ticker"), col("exchange_mic"))))
+
+  /** W1: keep one row per natural_key — latest as_of, tie-break provider
+    * ASC (ref: symbol_normalizer.sql:25-44).
+    */
+  def dedup(snapshot: DataFrame): DataFrame = {
+    val w = Window.partitionBy("natural_key")
+      .orderBy(col("as_of").desc, col("provider").asc)
+    snapshot
+      .withColumn("_rn", row_number().over(w))
+      .where(col("_rn") === 1)
+      .drop("_rn")
+  }
+
+  /** W2: dense surrogate IDs ordered by natural_key, stable across reruns;
+    * `offset` shifts new inserts past the current max id
+    * (ref: symbol_normalizer.sql:46-82; scd_writer.py:94-112).
+    *
+    * Scale note (SURVEY §7.4.7): a global row_number is a single-partition
+    * window — fine for dimensions (≤ millions of rows); the fact tables
+    * never pass through here. For an extreme dimension,
+    * `zipWithIndex` over a sorted Dataset is the fallback.
+    */
+  def assignIds(deduped: DataFrame, offset: Long = 0L): DataFrame =
+    deduped.withColumn(
+      "id",
+      row_number().over(Window.orderBy("natural_key")).cast("long") + offset)
+}
