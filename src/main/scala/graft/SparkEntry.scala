@@ -37,6 +37,10 @@ object SparkEntry {
     new QueryPack { // remaining inventory operators
       def queries = MiscQueries.queries
       def oracles = MiscQueries.oracles
+    },
+    new QueryPack { // LLM-data-pipeline operators
+      def queries = DataPipeQueries.queries
+      def oracles = DataPipeQueries.oracles
     }
   )
 

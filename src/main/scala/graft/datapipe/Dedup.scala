@@ -1,0 +1,159 @@
+package graft.datapipe
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators: exact, n-gram Jaccard, MinHash+LSH, SimHash,
+  * embedding-cosine near-dup.
+  *
+  * Scale design: every variant is keyed so the expensive comparison only
+  * happens within small candidate buckets — exact dedup shuffles on a
+  * 64/128-bit hash (not the text), Jaccard/MinHash shuffle on shingle or
+  * band keys, never all-pairs. At 100 TB the all-pairs O(n²) path simply
+  * does not exist here.
+  */
+object Dedup {
+
+  /** Exact dedup by normalized-content hash: one group per distinct
+    * content, canonical = min(id). Shuffles hashes + ids only (columns
+    * pruned before the exchange).
+    */
+  def exact(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    docs
+      .select(TextAnalysis.fingerprintMd5(col(textCol)).as("content_hash"), col(idCol))
+      .groupBy("content_hash")
+      .agg(min(col(idCol)).as("canonical_id"), count(lit(1)).as("n_copies"))
+
+  /** Rows to keep after exact dedup (keep lowest id per content). */
+  def exactKeep(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val w = Window.partitionBy("content_hash").orderBy(col(idCol))
+    docs
+      .withColumn("content_hash", TextAnalysis.fingerprintMd5(col(textCol)))
+      .withColumn("_rn", row_number().over(w))
+      .where(col("_rn") === 1)
+      .drop("_rn", "content_hash")
+  }
+
+  /** Word n-gram shingles, distinct per document: (id, shingle). */
+  def shingles(docs: DataFrame, n: Int = 3,
+               textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val t = TextAnalysis.tokens(col(textCol))
+    docs
+      .select(col(idCol), t.as("toks"))
+      .where(size(col("toks")) >= n)
+      .select(col(idCol), explode(
+        transform(sequence(lit(0), size(col("toks")) - n),
+          i => concat_ws(" ", (0 until n).map(k => element_at(col("toks"), i + k + 1)): _*))
+      ).as("shingle"))
+      .distinct()
+  }
+
+  /** N-gram Jaccard near-duplicate pairs with similarity >= `threshold`.
+    *
+    * Inverted-index join: (id, shingle) self-joined on shingle — the
+    * shuffle key is the shingle, so cost is sum over shingles of
+    * (docs-per-shingle)², not |docs|². Rare shingles dominate; a stopword
+    * cap (drop shingles shared by > maxDocsPerShingle docs) bounds skew.
+    */
+  def ngramJaccardPairs(
+      docs: DataFrame, n: Int = 3, threshold: Double = 0.5,
+      maxDocsPerShingle: Int = 1000,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val sh = shingles(docs, n, textCol, idCol)
+    val capped = sh
+      .withColumn("_df", count(lit(1)).over(Window.partitionBy("shingle")))
+      .where(col("_df") <= maxDocsPerShingle)
+      .drop("_df")
+    val sizes = sh.groupBy(idCol).agg(count(lit(1)).as("set_size"))
+    val a = capped.select(col(idCol).as("id_a"), col("shingle"))
+    val b = capped.select(col(idCol).as("id_b"), col("shingle"))
+    val inter = a.join(b, Seq("shingle"))
+      .where(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b")
+      .agg(count(lit(1)).as("n_common"))
+    inter
+      .join(sizes.select(col(idCol).as("id_a"), col("set_size").as("size_a")), Seq("id_a"))
+      .join(sizes.select(col(idCol).as("id_b"), col("set_size").as("size_b")), Seq("id_b"))
+      .withColumn("jaccard",
+        col("n_common").cast("double") /
+          (col("size_a") + col("size_b") - col("n_common")).cast("double"))
+      .where(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "n_common", "size_a", "size_b", "jaccard")
+  }
+
+  /** MinHash signature: k independent hash functions h_i(shingle) =
+    * xxhash64(shingle, i); signature = per-document min of each.
+    * One groupBy(id) pass — signatures are k longs, not the shingle sets.
+    */
+  def minhashSignatures(docs: DataFrame, k: Int = 16, n: Int = 3,
+                        textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val sh = shingles(docs, n, textCol, idCol)
+    val mins = (0 until k).map(i => min(xxhash64(col("shingle"), lit(i))).as(s"h$i"))
+    sh.groupBy(idCol).agg(mins.head, mins.tail: _*)
+      .select(col(idCol), array((0 until k).map(i => col(s"h$i")): _*).as("signature"))
+  }
+
+  /** MinHash+LSH candidate pairs: signature split into `bands` bands of
+    * k/bands rows; docs sharing any band bucket are candidates. Shuffle
+    * key = (band index, band hash) — tiny rows, massive fan-in reduction.
+    */
+  def minhashLshCandidates(docs: DataFrame, k: Int = 16, bands: Int = 4,
+                           n: Int = 3,
+                           textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(k % bands == 0, "bands must divide k")
+    val rows = k / bands
+    val sig = minhashSignatures(docs, k, n, textCol, idCol)
+    val banded = sig.select(
+      col(idCol),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        b => xxhash64(slice(col("signature"), b * rows + 1, lit(rows))
+          .cast("array<string>").cast("string"), b))))
+      .withColumnRenamed("pos", "band")
+      .withColumnRenamed("col", "bucket")
+    val a = banded.select(col(idCol).as("id_a"), col("band"), col("bucket"))
+    val b = banded.select(col(idCol).as("id_b"), col("band"), col("bucket"))
+    a.join(b, Seq("band", "bucket"))
+      .where(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+  }
+
+  /** SimHash (64-bit): per token bit-vote on xxhash64(token); weightless
+    * variant. Near-dups = signatures within `maxHammingDistance`.
+    */
+  def simhash(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val tok = docs.select(col(idCol),
+      explode(TextAnalysis.tokens(col(textCol))).as("token"))
+      .withColumn("h", xxhash64(col("token")))
+    val bitVotes: Seq[org.apache.spark.sql.Column] = (0 until 64).map { b =>
+      sum(when(col("h").bitwiseAND(lit(1L << b)) =!= 0L, 1).otherwise(-1)).as(s"b$b")
+    }
+    val votes = tok.groupBy(idCol).agg(bitVotes.head, bitVotes.tail: _*)
+    val sig = (0 until 64).map { b =>
+      when(col(s"b$b") > 0, lit(1L << b)).otherwise(lit(0L))
+    }.reduce(_.bitwiseOR(_))
+    votes.select(col(idCol), sig.as("simhash"))
+  }
+
+  /** Hamming distance between two 64-bit signatures. */
+  def hamming(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+    bit_count(a.bitwiseXOR(b))
+
+  /** Embedding-cosine near-duplicate pairs above `threshold`, restricted
+    * to candidate buckets (caller-provided bucket column, e.g. an LSH
+    * bucket or label) to avoid all-pairs.
+    */
+  def embeddingCosinePairs(
+      vecs: DataFrame, bucketCol: String, threshold: Double,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val q = Vectors.quantize(col(vecCol))
+    val base = vecs.select(col(idCol), col(bucketCol).as("bucket"), q.as("q"))
+    val a = base.select(col(idCol).as("id_a"), col("bucket"), col("q").as("qa"))
+    val b = base.select(col(idCol).as("id_b"), col("bucket"), col("q").as("qb"))
+    a.join(b, Seq("bucket"))
+      .where(col("id_a") < col("id_b"))
+      .withColumn("cosine", Vectors.cosineQ(col("qa"), col("qb")))
+      .where(col("cosine") >= threshold)
+      .select("id_a", "id_b", "cosine")
+  }
+}

@@ -1,0 +1,100 @@
+package graft.datapipe
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal column plumbing: image/audio/video as opaque `binary`
+  * columns with typed metadata, plus batch decode / feature-extract /
+  * resize / frame-sample operators.
+  *
+  * The actual codec calls are STUBBED (no image/audio libraries in this
+  * container — `decodeStub` derives deterministic fake dimensions from the
+  * bytes). The Spark-side plumbing is real: schema, partition-preserving
+  * mapPartitions batch shape (the JVM analogue of `mapInPandas` — one
+  * iterator per partition, vectorizable batch inside), and
+  * binary-size-aware repartitioning.
+  */
+object Multimodal {
+
+  /** Canonical multimodal row: id + modality + raw bytes + string meta. */
+  val schema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("modality", StringType, nullable = false), // image|audio|video
+    StructField("content", BinaryType, nullable = false),
+    StructField("meta", MapType(StringType, StringType), nullable = true)
+  ))
+
+  /** Decoded-image metadata produced by the (stubbed) decoder. */
+  val decodedSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false),
+    StructField("format", StringType, nullable = false),
+    StructField("n_bytes", LongType, nullable = false)
+  ))
+
+  /** Build a multimodal table from any table with an id + string payload
+    * (dev stand-in for real media files; content = UTF-8 bytes).
+    */
+  def fromText(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    docs.select(
+      col(idCol).cast("long").as("media_id"),
+      lit("image").as("modality"),
+      col(textCol).cast("binary").as("content"),
+      map(lit("source"), lit("synthetic")).as("meta"))
+
+  /** ??? real decoder goes here — requires an image codec library.
+    * `decodeStub` is the deterministic fake used for pipeline testing:
+    * width/height/format derived purely from the byte length and first
+    * byte, so results are stable across runs and engines.
+    */
+  def decodeStub(media: DataFrame)(implicit spark: SparkSession): DataFrame = {
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(decodedSchema)
+    // mapPartitions: batch-at-a-time over each partition — the decode
+    // library would be initialized once per partition here (exactly the
+    // mapInPandas batching contract), not once per row.
+    media.select("media_id", "content").mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(0)
+        val bytes = r.getAs[Array[Byte]](1)
+        val w = 64 + (if (bytes.isEmpty) 0 else (bytes(0) & 0x3f))
+        val h = 64 + (bytes.length % 64)
+        Row(id, w, h, "fake/rgb8", bytes.length.toLong)
+      }
+    }(enc)
+  }
+
+  /** Feature extraction (stub): fixed-size float vector per media item,
+    * derived deterministically from content bytes — stands in for an
+    * image-embedding model batch inference.
+    */
+  def featuresStub(media: DataFrame, dim: Int = 8): DataFrame =
+    media.select(
+      col("media_id"),
+      transform(sequence(lit(0), lit(dim - 1)),
+        i => (pmod(xxhash64(col("content"), i), lit(1000L)).cast("double") / 1000.0)
+      ).as("features"))
+
+  /** Frame sampling (stub): split the payload into `frameBytes` chunks and
+    * keep every `stride`-th chunk — the partition/batch shape of video
+    * frame sampling without a codec.
+    */
+  def frameSampleStub(media: DataFrame, frameBytes: Int = 64, stride: Int = 2): DataFrame =
+    media
+      .select(col("media_id"),
+        posexplode(split(col("content").cast("string"),
+          s"(?<=\\G.{$frameBytes})")).as(Seq("frame_no", "frame")))
+      .where(pmod(col("frame_no"), lit(stride)) === 0)
+
+  /** Size-aware repartitioning: media rows are heavily skewed by payload
+    * size; repartition by a salted hash of (media_id) with a target
+    * partition budget in bytes so one giant video cannot straggle a task.
+    */
+  def repartitionBySize(media: DataFrame, targetPartitionBytes: Long = 128L << 20): DataFrame = {
+    val sized = media.withColumn("_sz", length(col("content")).cast("long"))
+    val total = sized.agg(sum("_sz")).first().getLong(0)
+    val parts = math.max(1, (total / targetPartitionBytes).toInt + 1)
+    sized.repartition(parts, col("media_id")).drop("_sz")
+  }
+}

@@ -1,0 +1,98 @@
+package graft.datapipe
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over an embedding column.
+  *
+  * - `bruteForceTopK`: exact cosine top-k — the correctness baseline. One
+  *   broadcast of the query vector, one scan, one TakeOrderedAndProject.
+  * - `lshTopK`: random-hyperplane LSH bucketing — candidates share the
+  *   query's signature (within probing distance), then exact re-rank. The
+  *   scale path: the scan is partition-pruned to matching buckets when the
+  *   signature is a partition/bucket column.
+  * - `ivfTopK`: inverted-file variant — vectors pre-assigned to nearest
+  *   centroid; probe the `nProbe` closest centroids, exact re-rank inside.
+  */
+object Similarity {
+
+  /** Exact top-k by cosine against one query vector (given as a 1-row
+    * DataFrame with `vecCol`). Deterministic tie-break on id.
+    */
+  def bruteForceTopK(
+      vecs: DataFrame, query: DataFrame, k: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val q = query.select(Vectors.quantize(col(vecCol)).as("q_query")).limit(1)
+    vecs
+      .select(col(idCol), Vectors.quantize(col(vecCol)).as("q_vec"))
+      .crossJoin(broadcast(q))
+      .withColumn("cosine", Vectors.cosineQ(col("q_vec"), col("q_query")))
+      .select(col(idCol), col("cosine"))
+      .orderBy(desc("cosine"), col(idCol))
+      .limit(k)
+  }
+
+  /** All-pairs-free ANN: LSH signatures partition the space; exact re-rank
+    * within the query's bucket. `nPlanes` controls bucket granularity
+    * (recall/cost trade-off).
+    */
+  def lshTopK(
+      vecs: DataFrame, query: DataFrame, k: Int, nPlanes: Int = 8,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val sig = (df: DataFrame, out: String) => df
+      .withColumn("q", Vectors.quantize(col(vecCol)))
+      .withColumn(out, Vectors.lshSignature(col("q"), nPlanes))
+    val qSig = sig(query.limit(1), "bucket")
+      .select(col("q").as("q_query"), col("bucket"))
+    sig(vecs, "bucket")
+      .join(broadcast(qSig), Seq("bucket"))
+      .withColumn("cosine", Vectors.cosineQ(col("q"), col("q_query")))
+      .select(col(idCol), col("bucket"), col("cosine"))
+      .orderBy(desc("cosine"), col(idCol))
+      .limit(k)
+  }
+
+  /** IVF: centroids = a deterministic sample (caller supplies); assign
+    * every vector to its nearest centroid (broadcast centroids), then
+    * answer queries by probing the nProbe nearest centroids only.
+    */
+  def ivfAssign(
+      vecs: DataFrame, centroids: DataFrame,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      centroidIdCol: String = "centroid_id"): DataFrame = {
+    val c = centroids.select(
+      col(centroidIdCol), Vectors.quantize(col(vecCol)).as("q_cent"))
+    val v = vecs.select(col(idCol), Vectors.quantize(col(vecCol)).as("q_vec"))
+    val scored = v.crossJoin(broadcast(c))
+      .withColumn("cosine", Vectors.cosineQ(col("q_vec"), col("q_cent")))
+    val w = Window.partitionBy(idCol).orderBy(desc("cosine"), col(centroidIdCol))
+    scored
+      .withColumn("_rn", row_number().over(w))
+      .where(col("_rn") === 1)
+      .select(col(idCol), col(centroidIdCol), col("q_vec"))
+  }
+
+  def ivfTopK(
+      vecs: DataFrame, centroids: DataFrame, query: DataFrame,
+      k: Int, nProbe: Int = 2,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      centroidIdCol: String = "centroid_id"): DataFrame = {
+    val assigned = ivfAssign(vecs, centroids, idCol, vecCol, centroidIdCol)
+    val qq = query.limit(1).select(Vectors.quantize(col(vecCol)).as("q_query"))
+    val probes = centroids
+      .select(col(centroidIdCol), Vectors.quantize(col(vecCol)).as("q_cent"))
+      .crossJoin(broadcast(qq))
+      .withColumn("cosine", Vectors.cosineQ(col("q_cent"), col("q_query")))
+      .orderBy(desc("cosine"), col(centroidIdCol))
+      .limit(nProbe)
+      .select(col(centroidIdCol))
+    assigned
+      .join(broadcast(probes), Seq(centroidIdCol))
+      .crossJoin(broadcast(qq))
+      .withColumn("cosine", Vectors.cosineQ(col("q_vec"), col("q_query")))
+      .select(col(idCol), col(centroidIdCol), col("cosine"))
+      .orderBy(desc("cosine"), col(idCol))
+      .limit(k)
+  }
+}

@@ -1,0 +1,89 @@
+package graft.datapipe
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for a large-scale training-data pipeline:
+  * tokenization, token counting, quality scoring, language identification,
+  * document fingerprinting.
+  *
+  * All column-expression compositions (codegen-friendly, no UDFs), so each
+  * scales as a pure map over the documents table — no shuffle at all until
+  * a downstream groupBy.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokenization of normalized text. */
+  def tokens(text: Column): Column = split(lower(trim(text)), "\\s+")
+
+  /** Token count: whitespace tokens (a BPE-ish subword proxy — the
+    * reference pipeline counts words; subword models multiply by a
+    * constant factor downstream).
+    */
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** Marker stopwords per language for the n-gram/stopword langid
+    * heuristic. Tiny on purpose: broadcast as literals into codegen.
+    */
+  val markers: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of", "and", "to"),
+    "de" -> Seq("der", "die", "das", "und", "nicht"),
+    "fr" -> Seq("le", "la", "les", "et", "des"),
+    "es" -> Seq("el", "la", "los", "y", "de"),
+    "zh" -> Seq("de5", "shi4", "le5", "zai4", "he2")
+  )
+
+  /** Integer marker-hit score for one language. */
+  def langScore(text: Column, lang: String): Column =
+    size(filter(tokens(text), t => t.isin(markers(lang).map(lit): _*)))
+
+  /** Predicted language: highest marker score, fixed-order tie-break
+    * (en, de, es, fr, zh) — a deterministic CASE chain.
+    */
+  def langId(text: Column): Column = {
+    val order = Seq("en", "de", "es", "fr", "zh")
+    val scores = order.map(l => l -> langScore(text, l))
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    scores.foldRight(lit("unknown")) { case ((l, s), rest) =>
+      when(s === best && s > 0, lit(l)).otherwise(rest)
+    }
+  }
+
+  /** Quality metrics: char/token counts, mean token length, unique-token
+    * ratio, stopword ratio, short-token ratio. All exact-integer ratios
+    * (deterministic doubles).
+    */
+  def withQuality(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = tokens(col(textCol))
+    val n = size(t).cast("double")
+    docs
+      .withColumn("n_tokens", size(t))
+      .withColumn("n_unique_tokens", size(array_distinct(t)))
+      .withColumn("unique_ratio", col("n_unique_tokens").cast("double") / n)
+      .withColumn("stopword_ratio",
+        size(filter(t, x => x.isin(markers("en").map(lit): _*))).cast("double") / n)
+      .withColumn("short_token_ratio",
+        size(filter(t, x => length(x) <= 2)).cast("double") / n)
+      .withColumn("mean_token_len",
+        (length(trim(col(textCol))) - (size(t) - 1)).cast("double") / n)
+  }
+
+  /** Composite quality score in [0,1]: penalize degenerate repetition and
+    * extreme token lengths; reward stopword presence (prose-likeness).
+    */
+  def qualityScore: Column =
+    least(lit(1.0), greatest(lit(0.0),
+      col("unique_ratio") * 0.5 +
+        least(col("stopword_ratio") * 5.0, lit(1.0)) * 0.3 +
+        when(col("mean_token_len").between(3.0, 10.0), 0.2).otherwise(0.0)))
+
+  /** Stable content fingerprint (md5 of normalized text) for exact dedup
+    * and change detection.
+    */
+  def fingerprintMd5(text: Column): Column = md5(lower(trim(text)))
+
+  /** 64-bit fingerprint via xxhash64 — cheaper join key than the md5
+    * string at 100 TB (8 bytes vs 32).
+    */
+  def fingerprint64(text: Column): Column = xxhash64(lower(trim(text)))
+}

@@ -1,0 +1,58 @@
+package graft.datapipe
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Vector math over `array<float>` embedding columns, built on Spark's
+  * higher-order functions (zip_with / aggregate / transform) so everything
+  * stays in Catalyst — no UDFs, no driver-side loops.
+  *
+  * Quantized path: floats are scaled to integer micro-units so dot
+  * products accumulate exactly (order-insensitive, engine-independent) —
+  * the same determinism discipline as the VWAP accumulator.
+  */
+object Vectors {
+
+  /** float vector -> exact micro-unit long vector. */
+  def quantize(v: Column): Column =
+    transform(v, x => floor(x.cast("double") * 1000000.0 + 0.5).cast("long"))
+
+  /** Exact integer dot product of two quantized vectors. */
+  def dotQ(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+
+  /** Cosine similarity from quantized vectors (deterministic doubles). */
+  def cosineQ(a: Column, b: Column): Column =
+    dotQ(a, b).cast("double") /
+      (sqrt(dotQ(a, a).cast("double")) * sqrt(dotQ(b, b).cast("double")))
+
+  /** Double-precision dot product (fast path; order-sensitive only within
+    * one row's fold, which Spark evaluates sequentially — deterministic
+    * for a fixed row).
+    */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Deterministic pseudo-random hyperplane sign for LSH: plane `p` is
+    * defined by component weights hash(p, i) mapped to ±1; the sign bit of
+    * the weighted sum is one signature bit. Integer arithmetic throughout.
+    */
+  def hyperplaneBit(q: Column, plane: Int): Column = {
+    val signedSum = aggregate(
+      zip_with(q, transform(q, (_, i) => xxhash64(lit(plane), i)),
+        (x, h) => when(h % 2 === 0, x).otherwise(-x)),
+      lit(0L), (acc, x) => acc + x)
+    when(signedSum >= 0, lit(1L)).otherwise(lit(0L))
+  }
+
+  /** `nPlanes`-bit LSH signature of a quantized vector. */
+  def lshSignature(q: Column, nPlanes: Int): Column =
+    (0 until nPlanes)
+      .map(p => hyperplaneBit(q, p) * lit(1L << p))
+      .reduce(_ + _)
+}

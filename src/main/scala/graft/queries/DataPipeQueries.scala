@@ -1,0 +1,232 @@
+package graft.queries
+
+import graft.core.Tables
+import graft.datapipe._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** LLM-training-data pipeline queries over `documents` / `embeddings`:
+  * dedup (exact / n-gram Jaccard / MinHash-LSH / SimHash / embedding
+  * cosine), similarity search (brute-force + LSH + IVF), text analysis
+  * (quality, langid, token counts, fingerprints), multimodal plumbing.
+  *
+  * Hash/bit-level operators (MinHash, SimHash, LSH, xxhash features) have
+  * no DuckDB-expressible twin -> declared without oracle (rows-only check);
+  * everything else gets an exact oracle.
+  */
+object DataPipeQueries {
+
+  private def docs(s: SparkSession, dir: String) = Tables.load(s, dir, "documents")
+  private def embs(s: SparkSession, dir: String) = Tables.load(s, dir, "embeddings")
+
+  /** documents ∪ mutated near-copies (ids +100000, last 5 tokens dropped)
+    * — guarantees the near-dup detectors have true positives to find.
+    */
+  private def docsWithNearDups(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val t = TextAnalysis.tokens(col("text"))
+    val mutated = d.where(col("doc_id") < 50)
+      .select(
+        (col("doc_id") + 100000L).as("doc_id"),
+        array_join(slice(t, lit(1), greatest(size(t) - 5, lit(1))), " ").as("text"))
+    d.select("doc_id", "text").unionByName(mutated)
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d1_dedup_exact" -> ((s, dir) =>
+      Dedup.exact(docsWithNearDups(s, dir))
+        .orderBy("content_hash")),
+
+    "d2_ngram_jaccard" -> ((s, dir) =>
+      Dedup.ngramJaccardPairs(docsWithNearDups(s, dir), n = 3, threshold = 0.5)
+        .orderBy("id_a", "id_b")),
+
+    "d3_minhash_lsh" -> ((s, dir) =>
+      // no oracle: xxhash64 banding not expressible in DuckDB
+      Dedup.minhashLshCandidates(docsWithNearDups(s, dir), k = 16, bands = 4)
+        .orderBy("id_a", "id_b")),
+
+    "d5_simhash" -> ((s, dir) =>
+      // no oracle: bit-vote signature over xxhash64
+      Dedup.simhash(docsWithNearDups(s, dir))
+        .orderBy("doc_id")),
+
+    "d4_embedding_cosine_pairs" -> ((s, dir) =>
+      Dedup.embeddingCosinePairs(embs(s, dir), bucketCol = "label", threshold = 0.3)
+        .orderBy("id_a", "id_b")),
+
+    "sim1_bruteforce_topk" -> ((s, dir) => {
+      val e = embs(s, dir)
+      Similarity.bruteForceTopK(e, e.where(col("vec_id") === 0), k = 20)
+    }),
+
+    "sim2_lsh_topk" -> ((s, dir) => {
+      // no oracle: hyperplane signs from xxhash64
+      val e = embs(s, dir)
+      Similarity.lshTopK(e, e.where(col("vec_id") === 0), k = 20, nPlanes = 6)
+    }),
+
+    "sim3_ivf_topk" -> ((s, dir) => {
+      // no oracle (windowed assignment composition) — correctness covered
+      // by the ScalaTest recall spec against bruteForceTopK
+      val e = embs(s, dir)
+      val centroids = e.where(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("centroid_id"), col("embedding"))
+      Similarity.ivfTopK(e, centroids, e.where(col("vec_id") === 0), k = 20, nProbe = 3)
+    }),
+
+    "t1_text_quality" -> ((s, dir) =>
+      TextAnalysis.withQuality(docs(s, dir))
+        .select("doc_id", "n_tokens", "n_unique_tokens", "unique_ratio",
+          "stopword_ratio", "short_token_ratio", "mean_token_len")
+        .orderBy("doc_id")),
+
+    "t2_langid" -> ((s, dir) =>
+      docs(s, dir)
+        .select(TextAnalysis.langId(col("text")).as("predicted_lang"))
+        .groupBy("predicted_lang").agg(count(lit(1)).as("n"))
+        .orderBy("predicted_lang")),
+
+    "t3_token_count" -> ((s, dir) =>
+      docs(s, dir)
+        .groupBy("source")
+        .agg(sum(TextAnalysis.tokenCount(col("text"))).as("total_tokens"),
+          count(lit(1)).as("n_docs"))
+        .orderBy("source")),
+
+    "t4_fingerprint" -> ((s, dir) =>
+      docs(s, dir)
+        .select(col("doc_id"),
+          TextAnalysis.fingerprintMd5(col("text")).as("fp_md5"))
+        .orderBy("doc_id")),
+
+    "m1_multimodal_decode" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      Multimodal.decodeStub(Multimodal.fromText(docs(s, dir)))
+        .orderBy("media_id")
+    }),
+
+    "m2_multimodal_features" -> ((s, dir) =>
+      // no oracle: xxhash64-derived stub features
+      Multimodal.featuresStub(Multimodal.fromText(docs(s, dir)))
+        .select(col("media_id"), col("features")(0).as("f0"), col("features")(7).as("f7"))
+        .orderBy("media_id"))
+  )
+
+  private val tokCte =
+    """WITH toks AS (
+      |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t, text
+      |  FROM documents)""".stripMargin
+
+  private val nearDupCte =
+    """WITH base AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 100000 AS doc_id,
+      |         array_to_string(list_slice(t, 1, greatest(len(t) - 5, 1)), ' ') AS text
+      |  FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+      |        FROM documents WHERE doc_id < 50))""".stripMargin
+
+  private val quantCte =
+    """qv AS (
+      |  SELECT vec_id, label,
+      |         list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)) AS q
+      |  FROM embeddings)""".stripMargin
+
+  private def dotD(a: String, b: String): String =
+    s"CAST(list_sum(list_transform(list_zip($a, $b), s -> s[1] * s[2])) AS DOUBLE)"
+
+  def oracles: Map[String, String] = Map(
+    "d1_dedup_exact" ->
+      s"""$nearDupCte
+         |SELECT md5(lower(trim(text))) AS content_hash,
+         |       min(doc_id) AS canonical_id, count(*) AS n_copies
+         |FROM base GROUP BY 1 ORDER BY content_hash""".stripMargin,
+    "d2_ngram_jaccard" ->
+      s"""$nearDupCte,
+         |sh AS (
+         |  SELECT DISTINCT doc_id,
+         |         concat_ws(' ', t[i], t[i+1], t[i+2]) AS shingle
+         |  FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t
+         |        FROM base)
+         |  CROSS JOIN LATERAL (SELECT unnest(generate_series(1, len(t) - 2)) AS i)
+         |  WHERE len(t) >= 3),
+         |sizes AS (SELECT doc_id, count(*) AS set_size FROM sh GROUP BY doc_id),
+         |inter AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+         |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT id_a, id_b, n_common, sa.set_size AS size_a, sb.set_size AS size_b,
+         |       CAST(n_common AS DOUBLE) / CAST(sa.set_size + sb.set_size - n_common AS DOUBLE) AS jaccard
+         |FROM inter
+         |JOIN sizes sa ON sa.doc_id = id_a
+         |JOIN sizes sb ON sb.doc_id = id_b
+         |WHERE CAST(n_common AS DOUBLE) / CAST(sa.set_size + sb.set_size - n_common AS DOUBLE) >= 0.5
+         |ORDER BY id_a, id_b""".stripMargin,
+    "d4_embedding_cosine_pairs" ->
+      s"""WITH $quantCte
+         |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |       ${dotD("a.q", "b.q")}
+         |         / (sqrt(${dotD("a.q", "a.q")}) * sqrt(${dotD("b.q", "b.q")})) AS cosine
+         |FROM qv a JOIN qv b ON a.label = b.label AND a.vec_id < b.vec_id
+         |WHERE ${dotD("a.q", "b.q")}
+         |         / (sqrt(${dotD("a.q", "a.q")}) * sqrt(${dotD("b.q", "b.q")})) >= 0.3
+         |ORDER BY id_a, id_b""".stripMargin,
+    "sim1_bruteforce_topk" ->
+      s"""WITH $quantCte,
+         |q AS (SELECT q AS qq FROM qv WHERE vec_id = 0)
+         |SELECT vec_id,
+         |       ${dotD("qv.q", "q.qq")}
+         |         / (sqrt(${dotD("qv.q", "qv.q")}) * sqrt(${dotD("q.qq", "q.qq")})) AS cosine
+         |FROM qv, q
+         |ORDER BY cosine DESC, vec_id LIMIT 20""".stripMargin,
+    "t1_text_quality" ->
+      s"""$tokCte
+         |SELECT doc_id,
+         |  len(t) AS n_tokens,
+         |  len(list_distinct(t)) AS n_unique_tokens,
+         |  CAST(len(list_distinct(t)) AS DOUBLE) / CAST(len(t) AS DOUBLE) AS unique_ratio,
+         |  CAST(len(list_filter(t, x -> list_contains(['the','a','of','and','to'], x))) AS DOUBLE)
+         |    / CAST(len(t) AS DOUBLE) AS stopword_ratio,
+         |  CAST(len(list_filter(t, x -> length(x) <= 2)) AS DOUBLE)
+         |    / CAST(len(t) AS DOUBLE) AS short_token_ratio,
+         |  CAST(length(trim(text)) - (len(t) - 1) AS DOUBLE) / CAST(len(t) AS DOUBLE) AS mean_token_len
+         |FROM toks ORDER BY doc_id""".stripMargin,
+    "t2_langid" ->
+      s"""$tokCte,
+         |scores AS (
+         |  SELECT doc_id,
+         |    len(list_filter(t, x -> list_contains(['the','a','of','and','to'], x))) AS s_en,
+         |    len(list_filter(t, x -> list_contains(['der','die','das','und','nicht'], x))) AS s_de,
+         |    len(list_filter(t, x -> list_contains(['el','la','los','y','de'], x))) AS s_es,
+         |    len(list_filter(t, x -> list_contains(['le','la','les','et','des'], x))) AS s_fr,
+         |    len(list_filter(t, x -> list_contains(['de5','shi4','le5','zai4','he2'], x))) AS s_zh
+         |  FROM toks),
+         |pred AS (
+         |  SELECT CASE
+         |    WHEN s_en = greatest(s_en, s_de, s_es, s_fr, s_zh) AND s_en > 0 THEN 'en'
+         |    WHEN s_de = greatest(s_en, s_de, s_es, s_fr, s_zh) AND s_de > 0 THEN 'de'
+         |    WHEN s_es = greatest(s_en, s_de, s_es, s_fr, s_zh) AND s_es > 0 THEN 'es'
+         |    WHEN s_fr = greatest(s_en, s_de, s_es, s_fr, s_zh) AND s_fr > 0 THEN 'fr'
+         |    WHEN s_zh = greatest(s_en, s_de, s_es, s_fr, s_zh) AND s_zh > 0 THEN 'zh'
+         |    ELSE 'unknown' END AS predicted_lang
+         |  FROM scores)
+         |SELECT predicted_lang, count(*) AS n FROM pred
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "t3_token_count" ->
+      """SELECT source,
+        |  sum(len(string_split_regex(lower(trim(text)), '\s+'))) AS total_tokens,
+        |  count(*) AS n_docs
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+    "t4_fingerprint" ->
+      """SELECT doc_id, md5(lower(trim(text))) AS fp_md5
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "m1_multimodal_decode" ->
+      """SELECT CAST(doc_id AS BIGINT) AS media_id,
+        |       64 + (ascii(substr(text, 1, 1)) & 63) AS width,
+        |       64 + (octet_length(CAST(text AS BLOB)) % 64) AS height,
+        |       'fake/rgb8' AS format,
+        |       CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes
+        |FROM documents ORDER BY media_id""".stripMargin
+  )
+}
