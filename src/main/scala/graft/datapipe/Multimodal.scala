@@ -85,7 +85,7 @@ object Multimodal {
       .select(col("media_id"),
         posexplode(split(col("content").cast("string"),
           s"(?<=\\G.{$frameBytes})")).as(Seq("frame_no", "frame")))
-      .where(pmod(col("frame_no"), lit(stride)) === 0)
+      .where(pmod(col("frame_no"), lit(stride)) === 0 && length(col("frame")) > 0)
 
   /** Size-aware repartitioning: media rows are heavily skewed by payload
     * size; repartition by a salted hash of (media_id) with a target

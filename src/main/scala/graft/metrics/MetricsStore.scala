@@ -1,0 +1,44 @@
+package graft.metrics
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Metrics store: append-only (ts, name, value, provider, feed) table with
+  * windowed average and bucketed-trend queries.
+  * (ref: src/marketpipe/metrics.py:131-256)
+  */
+final class MetricsStore(spark: SparkSession, path: String) {
+  import spark.implicits._
+
+  def record(rows: Seq[(Long, String, Double, String, String)]): Unit =
+    rows.toDF("ts", "name", "value", "provider", "feed")
+      .write.mode(SaveMode.Append).parquet(path)
+
+  def load(): DataFrame =
+    try spark.read.parquet(path)
+    catch { case _: org.apache.spark.sql.AnalysisException =>
+      Seq.empty[(Long, String, Double, String, String)]
+        .toDF("ts", "name", "value", "provider", "feed")
+    }
+
+  /** A7: AVG(value) WHERE name=? AND ts>=? (ref: metrics.py:201-216). */
+  def windowAvg(name: String, sinceTs: Long): DataFrame =
+    load().where(col("name") === name && col("ts") >= sinceTs)
+      .agg(avg("value").as("avg_value"), count(lit(1)).as("n"))
+
+  /** A8: trend over the trailing 24h in `buckets` equal time buckets:
+    * per bucket AVG(value), COUNT(*) (ref: metrics.py:218-248).
+    */
+  def trend(name: String, nowTs: Long, buckets: Int = 24): DataFrame = {
+    val width = 86400L / buckets
+    val start = nowTs - 86400L
+    load()
+      .where(col("name") === name && col("ts") >= start && col("ts") < nowTs)
+      .groupBy((floor((col("ts") - start) / width)).cast("int").as("bucket"))
+      .agg(avg("value").as("avg_value"), count(lit(1)).as("n"))
+      .orderBy("bucket")
+  }
+
+  /** A12: distinct metric names (ref: metrics.py:250-255). */
+  def names(): DataFrame = load().select("name").distinct().orderBy("name")
+}

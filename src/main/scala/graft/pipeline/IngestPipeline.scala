@@ -1,0 +1,53 @@
+package graft.pipeline
+
+import graft.agg.Resampler
+import graft.core.FrameSpec
+import graft.storage.ParquetStore
+import graft.validate.{CsvReportSink, RuleSet}
+import graft.views.ViewCatalog
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** One ingestion job, end to end — the explicit-orchestration equivalent
+  * of the reference's event bus flow `IngestionJobCompleted ->
+  * {aggregation handler, validation handler}` (SURVEY §3.3):
+  *
+  *   source bars -> validation split -> raw write -> per-frame resample ->
+  *   agg write -> view refresh (+ CSV error report).
+  *
+  * Symbol fan-out is task parallelism over partitions; the reference's
+  * per-symbol asyncio loop disappears. Each stage is a pure DataFrame
+  * function, so the streaming path reuses them via foreachBatch.
+  */
+final class IngestPipeline(
+    spark: SparkSession,
+    rawRoot: String,
+    aggRoot: String,
+    reportRoot: String,
+    frames: Seq[FrameSpec] = FrameSpec.defaults) {
+
+  private val rawStore = new ParquetStore(spark, rawRoot)
+  private val aggStore = new ParquetStore(spark, aggRoot)
+  private val views = new ViewCatalog(spark, aggRoot)
+
+  /** Run one job over a batch of 1m bars. Returns (cleanCount, errorCount). */
+  def runJob(bars: DataFrame, jobId: String): (Long, Long) = {
+    val (clean, errors) = RuleSet.split(bars)
+    val cached = clean.cache()
+    try {
+      rawStore.write(cached, FrameSpec.F1m)
+      frames.foreach { f =>
+        val agg = if (f.name == "1d") Resampler.resampleDaily(cached)
+                  else Resampler.resample(cached, f)
+        aggStore.write(agg, f, org.apache.spark.sql.SaveMode.Append)
+      }
+      val errCached = errors.cache()
+      val nErr = errCached.count()
+      if (nErr > 0) CsvReportSink.write(errCached, reportRoot, jobId)
+      views.refreshViews()
+      (cached.count(), nErr)
+    } finally cached.unpersist()
+  }
+
+  /** Ad-hoc SQL over the refreshed bars_* views. */
+  def query(sql: String): DataFrame = views.query(sql)
+}

@@ -1,0 +1,91 @@
+package graft.streaming
+
+import graft.agg.Resampler
+import graft.core.FrameSpec
+import graft.validate.RuleSet
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.Row
+
+/** Structured Streaming ingest path — the streaming twin of the batch
+  * pipeline, with the reference's micro-batch semantics (SURVEY §2.9):
+  *
+  * - T1 event-driven ingest->aggregate->validate: `foreachBatch` reusing
+  *   the same pure batch functions (Resampler / RuleSet);
+  * - T2 tumbling event-time windows with watermarking;
+  * - T3 checkpoint/resume: Spark's checkpointLocation replaces the
+  *   hand-rolled per-symbol checkpoint table;
+  * - T4 late/duplicate data: `dropDuplicates` within the watermark.
+  */
+object StreamingIngest {
+
+  /** Tumbling OHLCV aggregation on a *stream* of bar-shaped rows with a
+    * `timestamp` column. Uses `window()` (event-time) + watermark; the
+    * batch path keeps ts_ns arithmetic for oracle parity — semantics
+    * identical because buckets are aligned to the epoch.
+    */
+  def streamingResample(
+      bars: DataFrame, frame: FrameSpec,
+      watermark: String = "10 minutes"): DataFrame =
+    bars
+      .withWatermark("timestamp", watermark)
+      .dropDuplicates("symbol", "timestamp") // T4 within watermark
+      .groupBy(col("symbol"), window(col("timestamp"), s"${frame.seconds} seconds"))
+      .agg(
+        min_by(col("open"), col("timestamp")).as("open"),
+        max(col("high")).as("high"),
+        min(col("low")).as("low"),
+        max_by(col("close"), col("timestamp")).as("close"),
+        sum(col("volume")).as("volume"))
+      .select(
+        col("symbol"),
+        (unix_micros(col("window.start")) * 1000L).as("ts_ns"),
+        col("open"), col("high"), col("low"), col("close"), col("volume"))
+
+  /** T1: the event-driven pipeline as foreachBatch — each micro-batch runs
+    * the same pure functions the batch path uses: validate -> write raw ->
+    * resample -> write agg. `onBatch` receives (cleanBars, errors,
+    * resampled-by-frame).
+    */
+  def pipelineSink(
+      bars: DataFrame,
+      frames: Seq[FrameSpec],
+      checkpointDir: String)(
+      onBatch: (DataFrame, DataFrame, Map[String, DataFrame], Long) => Unit): DataStreamWriter[Row] =
+    bars.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpointDir) // T3
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val (clean, errors) = RuleSet.split(batch)
+        val resampled = frames.map(f => f.name -> Resampler.resample(clean, f)).toMap
+        onBatch(clean, errors, resampled, id)
+      }
+
+  /** Per-symbol running state via mapGroupsWithState: tracks
+    * last_processed ts_ns + running day volume — the streaming twin of the
+    * SymbolBarsAggregate consistency boundary
+    * (ref: src/marketpipe/domain/aggregates.py:20-146).
+    */
+  final case class SymbolState(lastTs: Long, dayVolume: Long, barCount: Long)
+  final case class SymbolUpdate(symbol: String, lastTs: Long, dayVolume: Long, barCount: Long)
+  final case class InBar(symbol: String, ts_ns: Long, volume: Long)
+
+  def trackSymbolState(spark: SparkSession, bars: DataFrame): DataFrame = {
+    import spark.implicits._
+    bars.selectExpr("symbol", "ts_ns", "volume").as[InBar]
+      .groupByKey(_.symbol)
+      .mapGroupsWithState[SymbolState, SymbolUpdate](GroupStateTimeout.NoTimeout()) {
+        (symbol: String, rows: Iterator[InBar], state: GroupState[SymbolState]) =>
+          val prev = state.getOption.getOrElse(SymbolState(Long.MinValue, 0L, 0L))
+          var last = prev.lastTs; var vol = prev.dayVolume; var n = prev.barCount
+          rows.foreach { b =>
+            if (b.ts_ns > last) last = b.ts_ns // dup/late rows don't advance
+            vol += b.volume; n += 1
+          }
+          val next = SymbolState(last, vol, n)
+          state.update(next)
+          SymbolUpdate(symbol, next.lastTs, next.dayVolume, next.barCount)
+      }.toDF()
+  }
+}

@@ -1,0 +1,65 @@
+package graft.datapipe
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkSpec {
+
+  private def docs = {
+    val s = spark; import s.implicits._
+    Seq(
+      (1L, "the quick brown fox jumps over the lazy dog near the river bank"),
+      (2L, "the quick brown fox jumps over the lazy dog near the river bank"), // exact dup of 1
+      (3L, "the quick brown fox jumps over the lazy dog near the river"),      // near dup of 1
+      (4L, "completely different text about spark catalyst optimizer rules engine"),
+      (5L, "another unrelated document mentioning parquet columnar storage format")
+    ).toDF("doc_id", "text")
+  }
+
+  test("exact dedup groups identical content, canonical = min id") {
+    val out = Dedup.exact(docs).collect()
+    assert(out.length == 4)
+    val dup = out.find(_.getAs[Long]("n_copies") == 2L).get
+    assert(dup.getAs[Long]("canonical_id") == 1L)
+    assert(Dedup.exactKeep(docs).count() == 4)
+  }
+
+  test("ngram jaccard finds near-dups and only near-dups") {
+    val pairs = Dedup.ngramJaccardPairs(docs, n = 3, threshold = 0.5).collect()
+    val keys = pairs.map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    assert(keys.contains((1L, 2L))) // exact dup: jaccard 1.0
+    assert(keys.contains((1L, 3L)) && keys.contains((2L, 3L))) // near dup
+    assert(!keys.exists(p => p._1 == 4L || p._2 == 4L))
+    val exact = pairs.find(r => r.getAs[Long]("id_a") == 1L && r.getAs[Long]("id_b") == 2L).get
+    assert(exact.getAs[Double]("jaccard") == 1.0)
+  }
+
+  test("minhash LSH candidates are a superset of true near-dups here") {
+    val cand = Dedup.minhashLshCandidates(docs, k = 16, bands = 8).collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    assert(cand.contains((1L, 2L)), "identical docs always share all bands")
+    assert(cand.contains((1L, 3L)), "0.76-jaccard pair should collide in >=1 of 8 bands")
+  }
+
+  test("simhash: identical docs equal, near-dups close, unrelated far") {
+    val sig = Dedup.simhash(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("simhash")).toMap
+    assert(sig(1L) == sig(2L))
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(sig(1L), sig(3L)) < ham(sig(1L), sig(4L)),
+      s"near-dup hamming ${ham(sig(1L), sig(3L))} should beat unrelated ${ham(sig(1L), sig(4L))}")
+  }
+
+  test("embedding cosine pairs within buckets") {
+    val s = spark; import s.implicits._
+    val vecs = Seq(
+      (1L, 0, Seq(1.0f, 0.0f, 0.0f)),
+      (2L, 0, Seq(0.999f, 0.01f, 0.0f)), // near dup of 1
+      (3L, 0, Seq(0.0f, 1.0f, 0.0f)),
+      (4L, 1, Seq(1.0f, 0.0f, 0.0f))     // other bucket: never compared to 1
+    ).toDF("vec_id", "label", "embedding")
+    val out = Dedup.embeddingCosinePairs(vecs, "label", 0.99).collect()
+    assert(out.length == 1)
+    assert(out(0).getAs[Long]("id_a") == 1L && out(0).getAs[Long]("id_b") == 2L)
+  }
+}

@@ -1,0 +1,47 @@
+package graft.datapipe
+
+import graft.SparkSpec
+import graft.core.Tables
+import org.apache.spark.sql.functions._
+
+class SimilaritySpec extends SparkSpec {
+  private val dir = "/root/testdata/sf0.001"
+
+  private def embs = Tables.load(spark, dir, "embeddings")
+
+  test("brute force: query vector is its own top-1 with cosine ~1") {
+    val top = Similarity.bruteForceTopK(embs, embs.where(col("vec_id") === 7), k = 3)
+      .collect()
+    assert(top.head.getAs[Long]("vec_id") == 7L)
+    assert(math.abs(top.head.getAs[Double]("cosine") - 1.0) < 1e-9)
+  }
+
+  test("IVF top-k with full probing equals brute force top-k") {
+    val centroids = embs.where(col("vec_id") % 20 === 0)
+      .select(col("vec_id").as("centroid_id"), col("embedding"))
+    val q = embs.where(col("vec_id") === 7)
+    val nCent = centroids.count().toInt
+    val brute = Similarity.bruteForceTopK(embs, q, k = 10)
+      .collect().map(_.getAs[Long]("vec_id")).toSeq
+    val ivf = Similarity.ivfTopK(embs, centroids, q, k = 10, nProbe = nCent)
+      .collect().map(_.getAs[Long]("vec_id")).toSeq
+    assert(ivf == brute, "probing every centroid must recover exact top-k")
+  }
+
+  test("IVF with small nProbe still finds the query itself") {
+    val centroids = embs.where(col("vec_id") % 20 === 0)
+      .select(col("vec_id").as("centroid_id"), col("embedding"))
+    val ivf = Similarity.ivfTopK(embs, centroids,
+        query = embs.where(col("vec_id") === 7), k = 5, nProbe = 2)
+      .collect().map(_.getAs[Long]("vec_id"))
+    assert(ivf.head == 7L)
+  }
+
+  test("vector quantization: cosineQ of a vector with itself is ~1") {
+    val s = spark; import s.implicits._
+    val df = Seq((1L, Seq(0.3f, -0.2f, 0.9f))).toDF("vec_id", "embedding")
+      .select(Vectors.quantize(col("embedding")).as("q"))
+      .select(Vectors.cosineQ(col("q"), col("q")).as("c"))
+    assert(math.abs(df.first().getDouble(0) - 1.0) < 1e-12)
+  }
+}

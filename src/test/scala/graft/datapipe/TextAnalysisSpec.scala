@@ -1,0 +1,42 @@
+package graft.datapipe
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class TextAnalysisSpec extends SparkSpec {
+
+  test("token count and quality ratios") {
+    val s = spark; import s.implicits._
+    val df = Seq((1L, "the cat sat on the mat")).toDF("doc_id", "text")
+    val q = TextAnalysis.withQuality(df).first()
+    assert(q.getAs[Int]("n_tokens") == 6)
+    assert(q.getAs[Int]("n_unique_tokens") == 5) // 'the' twice
+    assert(q.getAs[Double]("stopword_ratio") == 2.0 / 6.0)
+    assert(q.getAs[Double]("mean_token_len") == (22 - 5) / 6.0)
+  }
+
+  test("langid picks the language with most marker hits") {
+    val s = spark; import s.implicits._
+    val df = Seq(
+      (1L, "the cat and the dog of a house"),
+      (2L, "der hund und die katze und das haus"),
+      (3L, "le chat et les maisons et des chiens"),
+      (4L, "xyzzy plugh qwerty")
+    ).toDF("doc_id", "text")
+    val out = df.select(col("doc_id"), TextAnalysis.langId(col("text")).as("l"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == "en")
+    assert(out(2L) == "de")
+    assert(out(3L) == "fr")
+    assert(out(4L) == "unknown")
+  }
+
+  test("fingerprints are normalization-stable") {
+    val s = spark; import s.implicits._
+    val df = Seq((1L, "  Hello World  "), (2L, "hello world")).toDF("doc_id", "text")
+    val fps = df.select(TextAnalysis.fingerprintMd5(col("text"))).collect().map(_.getString(0))
+    assert(fps(0) == fps(1))
+    val fp64 = df.select(TextAnalysis.fingerprint64(col("text"))).collect().map(_.getLong(0))
+    assert(fp64(0) == fp64(1))
+  }
+}

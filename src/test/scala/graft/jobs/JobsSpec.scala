@@ -1,0 +1,82 @@
+package graft.jobs
+
+import graft.SparkSpec
+import java.time.LocalDate
+import org.apache.spark.sql.functions._
+
+class JobsSpec extends SparkSpec {
+
+  test("job state machine enforces legal transitions") {
+    assert(JobState.canTransition(JobState.Pending, JobState.InProgress))
+    assert(JobState.canTransition(JobState.InProgress, JobState.Completed))
+    assert(!JobState.canTransition(JobState.Completed, JobState.InProgress))
+    assert(!JobState.canTransition(JobState.Pending, JobState.Completed))
+  }
+
+  test("job repo persists and transitions") {
+    val repo = new JobRepo(spark, tmpDir("jobs") + "/jobs")
+    repo.save(Seq(
+      Job("j1", "AAPL", "2024-01-02", JobState.Pending, 100L, 100L),
+      Job("j2", "MSFT", "2024-01-02", JobState.Pending, 100L, 100L)))
+    repo.transition("j1", JobState.InProgress, 200L)
+    val states = repo.load().collect()
+      .map(r => r.getAs[String]("job_id") -> r.getAs[String]("state")).toMap
+    assert(states == Map("j1" -> JobState.InProgress, "j2" -> JobState.Pending))
+    intercept[Exception](repo.transition("j1", JobState.Pending, 300L))
+    assert(repo.histogram().count() == 2)
+  }
+
+  test("checkpoints: resume from checkpoint+1bar inside window, else job start") {
+    val s = spark; import s.implicits._
+    val cp = new Checkpoints(spark, tmpDir("cp") + "/cp")
+    val bar = 60000000000L
+    cp.save(Seq(("AAPL", 1000L * bar)).toDF("symbol", "last_ts_ns"))
+    assert(cp.resumeFrom("AAPL", 900L * bar, 2000L * bar) == 1001L * bar)
+    assert(cp.resumeFrom("AAPL", 1500L * bar, 2000L * bar) == 1500L * bar) // stale
+    assert(cp.resumeFrom("MSFT", 900L * bar, 2000L * bar) == 900L * bar)  // none
+  }
+
+  test("gap detector finds exactly the missing days") {
+    val s = spark; import s.implicits._
+    val bars = Seq(
+      ("AAPL", "2024-01-01"), ("AAPL", "2024-01-03"),
+      ("MSFT", "2024-01-01"), ("MSFT", "2024-01-02"), ("MSFT", "2024-01-03")
+    ).toDF("symbol", "date").withColumn("date", to_date(col("date")))
+    val gaps = GapDetector.missingDays(bars, "2024-01-01", "2024-01-03")
+      .collect().map(r => (r.getAs[String]("symbol"), r.getAs[java.sql.Date]("date").toString))
+    assert(gaps.toSet == Set(("AAPL", "2024-01-02")))
+    val plan = GapDetector.backfillPlan(
+      GapDetector.missingDays(bars, "2024-01-01", "2024-01-03")).first()
+    assert(plan.getAs[java.sql.Date]("job_end").toString == "2024-01-03")
+  }
+
+  test("prune: age parse + partition selection") {
+    val today = LocalDate.parse("2024-06-15")
+    assert(Prune.cutoffDate("30d", today) == LocalDate.parse("2024-05-16"))
+    assert(Prune.cutoffDate("18m", today) == LocalDate.parse("2022-12-15"))
+    assert(Prune.cutoffDate("5y", today) == LocalDate.parse("2019-06-15"))
+    intercept[IllegalArgumentException](Prune.cutoffDate("x5", today))
+
+    val s = spark; import s.implicits._
+    val store = Seq(
+      ("1m", "AAPL", "2024-01-01"), ("1m", "AAPL", "2024-06-01")
+    ).toDF("frame", "symbol", "date").withColumn("date", to_date(col("date")))
+    val prunable = Prune.prunablePartitions(store, LocalDate.parse("2024-03-01"))
+      .collect().map(_.getAs[java.sql.Date]("date").toString)
+    assert(prunable.toSeq == Seq("2024-01-01"))
+  }
+
+  test("metrics store: windowed avg and bucketed trend") {
+    val ms = new graft.metrics.MetricsStore(spark, tmpDir("metrics") + "/m")
+    val now = 1000000L
+    ms.record(Seq(
+      (now - 100, "ingest_rate", 10.0, "fake", "iex"),
+      (now - 50, "ingest_rate", 20.0, "fake", "iex"),
+      (now - 90000, "ingest_rate", 99.0, "fake", "iex"))) // outside 24h
+    val avg = ms.windowAvg("ingest_rate", now - 3600)
+    assert(avg.first().getAs[Double]("avg_value") == 15.0)
+    val trend = ms.trend("ingest_rate", now, buckets = 24)
+    assert(trend.agg(sum("n")).first().getLong(0) == 2L)
+    assert(ms.names().count() == 1)
+  }
+}

@@ -1,0 +1,76 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.core.FrameSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+class StreamingSpec extends SparkSpec {
+
+  final case class Bar(symbol: String, timestamp: java.sql.Timestamp,
+                       open: Double, high: Double, low: Double, close: Double, volume: Long)
+  final case class B(symbol: String, ts_ns: Long, volume: Long)
+
+  private def ts(minute: Int) =
+    new java.sql.Timestamp(1640995800000L + minute * 60000L)
+
+  test("streaming tumbling resample matches batch semantics") {
+    val s = spark; import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val mem = MemoryStream[Bar]
+    mem.addData((0 until 10).map(i =>
+      Bar("AAPL", ts(i), 100.0 + i, 101.0 + i, 99.0 + i, 100.5 + i, 1000L + 100L * i)))
+    val out = StreamingIngest.streamingResample(mem.toDF(), FrameSpec.F5m)
+    val q = out.writeStream.format("memory").queryName("agg5m")
+      .outputMode("complete")
+      .option("checkpointLocation", tmpDir("ckpt")).start()
+    try {
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT * FROM agg5m ORDER BY ts_ns").collect()
+      assert(rows.length == 2)
+      assert(rows(0).getAs[Double]("open") == 100.0)
+      assert(rows(0).getAs[Double]("close") == 104.5)
+      assert(rows(0).getAs[Long]("volume") == 6000L)
+      assert(rows(1).getAs[Long]("volume") == 8500L)
+    } finally q.stop()
+  }
+
+  test("streaming dedup: duplicate (symbol, timestamp) rows collapse") {
+    val s = spark; import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val mem = MemoryStream[Bar]
+    val b = Bar("AAPL", ts(0), 100.0, 101.0, 99.0, 100.5, 1000L)
+    mem.addData(Seq(b, b.copy(volume = 9999L))) // late duplicate
+    val out = StreamingIngest.streamingResample(mem.toDF(), FrameSpec.F5m)
+    val q = out.writeStream.format("memory").queryName("dedup5m")
+      .outputMode("complete")
+      .option("checkpointLocation", tmpDir("ckpt2")).start()
+    try {
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT * FROM dedup5m").collect()
+      assert(rows.length == 1)
+      assert(rows(0).getAs[Long]("volume") == 1000L, "first arrival wins")
+    } finally q.stop()
+  }
+
+  test("mapGroupsWithState tracks per-symbol running state across batches") {
+    val s = spark; import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val mem = MemoryStream[B]
+    val out = StreamingIngest.trackSymbolState(spark, mem.toDF())
+    val q = out.writeStream.format("memory").queryName("symstate")
+      .outputMode("update")
+      .option("checkpointLocation", tmpDir("ckpt3")).start()
+    try {
+      mem.addData(B("AAPL", 100L, 10L), B("AAPL", 200L, 5L))
+      q.processAllAvailable()
+      mem.addData(B("AAPL", 150L, 7L)) // late: doesn't advance lastTs
+      q.processAllAvailable()
+      val last = spark.sql(
+        "SELECT * FROM symstate WHERE symbol='AAPL' ORDER BY barCount DESC").first()
+      assert(last.getAs[Long]("lastTs") == 200L)
+      assert(last.getAs[Long]("dayVolume") == 22L)
+      assert(last.getAs[Long]("barCount") == 3L)
+    } finally q.stop()
+  }
+}
