@@ -93,4 +93,23 @@ object Calculations {
 
   /** Percent change per bar: (close-open)/open*100 (ref: entities.py:178-204). */
   def pctChange: Column = (col("close") - col("open")) / col("open") * 100.0
+
+  /** W9 trailing-pattern anomaly flags (ref: domain/services.py:577-607):
+    *  - suspicious_zero_volume: >= 5 zero-volume bars among the last 10;
+    *  - volume_spike: current volume > 10x the average of the positive
+    *    volumes among the last 20 prior bars.
+    */
+  def withTrailingPatterns(bars: DataFrame): DataFrame = {
+    val w10 = perSymbol.rowsBetween(-9, 0)
+    val w20prior = perSymbol.rowsBetween(-20, -1)
+    bars
+      .withColumn("zero_vol_last10",
+        sum((col("volume") === 0).cast("int")).over(w10))
+      .withColumn("suspicious_zero_volume", col("zero_vol_last10") >= 5)
+      .withColumn("avg_pos_vol_last20",
+        avg(when(col("volume") > 0, col("volume"))).over(w20prior))
+      .withColumn("volume_spike",
+        col("avg_pos_vol_last20").isNotNull &&
+          col("volume").cast("double") > col("avg_pos_vol_last20") * 10.0)
+  }
 }

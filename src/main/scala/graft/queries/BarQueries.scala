@@ -100,6 +100,19 @@ object BarQueries {
         .groupBy("reason").agg(count(lit(1)).as("n"))
         .orderBy("reason")),
 
+    "w9_trailing_patterns" -> ((s, dir) => {
+      // volume reshaped to exercise both flags: every 7th event zero-vol,
+      // every 101st a 50x spike (same derivation in the oracle CTE)
+      val b = eventBars(s, dir).withColumn("volume",
+        when(col("ts_ns") % 7 === 0, 0L)
+          .otherwise(((col("ts_ns") % 97L) + 1L) *
+            when(col("ts_ns") % 101 === 0, 50L).otherwise(1L)))
+      Calculations.withTrailingPatterns(b)
+        .where(col("suspicious_zero_volume") || col("volume_spike"))
+        .select("symbol", "ts_ns", "suspicious_zero_volume", "volume_spike")
+        .orderBy("symbol", "ts_ns")
+    }),
+
     "a8_bucketed_trend" -> ((s, dir) => {
       // 30-minute buckets: AVG(value), COUNT(*) (ref metrics.py:218-248)
       val b = eventBars(s, dir)
@@ -188,6 +201,27 @@ object BarQueries {
            |  UNION ALL SELECT 'unreasonable_volume' FROM ctx WHERE volume > 1000000000
            |  UNION ALL SELECT 'duplicate_timestamp' FROM ctx WHERE dup_count > 1)
            |SELECT reason, count(*) AS n FROM errs GROUP BY reason ORDER BY reason""".stripMargin,
+      "w9_trailing_patterns" ->
+        s"""$barsCte, vb AS (
+           |  SELECT symbol, ts_ns,
+           |         CASE WHEN ts_ns % 7 = 0 THEN 0
+           |              ELSE (ts_ns % 97 + 1) * (CASE WHEN ts_ns % 101 = 0 THEN 50 ELSE 1 END)
+           |         END AS volume
+           |  FROM bars),
+           |flags AS (
+           |  SELECT symbol, ts_ns, volume,
+           |         sum(CASE WHEN volume = 0 THEN 1 ELSE 0 END)
+           |           OVER (PARTITION BY symbol ORDER BY ts_ns ROWS BETWEEN 9 PRECEDING AND CURRENT ROW) >= 5
+           |           AS suspicious_zero_volume,
+           |         avg(CASE WHEN volume > 0 THEN volume END)
+           |           OVER (PARTITION BY symbol ORDER BY ts_ns ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)
+           |           AS avg_pos
+           |  FROM vb)
+           |SELECT symbol, ts_ns, suspicious_zero_volume,
+           |       (avg_pos IS NOT NULL AND CAST(volume AS DOUBLE) > avg_pos * 10.0) AS volume_spike
+           |FROM flags
+           |WHERE suspicious_zero_volume OR (avg_pos IS NOT NULL AND CAST(volume AS DOUBLE) > avg_pos * 10.0)
+           |ORDER BY symbol, ts_ns""".stripMargin,
       "a8_bucketed_trend" ->
         s"""$barsCte
            |SELECT ts_ns - ts_ns % 1800000000000 AS bucket_ts,

@@ -84,6 +84,23 @@ final class ParquetStore(spark: SparkSession, root: String) {
 
 object ParquetStore {
 
+  /** F11: extract the partition date from a file path (ref:
+    * cli/prune.py:96-137 — `date=` prefix, bare YYYY-MM-DD, or Y/M/D dirs).
+    * Use with `input_file_name()` on datasets whose layout predates the
+    * `date` partition column.
+    */
+  def dateFromPath(path: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val fromPrefix = regexp_extract(path, "date=(\\d{4}-\\d{2}-\\d{2})", 1)
+    val bare = regexp_extract(path, "(\\d{4}-\\d{2}-\\d{2})", 1)
+    val ymd = concat_ws("-",
+      regexp_extract(path, "year=(\\d{4})", 1),
+      regexp_extract(path, "month=(\\d{2})", 1),
+      regexp_extract(path, "day=(\\d{2})", 1))
+    to_date(when(fromPrefix =!= "", fromPrefix)
+      .when(bare =!= "", bare)
+      .when(ymd.rlike("^\\d{4}-\\d{2}-\\d{2}$"), ymd))
+  }
+
   /** Append with keep-last dedup on (symbol, ts_ns): new rows win over
     * existing ones, reproducing pandas `keep="last"` with an explicit
     * ingest-order column (ref: parquet_engine.py:127-182; SURVEY §7.4.4).
