@@ -60,21 +60,21 @@ object Dedup {
       docs: DataFrame, n: Int = 3, threshold: Double = 0.5,
       maxDocsPerShingle: Int = 1000,
       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    // one pass over (id, shingle): pre-cap set size via window-over-id and
+    // shingle document frequency via window-over-shingle — the pair join
+    // then carries set sizes inline (no extra joins, no shingle recompute)
     val sh = shingles(docs, n, textCol, idCol)
-    val capped = sh
+      .withColumn("set_size", count(lit(1)).over(Window.partitionBy(idCol)))
       .withColumn("_df", count(lit(1)).over(Window.partitionBy("shingle")))
       .where(col("_df") <= maxDocsPerShingle)
       .drop("_df")
-    val sizes = sh.groupBy(idCol).agg(count(lit(1)).as("set_size"))
-    val a = capped.select(col(idCol).as("id_a"), col("shingle"))
-    val b = capped.select(col(idCol).as("id_b"), col("shingle"))
-    val inter = a.join(b, Seq("shingle"))
+    val a = sh.select(col(idCol).as("id_a"), col("shingle"), col("set_size").as("size_a"))
+    val b = sh.select(col(idCol).as("id_b"), col("shingle"), col("set_size").as("size_b"))
+    a.join(b, Seq("shingle"))
       .where(col("id_a") < col("id_b"))
       .groupBy("id_a", "id_b")
-      .agg(count(lit(1)).as("n_common"))
-    inter
-      .join(sizes.select(col(idCol).as("id_a"), col("set_size").as("size_a")), Seq("id_a"))
-      .join(sizes.select(col(idCol).as("id_b"), col("set_size").as("size_b")), Seq("id_b"))
+      .agg(count(lit(1)).as("n_common"),
+        first(col("size_a")).as("size_a"), first(col("size_b")).as("size_b"))
       .withColumn("jaccard",
         col("n_common").cast("double") /
           (col("size_a") + col("size_b") - col("n_common")).cast("double"))
@@ -146,13 +146,20 @@ object Dedup {
   def embeddingCosinePairs(
       vecs: DataFrame, bucketCol: String, threshold: Double,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val q = Vectors.quantize(col(vecCol))
-    val base = vecs.select(col(idCol), col(bucketCol).as("bucket"), q.as("q"))
-    val a = base.select(col(idCol).as("id_a"), col("bucket"), col("q").as("qa"))
-    val b = base.select(col(idCol).as("id_b"), col("bucket"), col("q").as("qb"))
+    graft.functions.GraftFunctions.register(vecs.sparkSession)
+    // norms computed once per vector (O(n)), not once per pair (O(n²))
+    val base = vecs.select(
+      col(idCol), col(bucketCol).as("bucket"),
+      Vectors.quantize(col(vecCol)).as("q"))
+      .withColumn("nrm", sqrt(Vectors.dotQN(col("q"), col("q")).cast("double")))
+    val a = base.select(col(idCol).as("id_a"), col("bucket"),
+      col("q").as("qa"), col("nrm").as("na"))
+    val b = base.select(col(idCol).as("id_b"), col("bucket"),
+      col("q").as("qb"), col("nrm").as("nb"))
     a.join(b, Seq("bucket"))
       .where(col("id_a") < col("id_b"))
-      .withColumn("cosine", Vectors.cosineQ(col("qa"), col("qb")))
+      .withColumn("cosine",
+        Vectors.dotQN(col("qa"), col("qb")).cast("double") / (col("na") * col("nb")))
       .where(col("cosine") >= threshold)
       .select("id_a", "id_b", "cosine")
   }

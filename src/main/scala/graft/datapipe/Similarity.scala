@@ -23,11 +23,19 @@ object Similarity {
   def bruteForceTopK(
       vecs: DataFrame, query: DataFrame, k: Int,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val q = query.select(Vectors.quantize(col(vecCol)).as("q_query")).limit(1)
+    graft.functions.GraftFunctions.register(vecs.sparkSession)
+    // norms once per side: the query norm is a broadcast scalar, the vector
+    // norm one extra column — the per-row work is a single dot product
+    val q = query.limit(1)
+      .select(Vectors.quantize(col(vecCol)).as("q_query"))
+      .withColumn("q_nrm", sqrt(Vectors.dotQN(col("q_query"), col("q_query")).cast("double")))
     vecs
       .select(col(idCol), Vectors.quantize(col(vecCol)).as("q_vec"))
+      .withColumn("v_nrm", sqrt(Vectors.dotQN(col("q_vec"), col("q_vec")).cast("double")))
       .crossJoin(broadcast(q))
-      .withColumn("cosine", Vectors.cosineQ(col("q_vec"), col("q_query")))
+      .withColumn("cosine",
+        Vectors.dotQN(col("q_vec"), col("q_query")).cast("double") /
+          (col("v_nrm") * col("q_nrm")))
       .select(col(idCol), col("cosine"))
       .orderBy(desc("cosine"), col(idCol))
       .limit(k)

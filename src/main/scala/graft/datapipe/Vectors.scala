@@ -17,9 +17,18 @@ object Vectors {
   def quantize(v: Column): Column =
     transform(v, x => floor(x.cast("double") * 1000000.0 + 0.5).cast("long"))
 
-  /** Exact integer dot product of two quantized vectors. */
+  /** Exact integer dot product of two quantized vectors (higher-order
+    * function form — portable, but interpreted per element).
+    */
   def dotQ(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+
+  /** Native codegen'd twin of [[dotQ]] (graft.functions.DotProductLong);
+    * requires `GraftFunctions.register(spark)` (operators do this).
+    * Bit-identical results to dotQ.
+    */
+  def dotQN(a: Column, b: Column): Column =
+    call_function(graft.functions.GraftFunctions.dotQName, a, b)
 
   /** Cosine similarity from quantized vectors (deterministic doubles). */
   def cosineQ(a: Column, b: Column): Column =

@@ -1,0 +1,86 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+
+/** Native codegen'd integer dot product over two `array<bigint>` columns.
+  *
+  * Why a custom Catalyst expression (the one place built-ins genuinely
+  * fall short, per SURVEY §2.10 policy): the equivalent
+  * `aggregate(zip_with(a, b, (x,y) -> x*y), 0L, (acc,x) -> acc+x)` is a
+  * higher-order function evaluated per element through interpreted lambda
+  * machinery — on an O(pairs) near-dup join it dominates runtime. This
+  * expression compiles to a tight primitive loop inside whole-stage
+  * codegen (`doGenCode`), with an interpreted `nullSafeEval` twin.
+  *
+  * Semantics: sum over the common prefix of both arrays of a[i]*b[i].
+  * Elements must be non-null (quantized vectors are). Exact integer
+  * arithmetic — result is bit-identical to the higher-order-function
+  * formulation and to an external engine's integer sum.
+  */
+case class DotProductLong(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def ok(dt: DataType) = dt match {
+      case ArrayType(LongType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires two array<bigint> arguments, " +
+        s"got ${left.dataType.simpleString} and ${right.dataType.simpleString}")
+  }
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_dot_q"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var acc = 0L
+    var i = 0
+    while (i < n) { acc += x.getLong(i) * y.getLong(i); i += 1 }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
+      s"""
+         |int $n = $a.numElements();
+         |if ($b.numElements() < $n) $n = $b.numElements();
+         |long $acc = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $acc += $a.getLong($i) * $b.getLong($i);
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DotProductLong =
+    copy(left = newLeft, right = newRight)
+}
+
+object GraftFunctions {
+  val dotQName = "graft_dot_q"
+
+  private def info = new ExpressionInfo(
+    classOf[DotProductLong].getName, dotQName)
+
+  /** Idempotently register graft functions on a session. Called by every
+    * datapipe operator entry point (and available through
+    * `graft.extensions.GraftExtensions` for `spark.sql.extensions`).
+    */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val registry = spark.sessionState.functionRegistry
+    registry.createOrReplaceTempFunction(
+      dotQName, (args: Seq[Expression]) => DotProductLong(args(0), args(1)), "built-in")
+  }
+}

@@ -30,9 +30,12 @@ final class ViewCatalog(spark: SparkSession, aggRoot: String) {
   private def emptyBars: DataFrame =
     spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], Schemas.bars)
 
-  /** Ad-hoc SQL entry point (ref: duckdb_views.py:98-125). */
+  /** Ad-hoc SQL entry point (ref: duckdb_views.py:98-125). Graft's native
+    * functions (graft_dot_q, ...) are registered so user SQL can call them.
+    */
   def query(sql: String): DataFrame = {
     require(sql.trim.nonEmpty, "empty SQL")
+    graft.functions.GraftFunctions.register(spark)
     ensureViews()
     spark.sql(sql)
   }

@@ -53,6 +53,28 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("foreachBatch pipeline sink runs validate+resample per micro-batch") {
+    val s = spark; import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val mem = MemoryStream[Bar]
+    mem.addData((0 until 10).map(i =>
+      Bar("AAPL", ts(i), 100.0 + i, 101.0 + i, 99.0 + i, 100.5 + i, 1000L)) :+
+      Bar("AAPL", ts(10), 100.0, 101.0, 99.0, 100.5, -5L)) // invalid row
+    val barsNs = mem.toDF()
+      .withColumn("ts_ns", org.apache.spark.sql.functions.expr("unix_micros(timestamp) * 1000"))
+      .drop("timestamp")
+    @volatile var seen: Option[(Long, Long, Long)] = None
+    val q = StreamingIngest.pipelineSink(barsNs, Seq(FrameSpec.F5m), tmpDir("ckpt4")) {
+      (clean, errors, resampled, _) =>
+        seen = Some((clean.count(), errors.count(), resampled("5m").count()))
+    }.start()
+    try {
+      q.processAllAvailable()
+      assert(seen.contains((10L, 1L, 2L)),
+        s"expected 10 clean / 1 error / 2 5m buckets, got $seen")
+    } finally q.stop()
+  }
+
   test("mapGroupsWithState tracks per-symbol running state across batches") {
     val s = spark; import s.implicits._
     implicit val sqlCtx = s.sqlContext
