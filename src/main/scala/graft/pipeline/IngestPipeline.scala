@@ -29,17 +29,24 @@ final class IngestPipeline(
   private val aggStore = new ParquetStore(spark, aggRoot)
   private val views = new ViewCatalog(spark, aggRoot)
 
-  /** Run one job over a batch of 1m bars. Returns (cleanCount, errorCount). */
+  /** Run one job over a batch of 1m bars. Returns (cleanCount, errorCount).
+    * Idempotent: writes use dynamic partition overwrite, so re-running the
+    * same job replaces its own partitions (T8).
+    */
   def runJob(bars: DataFrame, jobId: String): (Long, Long) = {
     val (clean, errors) = RuleSet.split(bars)
     val cached = clean.cache()
     try {
       rawStore.write(cached, FrameSpec.F1m)
-      frames.foreach { f =>
+      // all frames in ONE write: union the resampled frames (each tagged
+      // with its frame partition value) -> single job, single commit
+      import org.apache.spark.sql.functions.lit
+      val allFrames = frames.map { f =>
         val agg = if (f.name == "1d") Resampler.resampleDaily(cached)
                   else Resampler.resample(cached, f)
-        aggStore.write(agg, f, org.apache.spark.sql.SaveMode.Append)
-      }
+        agg.withColumn("frame", lit(f.name))
+      }.reduce(_ unionByName _)
+      aggStore.writeFrames(allFrames)
       val errCached = errors.cache()
       val nErr = errCached.count()
       if (nErr > 0) CsvReportSink.write(errCached, reportRoot, jobId)

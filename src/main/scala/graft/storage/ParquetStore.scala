@@ -29,9 +29,20 @@ final class ParquetStore(spark: SparkSession, root: String) {
     * so it's opt-in.
     */
   def write(bars: DataFrame, frame: FrameSpec, mode: SaveMode = SaveMode.Overwrite,
-            compactPartitions: Boolean = false): Unit = {
+            compactPartitions: Boolean = false): Unit =
+    writeFrames(bars.withColumn("frame", lit(frame.name)), mode, compactPartitions)
+
+  /** Write bars that already carry a `frame` column — lets one job write
+    * every resampled frame in a single Spark write (one output commit
+    * instead of one per frame). Overwrite mode uses *dynamic* partition
+    * overwrite, so re-running a job replaces exactly the partitions it
+    * produces — the reference's idempotent re-run semantics (T8) — while
+    * leaving other frames/symbols/dates untouched.
+    */
+  def writeFrames(bars: DataFrame, mode: SaveMode = SaveMode.Overwrite,
+                  compactPartitions: Boolean = false): Unit = {
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     val partitioned = bars
-      .withColumn("frame", lit(frame.name))
       .withColumn("date", to_date(timestamp_micros((col("ts_ns") / 1000L).cast("long"))))
     val placed =
       if (compactPartitions) partitioned.repartition(col("frame"), col("symbol"), col("date"))

@@ -25,6 +25,19 @@ class IngestPipelineSpec extends SparkSpec {
     assert(pipe.query("SELECT * FROM bars_1d").count() == 2L)
   }
 
+  test("re-running the same job is idempotent (dynamic partition overwrite)") {
+    val base = tmpDir("pipe_idem")
+    val pipe = new IngestPipeline(
+      spark, s"$base/raw", s"$base/agg", s"$base/reports",
+      frames = Seq(FrameSpec.F5m))
+    val bars = SyntheticSource.bars(spark, Seq("AAPL"), 1640995800000000000L, 30)
+    pipe.runJob(bars, "job-1")
+    val n1 = pipe.query("SELECT count(*) AS n FROM bars_5m").first().getLong(0)
+    pipe.runJob(bars, "job-1") // re-run: must replace, not append
+    val n2 = pipe.query("SELECT count(*) AS n FROM bars_5m").first().getLong(0)
+    assert(n1 == n2, s"re-run appended: $n1 -> $n2")
+  }
+
   test("empty-frame views fall back to typed empty relations") {
     val base = tmpDir("pipe2")
     val pipe = new IngestPipeline(
