@@ -1,0 +1,44 @@
+package graft.datapipe
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Skew-mitigation utilities for 100 TB-scale joins and aggregations.
+  *
+  * AQE's skew-join handling covers sort-merge joins at runtime; explicit
+  * salting is still the right tool when one side has a handful of hot keys
+  * and the other side is small enough to replicate per salt.
+  */
+object Skew {
+
+  /** Salted equi-join: the skewed (large) side gets a random salt in
+    * [0, salts); the small side is replicated once per salt value. The
+    * shuffle key becomes (key, salt), splitting each hot key across
+    * `salts` reducers. Row-multiplication happens only on the small side.
+    */
+  def saltedJoin(
+      large: DataFrame, small: DataFrame, key: String,
+      salts: Int, joinType: String = "inner"): DataFrame = {
+    val salted = large.withColumn("_salt",
+      pmod(spark_partition_id() + monotonically_increasing_id(), lit(salts)).cast("int"))
+    val replicated = small
+      .withColumn("_salt", explode(sequence(lit(0), lit(salts - 1))))
+      .withColumn("_salt", col("_salt").cast("int"))
+    salted.join(replicated, Seq(key, "_salt"), joinType).drop("_salt")
+  }
+
+  /** Two-phase (partial/final) aggregation with salting for hot group
+    * keys: groupBy (key, salt) first — each hot key's load is split
+    * `salts` ways — then re-aggregate by key. `partialAggs` must be
+    * decomposable (sum/count/min/max): the caller provides both phases.
+    */
+  def saltedAgg(
+      df: DataFrame, key: String, salts: Int,
+      partialAggs: Seq[Column], finalAggs: Seq[Column]): DataFrame =
+    df
+      .withColumn("_salt", pmod(xxhash64(rand(42) * 1000000), lit(salts)))
+      .groupBy(col(key), col("_salt"))
+      .agg(partialAggs.head, partialAggs.tail: _*)
+      .groupBy(col(key))
+      .agg(finalAggs.head, finalAggs.tail: _*)
+}

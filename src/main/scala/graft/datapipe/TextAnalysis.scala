@@ -16,11 +16,15 @@ object TextAnalysis {
   /** Whitespace tokenization of normalized text. */
   def tokens(text: Column): Column = split(lower(trim(text)), "\\s+")
 
-  /** Token count: whitespace tokens (a BPE-ish subword proxy — the
-    * reference pipeline counts words; subword models multiply by a
-    * constant factor downstream).
-    */
+  /** Token count: whitespace tokens. */
   def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish subword token count: greedy chunks of <=4 letters, digit
+    * runs, or single non-alnum symbols — a cheap deterministic proxy for
+    * subword-model token counts (budgeting, not exact tokenization).
+    */
+  def tokenCountBpeish(text: Column): Column =
+    size(regexp_extract_all(lower(text), lit("[a-z]{1,4}|[0-9]+|[^a-z0-9\\s]"), lit(0)))
 
   /** Marker stopwords per language for the n-gram/stopword langid
     * heuristic. Tiny on purpose: broadcast as literals into codegen.

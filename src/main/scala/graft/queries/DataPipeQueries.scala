@@ -77,9 +77,17 @@ object DataPipeQueries {
 
     "t1_text_quality" -> ((s, dir) =>
       TextAnalysis.withQuality(docs(s, dir))
+        .withColumn("quality", TextAnalysis.qualityScore)
         .select("doc_id", "n_tokens", "n_unique_tokens", "unique_ratio",
-          "stopword_ratio", "short_token_ratio", "mean_token_len")
+          "stopword_ratio", "short_token_ratio", "mean_token_len", "quality")
         .orderBy("doc_id")),
+
+    "t5_bpeish_tokens" -> ((s, dir) =>
+      docs(s, dir)
+        .groupBy("lang")
+        .agg(sum(TextAnalysis.tokenCountBpeish(col("text"))).as("bpeish_tokens"),
+          sum(TextAnalysis.tokenCount(col("text"))).as("word_tokens"))
+        .orderBy("lang")),
 
     "t2_langid" -> ((s, dir) =>
       docs(s, dir)
@@ -181,17 +189,28 @@ object DataPipeQueries {
          |FROM qv, q
          |ORDER BY cosine DESC, vec_id LIMIT 20""".stripMargin,
     "t1_text_quality" ->
-      s"""$tokCte
-         |SELECT doc_id,
-         |  len(t) AS n_tokens,
-         |  len(list_distinct(t)) AS n_unique_tokens,
-         |  CAST(len(list_distinct(t)) AS DOUBLE) / CAST(len(t) AS DOUBLE) AS unique_ratio,
-         |  CAST(len(list_filter(t, x -> list_contains(['the','a','of','and','to'], x))) AS DOUBLE)
-         |    / CAST(len(t) AS DOUBLE) AS stopword_ratio,
-         |  CAST(len(list_filter(t, x -> length(x) <= 2)) AS DOUBLE)
-         |    / CAST(len(t) AS DOUBLE) AS short_token_ratio,
-         |  CAST(length(trim(text)) - (len(t) - 1) AS DOUBLE) / CAST(len(t) AS DOUBLE) AS mean_token_len
-         |FROM toks ORDER BY doc_id""".stripMargin,
+      s"""$tokCte,
+         |q AS (
+         |  SELECT doc_id,
+         |    len(t) AS n_tokens,
+         |    len(list_distinct(t)) AS n_unique_tokens,
+         |    CAST(len(list_distinct(t)) AS DOUBLE) / CAST(len(t) AS DOUBLE) AS unique_ratio,
+         |    CAST(len(list_filter(t, x -> list_contains(['the','a','of','and','to'], x))) AS DOUBLE)
+         |      / CAST(len(t) AS DOUBLE) AS stopword_ratio,
+         |    CAST(len(list_filter(t, x -> length(x) <= 2)) AS DOUBLE)
+         |      / CAST(len(t) AS DOUBLE) AS short_token_ratio,
+         |    CAST(length(trim(text)) - (len(t) - 1) AS DOUBLE) / CAST(len(t) AS DOUBLE) AS mean_token_len
+         |  FROM toks)
+         |SELECT *, least(1.0, greatest(0.0,
+         |         unique_ratio * 0.5
+         |         + least(stopword_ratio * 5.0, 1.0) * 0.3
+         |         + (CASE WHEN mean_token_len BETWEEN 3.0 AND 10.0 THEN 0.2 ELSE 0.0 END))) AS quality
+         |FROM q ORDER BY doc_id""".stripMargin,
+    "t5_bpeish_tokens" ->
+      """SELECT lang,
+        |  sum(len(regexp_extract_all(lower(text), '[a-z]{1,4}|[0-9]+|[^a-z0-9\s]'))) AS bpeish_tokens,
+        |  sum(len(string_split_regex(lower(trim(text)), '\s+'))) AS word_tokens
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
     "t2_langid" ->
       s"""$tokCte,
          |scores AS (
