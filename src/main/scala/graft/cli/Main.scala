@@ -43,6 +43,27 @@ object Main {
       val bars = spark.read.option("basePath", s"$root/raw").parquet(s"$root/raw")
       GapDetector.missingDays(bars.select(col("symbol"), col("date")), start, end)
         .orderBy("symbol", "date").show(100)
+    case "stream-demo" :: Nil =>
+      // live Structured Streaming path: rate source -> bar mapping ->
+      // watermarked tumbling resample -> console, a few micro-batches
+      val spark = session()
+      import graft.streaming.StreamingIngest
+      val bars = spark.readStream.format("rate").option("rowsPerSecond", 200).load()
+        .select(
+          concat(lit("SYM"), (col("value") % 3).cast("string")).as("symbol"),
+          col("timestamp"),
+          (col("value") % 100).cast("double").as("open"),
+          ((col("value") % 100) + 1).cast("double").as("high"),
+          ((col("value") % 100) - 1).cast("double").as("low"),
+          (col("value") % 100).cast("double").as("close"),
+          lit(10L).as("volume"))
+      val q = StreamingIngest.streamingResample(bars, graft.core.FrameSpec("10s", 10),
+          watermark = "5 seconds")
+        .writeStream.format("console").outputMode("append")
+        .option("truncate", "false").start()
+      q.awaitTermination(20000)
+      q.stop()
+
     case "demo" :: root :: Nil =>
       val spark = session()
       ingest(spark, root, Seq("AAPL", "MSFT", "TSLA"), "2024-01-02", 390)

@@ -48,6 +48,7 @@ object Similarity {
   def lshTopK(
       vecs: DataFrame, query: DataFrame, k: Int, nPlanes: Int = 8,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    graft.functions.GraftFunctions.register(vecs.sparkSession)
     val sig = (df: DataFrame, out: String) => df
       .withColumn("q", Vectors.quantize(col(vecCol)))
       .withColumn(out, Vectors.lshSignature(col("q"), nPlanes))
@@ -55,7 +56,7 @@ object Similarity {
       .select(col("q").as("q_query"), col("bucket"))
     sig(vecs, "bucket")
       .join(broadcast(qSig), Seq("bucket"))
-      .withColumn("cosine", Vectors.cosineQ(col("q"), col("q_query")))
+      .withColumn("cosine", Vectors.cosineQN(col("q"), col("q_query")))
       .select(col(idCol), col("bucket"), col("cosine"))
       .orderBy(desc("cosine"), col(idCol))
       .limit(k)
@@ -69,11 +70,12 @@ object Similarity {
       vecs: DataFrame, centroids: DataFrame,
       idCol: String = "vec_id", vecCol: String = "embedding",
       centroidIdCol: String = "centroid_id"): DataFrame = {
+    graft.functions.GraftFunctions.register(vecs.sparkSession)
     val c = centroids.select(
       col(centroidIdCol), Vectors.quantize(col(vecCol)).as("q_cent"))
     val v = vecs.select(col(idCol), Vectors.quantize(col(vecCol)).as("q_vec"))
     val scored = v.crossJoin(broadcast(c))
-      .withColumn("cosine", Vectors.cosineQ(col("q_vec"), col("q_cent")))
+      .withColumn("cosine", Vectors.cosineQN(col("q_vec"), col("q_cent")))
     val w = Window.partitionBy(idCol).orderBy(desc("cosine"), col(centroidIdCol))
     scored
       .withColumn("_rn", row_number().over(w))
@@ -86,19 +88,20 @@ object Similarity {
       k: Int, nProbe: Int = 2,
       idCol: String = "vec_id", vecCol: String = "embedding",
       centroidIdCol: String = "centroid_id"): DataFrame = {
+    graft.functions.GraftFunctions.register(vecs.sparkSession)
     val assigned = ivfAssign(vecs, centroids, idCol, vecCol, centroidIdCol)
     val qq = query.limit(1).select(Vectors.quantize(col(vecCol)).as("q_query"))
     val probes = centroids
       .select(col(centroidIdCol), Vectors.quantize(col(vecCol)).as("q_cent"))
       .crossJoin(broadcast(qq))
-      .withColumn("cosine", Vectors.cosineQ(col("q_cent"), col("q_query")))
+      .withColumn("cosine", Vectors.cosineQN(col("q_cent"), col("q_query")))
       .orderBy(desc("cosine"), col(centroidIdCol))
       .limit(nProbe)
       .select(col(centroidIdCol))
     assigned
       .join(broadcast(probes), Seq(centroidIdCol))
       .crossJoin(broadcast(qq))
-      .withColumn("cosine", Vectors.cosineQ(col("q_vec"), col("q_query")))
+      .withColumn("cosine", Vectors.cosineQN(col("q_vec"), col("q_query")))
       .select(col(idCol), col(centroidIdCol), col("cosine"))
       .orderBy(desc("cosine"), col(idCol))
       .limit(k)

@@ -35,6 +35,11 @@ object Vectors {
     dotQ(a, b).cast("double") /
       (sqrt(dotQ(a, a).cast("double")) * sqrt(dotQ(b, b).cast("double")))
 
+  /** Native twin of [[cosineQ]] (requires GraftFunctions.register). */
+  def cosineQN(a: Column, b: Column): Column =
+    dotQN(a, b).cast("double") /
+      (sqrt(dotQN(a, a).cast("double")) * sqrt(dotQN(b, b).cast("double")))
+
   /** Double-precision dot product (fast path; order-sensitive only within
     * one row's fold, which Spark evaluates sequentially — deterministic
     * for a fixed row).

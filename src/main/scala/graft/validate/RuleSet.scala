@@ -37,16 +37,19 @@ object RuleSet {
     "duplicate_timestamp" -> (col("dup_count") > 1)
   )
 
-  /** Attach the context columns the rules need: one window pass per symbol
-    * for lag(prev close / prev ts) and the (symbol, ts_ns) duplicate count.
+  /** Attach the context columns the rules need. Both windows partition by
+    * symbol — the duplicate count uses a RANGE CURRENT ROW frame (peers of
+    * the same ts_ns) instead of a (symbol, ts_ns) partition, so the whole
+    * context needs ONE exchange, not two.
     */
   def withContext(bars: DataFrame): DataFrame = {
     val bySymbol = Window.partitionBy("symbol").orderBy("ts_ns", "volume")
-    val byKey = Window.partitionBy("symbol", "ts_ns")
+    val peers = Window.partitionBy("symbol").orderBy("ts_ns")
+      .rangeBetween(Window.currentRow, Window.currentRow)
     bars
       .withColumn("prev_ts", lag(col("ts_ns"), 1).over(bySymbol))
       .withColumn("prev_close", lag(col("close"), 1).over(bySymbol))
-      .withColumn("dup_count", count(lit(1)).over(byKey))
+      .withColumn("dup_count", count(lit(1)).over(peers))
   }
 
   /** All error rows (symbol, ts_ns, reason) for a bars DataFrame. */
