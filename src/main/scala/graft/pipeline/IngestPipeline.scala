@@ -37,7 +37,11 @@ final class IngestPipeline(
     val (clean, errors) = RuleSet.split(bars)
     val cached = clean.cache()
     try {
-      rawStore.write(cached, FrameSpec.F1m)
+      // compactPartitions: without it each of the shuffle tasks writes a
+      // sliver into every (frame, symbol, date) dir -> tens of thousands
+      // of tiny files per job; with it, one file per partition (the
+      // pre-write shuffle is tiny relative to file-open cost)
+      rawStore.write(cached, FrameSpec.F1m, compactPartitions = true)
       // all frames in ONE write: union the resampled frames (each tagged
       // with its frame partition value) -> single job, single commit
       import org.apache.spark.sql.functions.lit
@@ -46,7 +50,7 @@ final class IngestPipeline(
                   else Resampler.resample(cached, f)
         agg.withColumn("frame", lit(f.name))
       }.reduce(_ unionByName _)
-      aggStore.writeFrames(allFrames)
+      aggStore.writeFrames(allFrames, compactPartitions = true)
       val errCached = errors.cache()
       val nErr = errCached.count()
       if (nErr > 0) CsvReportSink.write(errCached, reportRoot, jobId)

@@ -11,20 +11,19 @@ import org.apache.spark.sql.functions.col
   */
 final class ViewCatalog(spark: SparkSession, aggRoot: String) {
 
-  def ensureViews(frames: Seq[FrameSpec] = FrameSpec.defaults): Unit =
+  def ensureViews(frames: Seq[FrameSpec] = FrameSpec.defaults): Unit = {
+    // ONE scan of the store (file listing / partition discovery is the
+    // expensive part), filtered per frame — not one listing per view
+    val all: Option[DataFrame] =
+      try Some(spark.read.option("basePath", aggRoot).parquet(aggRoot))
+      catch { case _: org.apache.spark.sql.AnalysisException => None }
     frames.foreach { f =>
-      val df = loadFrame(f).getOrElse(emptyBars)
+      val df = all.map(_.where(col("frame") === f.name)).getOrElse(emptyBars)
       df.createOrReplaceTempView(s"bars_${f.name}")
     }
+  }
 
   def refreshViews(): Unit = ensureViews()
-
-  private def loadFrame(f: FrameSpec): Option[DataFrame] =
-    try {
-      val df = spark.read.option("basePath", aggRoot).parquet(aggRoot)
-        .where(col("frame") === f.name)
-      Some(df)
-    } catch { case _: org.apache.spark.sql.AnalysisException => None }
 
   /** Typed empty relation (ref: duckdb_views.py:43-51 NULL::VARCHAR … WHERE 1=0). */
   private def emptyBars: DataFrame =
