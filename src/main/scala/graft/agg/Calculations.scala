@@ -31,7 +31,7 @@ object Calculations {
       // dailySummary) so results are stable under any partitioning
       .agg((sum((floor(price * 1000000.0 + 0.5) * col("volume")).cast("decimal(38,0)"))
         .cast("double") / lit(1000000.0) /
-        sum(col("volume")).cast("double")).as("vwap"))
+        nullif(sum(col("volume")).cast("double"), lit(0.0))).as("vwap"))
   }
 
   /** Daily summary per (symbol, day): open=first, close=last, high=max,
@@ -60,8 +60,8 @@ object Calculations {
             (floor(price * 1000000.0 + 0.5) * col("volume")).cast("decimal(38,0)"))
             .otherwise(lit(0).cast("decimal(38,0)"))).cast("double") /
           lit(1000000.0) /
-          sum(when(col("volume") > 0, col("volume")).otherwise(lit(0L)))
-            .cast("double")).as("vwap")
+          nullif(sum(when(col("volume") > 0, col("volume")).otherwise(lit(0L)))
+            .cast("double"), lit(0.0))).as("vwap")
       )
   }
 
@@ -82,7 +82,11 @@ object Calculations {
     * (ref: domain/services.py:328-371).
     */
   def volatility(bars: DataFrame, n: Int): DataFrame = {
-    val ret = log(col("close") / lag(col("close"), 1).over(perSymbol))
+    // guard: log returns are undefined for non-positive prices (and ANSI
+    // mode makes x/0 an error, not Inf) -> null return, excluded from the
+    // window count like any missing value
+    val prev = lag(col("close"), 1).over(perSymbol)
+    val ret = when(prev > 0.0 && col("close") > 0.0, log(col("close") / prev))
     val w = perSymbol.rowsBetween(-(n - 1), 0)
     bars
       .withColumn("log_ret", ret)

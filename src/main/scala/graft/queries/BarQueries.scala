@@ -149,7 +149,7 @@ object BarQueries {
            |       min(ts_ns) AS first_bar_ts, max(ts_ns) AS last_bar_ts,
            |       CAST(sum(CASE WHEN volume > 0 THEN CAST(floor((high+low+close)/3.0 * 1000000.0 + 0.5) AS BIGINT) * volume ELSE 0 END) AS DOUBLE)
            |             / 1000000.0
-           |             / CAST(sum(CASE WHEN volume > 0 THEN volume ELSE 0 END) AS DOUBLE) AS vwap
+           |             / nullif(CAST(sum(CASE WHEN volume > 0 THEN volume ELSE 0 END) AS DOUBLE), 0.0) AS vwap
            |FROM bars GROUP BY 1, 2 ORDER BY symbol, day_ts""".stripMargin,
       "a5_vwap" ->
         s"""$barsCte
@@ -167,7 +167,8 @@ object BarQueries {
       "w6_volatility" ->
         s"""$barsCte, rets AS (
            |  SELECT symbol, ts_ns,
-           |         ln(close / lag(close) OVER (PARTITION BY symbol ORDER BY ts_ns)) AS log_ret
+           |         CASE WHEN lag(close) OVER (PARTITION BY symbol ORDER BY ts_ns) > 0.0 AND close > 0.0
+           |              THEN ln(close / lag(close) OVER (PARTITION BY symbol ORDER BY ts_ns)) END AS log_ret
            |  FROM bars)
            |SELECT symbol, ts_ns,
            |       round(CASE WHEN count(log_ret) OVER w = 20 THEN stddev_samp(log_ret) OVER w END, 6) AS volatility_20
