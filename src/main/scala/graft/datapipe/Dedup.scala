@@ -160,6 +160,17 @@ object Dedup {
     votes.select(col(idCol), sig.as("simhash"))
   }
 
+  /** Apply a near-dup pair set: keep every document not named as the
+    * higher id of any pair (canonical survivor = lowest id of each dup
+    * cluster under the id_a < id_b convention; transitive chains collapse
+    * because every non-minimal member appears as some pair's id_b).
+    */
+  def nearDupKeep(docs: DataFrame, pairs: DataFrame,
+                  idCol: String = "doc_id"): DataFrame =
+    docs.join(
+      pairs.select(col("id_b").as(idCol)).distinct(),
+      Seq(idCol), "left_anti")
+
   /** Hamming distance between two 64-bit signatures. */
   def hamming(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
     bit_count(a.bitwiseXOR(b))

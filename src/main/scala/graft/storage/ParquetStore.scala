@@ -78,6 +78,20 @@ final class ParquetStore(spark: SparkSession, root: String) {
     df
   }
 
+  /** Bucketed write for co-located joins: both sides of a recurring
+    * equi-join written with the same bucket spec join WITHOUT an exchange
+    * (SortMergeJoin reads bucket-aligned files directly). The 100 TB tool
+    * for fact-fact joins that recur on the same key — pay the shuffle once
+    * at write time, never at read time.
+    */
+  def writeBucketed(df: DataFrame, table: String, bucketCol: String,
+                    nBuckets: Int, sortCol: Option[String] = None): Unit = {
+    val w = df.write.mode(SaveMode.Overwrite)
+      .format("parquet")
+      .bucketBy(nBuckets, bucketCol)
+    sortCol.fold(w)(c => w.sortBy(c)).saveAsTable(table)
+  }
+
   /** Storage stats (ref: parquet_engine.py:500-535): file count, bytes —
     * from the file index, no data scan.
     */

@@ -50,6 +50,14 @@ class DedupSpec extends SparkSpec {
       s"near-dup hamming ${ham(sig(1L), sig(3L))} should beat unrelated ${ham(sig(1L), sig(4L))}")
   }
 
+  test("nearDupKeep drops non-canonical members of dup clusters") {
+    val pairs = Dedup.ngramJaccardPairs(docs, n = 3, threshold = 0.5)
+    val kept = Dedup.nearDupKeep(docs, pairs).collect()
+      .map(_.getAs[Long]("doc_id")).toSet
+    // cluster {1,2,3} -> keep 1; singletons 4, 5 kept
+    assert(kept == Set(1L, 4L, 5L))
+  }
+
   test("embedding cosine pairs within buckets") {
     val s = spark; import s.implicits._
     val vecs = Seq(
