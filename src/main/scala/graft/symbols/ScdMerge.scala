@@ -56,7 +56,10 @@ object ScdMerge {
       effectiveDate: String,
       tracked: Seq[String] = defaultTracked): DataFrame = {
     val eff = to_date(lit(effectiveDate))
-    val classified = classify(master, snapshot, tracked).cache()
+    // localCheckpoint (not cache): classify feeds three branches below, and
+    // checkpointed RDDs are GC-cleaned with the DataFrame — no unpersist
+    // bookkeeping leaking across repeated merges in one session
+    val classified = classify(master, snapshot, tracked).localCheckpoint()
 
     val updatedKeys = classified.where(col("action") === "update")
       .select(col("natural_key").as("u_key"))
