@@ -104,7 +104,9 @@ object Dedup {
         col("n_common").cast("double") /
           (col("size_a") + col("size_b") - col("n_common")).cast("double"))
       .where(col("jaccard") >= threshold)
-      .select("id_a", "id_b", "n_common", "size_a", "size_b", "jaccard")
+      .select(col("id_a"), col("id_b"), col("n_common"),
+        col("size_a").cast("long").as("size_a"),
+        col("size_b").cast("long").as("size_b"), col("jaccard"))
   }
 
   /** MinHash signature: k independent hash functions h_i(shingle) =

@@ -28,8 +28,8 @@ object Multimodal {
   /** Decoded-image metadata produced by the (stubbed) decoder. */
   val decodedSchema: StructType = StructType(Seq(
     StructField("media_id", LongType, nullable = false),
-    StructField("width", IntegerType, nullable = false),
-    StructField("height", IntegerType, nullable = false),
+    StructField("width", LongType, nullable = false),
+    StructField("height", LongType, nullable = false),
     StructField("format", StringType, nullable = false),
     StructField("n_bytes", LongType, nullable = false)
   ))
@@ -44,22 +44,40 @@ object Multimodal {
       col(textCol).cast("binary").as("content"),
       map(lit("source"), lit("synthetic")).as("meta"))
 
-  /** ??? real decoder goes here — requires an image codec library.
-    * `decodeStub` is the deterministic fake used for pipeline testing:
+  /** Deterministic fake decode as pure column expressions — the default
+    * path stays inside whole-stage codegen (no mapPartitions break).
     * width/height/format derived purely from the byte length and first
     * byte, so results are stable across runs and engines.
     */
   def decodeStub(media: DataFrame)(implicit spark: SparkSession): DataFrame = {
+    val bytes = col("content")
+    val firstByte = when(octet_length(bytes) > 0,
+      // first payload byte as unsigned int (expression-only, codegen'd)
+      ascii(substring(bytes.cast("string"), 1, 1))).otherwise(lit(0))
+    media.select(
+      col("media_id"),
+      (lit(64L) + pmod(firstByte.cast("long"), lit(64L))).as("width"),
+      (lit(64L) + pmod(octet_length(bytes).cast("long"), lit(64L))).as("height"),
+      lit("fake/rgb8").as("format"),
+      octet_length(bytes).cast("long").as("n_bytes"))
+  }
+
+  /** ??? real decoder goes here — requires an image codec library.
+    * `decodeBatched` keeps the batch-at-a-time contract a real codec
+    * needs: mapPartitions gives one iterator per partition (the JVM
+    * analogue of `mapInPandas`), so the decode library is initialized
+    * once per partition, not once per row. The body delegates to the
+    * same deterministic fake so pipeline tests exercise this path too.
+    */
+  def decodeBatched(media: DataFrame)(implicit spark: SparkSession): DataFrame = {
     val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(decodedSchema)
-    // mapPartitions: batch-at-a-time over each partition — the decode
-    // library would be initialized once per partition here (exactly the
-    // mapInPandas batching contract), not once per row.
     media.select("media_id", "content").mapPartitions { it =>
+      // init per-partition codec state here (once, not per row)
       it.map { r =>
         val id = r.getLong(0)
         val bytes = r.getAs[Array[Byte]](1)
-        val w = 64 + (if (bytes.isEmpty) 0 else (bytes(0) & 0x3f))
-        val h = 64 + (bytes.length % 64)
+        val w = 64L + (if (bytes.isEmpty) 0L else (bytes(0) & 0x3f).toLong)
+        val h = 64L + (bytes.length % 64).toLong
         Row(id, w, h, "fake/rgb8", bytes.length.toLong)
       }
     }(enc)

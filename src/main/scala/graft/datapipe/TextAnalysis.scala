@@ -61,8 +61,8 @@ object TextAnalysis {
     val t = tokens(col(textCol))
     val n = size(t).cast("double")
     docs
-      .withColumn("n_tokens", size(t))
-      .withColumn("n_unique_tokens", size(array_distinct(t)))
+      .withColumn("n_tokens", size(t).cast("long"))
+      .withColumn("n_unique_tokens", size(array_distinct(t)).cast("long"))
       .withColumn("unique_ratio", col("n_unique_tokens").cast("double") / n)
       .withColumn("stopword_ratio",
         size(filter(t, x => x.isin(markers("en").map(lit): _*))).cast("double") / n)

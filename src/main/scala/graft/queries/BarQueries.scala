@@ -138,14 +138,14 @@ object BarQueries {
            |       ts_ns - ts_ns % 86400000000000 + 48600000000000 AS ts_ns,
            |       arg_min(open, ts_ns) AS open, max(high) AS high,
            |       min(low) AS low, arg_max(close, ts_ns) AS close,
-           |       sum(volume) AS volume
+           |       CAST(sum(volume) AS BIGINT) AS volume
            |FROM bars GROUP BY 1, 2 ORDER BY symbol, 2""".stripMargin,
       "a4_daily_summary" ->
         s"""$barsCte
            |SELECT symbol, ts_ns - ts_ns % 86400000000000 AS day_ts,
            |       arg_min(open, ts_ns) AS open, max(high) AS high,
            |       min(low) AS low, arg_max(close, ts_ns) AS close,
-           |       sum(volume) AS volume, count(*) AS bar_count,
+           |       CAST(sum(volume) AS BIGINT) AS volume, count(*) AS bar_count,
            |       min(ts_ns) AS first_bar_ts, max(ts_ns) AS last_bar_ts,
            |       CAST(sum(CASE WHEN volume > 0 THEN CAST(floor((high+low+close)/3.0 * 1000000.0 + 0.5) AS BIGINT) * volume ELSE 0 END) AS DOUBLE)
            |             / 1000000.0
@@ -237,6 +237,6 @@ object BarQueries {
        |SELECT symbol, ts_ns - ts_ns % $w AS ts_ns,
        |       arg_min(open, ts_ns) AS open, max(high) AS high,
        |       min(low) AS low, arg_max(close, ts_ns) AS close,
-       |       sum(volume) AS volume
+       |       CAST(sum(volume) AS BIGINT) AS volume
        |FROM bars GROUP BY 1, 2 ORDER BY symbol, 2""".stripMargin
 }

@@ -208,8 +208,8 @@ object DataPipeQueries {
          |FROM q ORDER BY doc_id""".stripMargin,
     "t5_bpeish_tokens" ->
       """SELECT lang,
-        |  sum(len(regexp_extract_all(lower(text), '[a-z]{1,4}|[0-9]+|[^a-z0-9\s]'))) AS bpeish_tokens,
-        |  sum(len(string_split_regex(lower(trim(text)), '\s+'))) AS word_tokens
+        |  CAST(sum(len(regexp_extract_all(lower(text), '[a-z]{1,4}|[0-9]+|[^a-z0-9\s]'))) AS BIGINT) AS bpeish_tokens,
+        |  CAST(sum(len(string_split_regex(lower(trim(text)), '\s+'))) AS BIGINT) AS word_tokens
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
     "t2_langid" ->
       s"""$tokCte,
@@ -234,7 +234,7 @@ object DataPipeQueries {
          |GROUP BY 1 ORDER BY 1""".stripMargin,
     "t3_token_count" ->
       """SELECT source,
-        |  sum(len(string_split_regex(lower(trim(text)), '\s+'))) AS total_tokens,
+        |  CAST(sum(len(string_split_regex(lower(trim(text)), '\s+'))) AS BIGINT) AS total_tokens,
         |  count(*) AS n_docs
         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
     "t4_fingerprint" ->
@@ -242,8 +242,8 @@ object DataPipeQueries {
         |FROM documents ORDER BY doc_id""".stripMargin,
     "m1_multimodal_decode" ->
       """SELECT CAST(doc_id AS BIGINT) AS media_id,
-        |       64 + (ascii(substr(text, 1, 1)) & 63) AS width,
-        |       64 + (octet_length(CAST(text AS BLOB)) % 64) AS height,
+        |       CAST(64 + (ascii(substr(text, 1, 1)) & 63) AS BIGINT) AS width,
+        |       CAST(64 + (octet_length(CAST(text AS BLOB)) % 64) AS BIGINT) AS height,
         |       'fake/rgb8' AS format,
         |       CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes
         |FROM documents ORDER BY media_id""".stripMargin

@@ -65,8 +65,8 @@ object MiscQueries {
           col("event_id"),
           col("ts_ns"),
           to_date(col("ts")).as("d"),
-          hour(col("ts")).as("h"),
-          minute(col("ts")).as("m"),
+          hour(col("ts")).cast("long").as("h"),
+          minute(col("ts")).cast("long").as("m"),
           date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ss").as("iso_sec"))
         .orderBy("event_id"))
   )
@@ -87,7 +87,7 @@ object MiscQueries {
          |WHERE rn = 1 ORDER BY symbol, ts_ns""".stripMargin,
     "a3_partial_trade_count" ->
       """SELECT l_orderkey,
-        |  CASE WHEN count(tc) = count(*) THEN sum(tc) END AS trade_count,
+        |  CAST(CASE WHEN count(tc) = count(*) THEN sum(tc) END AS BIGINT) AS trade_count,
         |  count(*) AS n
         |FROM (SELECT *, CAST(CASE WHEN l_linenumber <= 4 THEN l_linenumber END AS BIGINT) AS tc
         |      FROM lineitem)

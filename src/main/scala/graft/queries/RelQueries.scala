@@ -34,11 +34,13 @@ object RelQueries {
       t(s, dir, "lineitem")
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-          sum(col("l_quantity").cast("decimal(18,4)")).cast("decimal(38,4)").as("sum_qty"),
-          sum(col("l_extendedprice").cast("decimal(18,4)")).cast("decimal(38,4)").as("sum_base_price"),
+          // decimal-exact accumulation; DOUBLE on the output edge so the
+          // canonical row encoding matches engines that promote sum types
+          sum(col("l_quantity").cast("decimal(18,4)")).cast("double").as("sum_qty"),
+          sum(col("l_extendedprice").cast("decimal(18,4)")).cast("double").as("sum_base_price"),
           sum((col("l_extendedprice").cast("decimal(18,4)") *
             (lit(1).cast("decimal(18,4)") - col("l_discount").cast("decimal(18,4)")))
-            .cast("decimal(38,8)")).cast("decimal(38,8)").as("sum_disc_price"),
+            .cast("decimal(38,8)")).cast("double").as("sum_disc_price"),
           count(lit(1)).as("count_order"))
         .orderBy("l_returnflag", "l_linestatus")),
 
@@ -49,7 +51,7 @@ object RelQueries {
         .join(broadcast(t(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
         .groupBy("r_name", "n_name")
         .agg(count(lit(1)).as("customers"),
-          sum(col("c_acctbal").cast("decimal(18,4)")).cast("decimal(38,4)").as("sum_acctbal"))
+          sum(col("c_acctbal").cast("decimal(18,4)")).cast("double").as("sum_acctbal"))
         .orderBy("r_name", "n_name")),
 
     // J1: left-semi join (IN-subquery shape, ref scd_writer.py:128-149)
@@ -125,7 +127,7 @@ object RelQueries {
     // (ref symbol_normalizer.sql:46-82) — small-dimension global window
     "w2_surrogate_ids" -> ((s, dir) =>
       t(s, dir, "nation")
-        .withColumn("id", row_number().over(Window.orderBy("n_name")))
+        .withColumn("id", row_number().over(Window.orderBy("n_name")).cast("long"))
         .select("id", "n_name", "n_nationkey")
         .orderBy("id")),
 
@@ -207,7 +209,9 @@ object RelQueries {
           col("l_orderkey"), col("l_linenumber"),
           round((col("l_extendedprice") * (lit(1.0) - col("l_discount")) -
             col("l_extendedprice")) / col("l_extendedprice") * 100.0, 4).as("pct_disc"),
-          col("l_extendedprice").cast("decimal(18,4)").as("price_4dp"))
+          // quantize-to-4dp through DECIMAL, emitted as DOUBLE (exact: money
+          // values at <=2dp are representable)
+          col("l_extendedprice").cast("decimal(18,4)").cast("double").as("price_4dp"))
         .orderBy("l_orderkey", "l_linenumber")),
 
     // F9: market-hours predicate (fixed -5h offset, deliberately no DST —
@@ -235,15 +239,15 @@ object RelQueries {
         |ORDER BY o_orderkey""".stripMargin,
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
-        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS sum_qty,
-        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS sum_base_price,
-        |  CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4))) AS DECIMAL(38,8))) AS DECIMAL(38,8)) AS sum_disc_price,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
+        |  CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4))) AS DECIMAL(38,8))) AS DOUBLE) AS sum_disc_price,
         |  count(*) AS count_order
         |FROM lineitem GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
     "j_dim_join_chain" ->
       """SELECT r_name, n_name, count(*) AS customers,
-        |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS sum_acctbal
+        |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS sum_acctbal
         |FROM customer
         |JOIN nation ON c_nationkey = n_nationkey
         |JOIN region ON n_regionkey = r_regionkey
@@ -324,7 +328,7 @@ object RelQueries {
     "f8_math_pct_change" ->
       """SELECT l_orderkey, l_linenumber,
         |  round((l_extendedprice * (1.0 - l_discount) - l_extendedprice) / l_extendedprice * 100.0, 4) AS pct_disc,
-        |  CAST(l_extendedprice AS DECIMAL(18,4)) AS price_4dp
+        |  CAST(CAST(l_extendedprice AS DECIMAL(18,4)) AS DOUBLE) AS price_4dp
         |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
     "f9_market_hours" ->
       """WITH et AS (SELECT event_id, ts - INTERVAL 5 HOUR AS t FROM events)

@@ -9,8 +9,8 @@ class TextAnalysisSpec extends SparkSpec {
     val s = spark; import s.implicits._
     val df = Seq((1L, "the cat sat on the mat")).toDF("doc_id", "text")
     val q = TextAnalysis.withQuality(df).first()
-    assert(q.getAs[Int]("n_tokens") == 6)
-    assert(q.getAs[Int]("n_unique_tokens") == 5) // 'the' twice
+    assert(q.getAs[Long]("n_tokens") == 6L)
+    assert(q.getAs[Long]("n_unique_tokens") == 5L) // 'the' twice
     assert(q.getAs[Double]("stopword_ratio") == 2.0 / 6.0)
     assert(q.getAs[Double]("mean_token_len") == (22 - 5) / 6.0)
   }
