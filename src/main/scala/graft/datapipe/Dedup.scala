@@ -145,6 +145,45 @@ object Dedup {
       .select("id_a", "id_b").distinct()
   }
 
+  /** Portable MinHash signature: h_i(shingle) = md5(i + "|" + shingle) and
+    * the signature element is the lexicographic MIN of those hex strings —
+    * only string min/md5, so any SQL engine reproduces it bit-for-bit
+    * (cross-engine verification twin of [[minhashSignatures]]; the
+    * xxhash64/long variant stays the production path: 8-byte keys vs
+    * 32-char strings in the shuffle).
+    */
+  def minhashSignaturesPortable(docs: DataFrame, k: Int = 16, n: Int = 3,
+                                textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val sh = shingles(docs, n, textCol, idCol)
+    val mins = (0 until k).map(i =>
+      min(md5(concat_ws("|", lit(i), col("shingle")))).as(s"h$i"))
+    sh.groupBy(idCol).agg(mins.head, mins.tail: _*)
+      .select(col(idCol), array((0 until k).map(i => col(s"h$i")): _*).as("signature"))
+  }
+
+  /** Portable LSH banding over [[minhashSignaturesPortable]]: band bucket =
+    * md5 of the comma-joined band slice. Same (band, bucket) shuffle shape
+    * as [[minhashLshCandidates]], engine-independent values.
+    */
+  def minhashLshCandidatesPortable(docs: DataFrame, k: Int = 16, bands: Int = 4,
+                                   n: Int = 3,
+                                   textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(k % bands == 0, "bands must divide k")
+    val rows = k / bands
+    val sig = minhashSignaturesPortable(docs, k, n, textCol, idCol)
+    val banded = sig.select(
+      col(idCol),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        b => md5(concat_ws(",", slice(col("signature"), b * rows + 1, lit(rows)))))))
+      .withColumnRenamed("pos", "band")
+      .withColumnRenamed("col", "bucket")
+    val a = banded.select(col(idCol).as("id_a"), col("band"), col("bucket"))
+    val b = banded.select(col(idCol).as("id_b"), col("band"), col("bucket"))
+    a.join(b, Seq("band", "bucket"))
+      .where(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+  }
+
   /** SimHash (64-bit): per token bit-vote on xxhash64(token); weightless
     * variant. Near-dups = signatures within `maxHammingDistance`.
     */
@@ -159,6 +198,33 @@ object Dedup {
     val sig = (0 until 64).map { b =>
       when(col(s"b$b") > 0, lit(1L << b)).otherwise(lit(0L))
     }.reduce(_.bitwiseOR(_))
+    votes.select(col(idCol), sig.as("simhash"))
+  }
+
+  /** Portable SimHash (32-bit): token hash bits come from the md5 hex
+    * digits (digit d = hex char d+1; bit b of the token = bit (b%4) of
+    * digit b/4), so the identical signature is computable in plain SQL on
+    * any engine. Production path stays [[simhash]] (64-bit xxhash64 —
+    * one hash call vs md5 + 8 digit extractions per token).
+    */
+  def simhashPortable(docs: DataFrame, bits: Int = 32,
+                      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(bits % 4 == 0 && bits <= 62, "bits must be a multiple of 4, <= 62")
+    val tok = docs.select(col(idCol),
+      explode(TextAnalysis.tokens(col(textCol))).as("token"))
+      .withColumn("h", md5(col("token")))
+    // hex digits projected once per token (not once per bit)
+    val digits = (0 until bits / 4).map(d =>
+      conv(substring(col("h"), d + 1, 1), 16, 10).cast("int").as(s"d$d"))
+    val withDigits = tok.select((col(idCol) +: digits): _*)
+    val bitVotes: Seq[org.apache.spark.sql.Column] = (0 until bits).map { b =>
+      sum(when(shiftright(col(s"d${b / 4}"), b % 4).bitwiseAND(lit(1)) === 1, 1)
+        .otherwise(-1)).as(s"b$b")
+    }
+    val votes = withDigits.groupBy(idCol).agg(bitVotes.head, bitVotes.tail: _*)
+    val sig = (0 until bits).map { b =>
+      when(col(s"b$b") > 0, lit(1L << b)).otherwise(lit(0L))
+    }.reduce(_ + _)
     votes.select(col(idCol), sig.as("simhash"))
   }
 

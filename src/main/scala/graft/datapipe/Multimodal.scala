@@ -85,14 +85,23 @@ object Multimodal {
 
   /** Feature extraction (stub): fixed-size float vector per media item,
     * derived deterministically from content bytes — stands in for an
-    * image-embedding model batch inference.
+    * image-embedding model batch inference. The formula uses only
+    * length/char arithmetic (no engine-specific hash) so results are
+    * verifiable bit-for-bit against any SQL engine.
     */
-  def featuresStub(media: DataFrame, dim: Int = 8): DataFrame =
+  def featuresStub(media: DataFrame, dim: Int = 8): DataFrame = {
+    val txt = col("content").cast("string")
+    val nBytes = octet_length(col("content")).cast("long")
+    val nChars = greatest(length(txt).cast("long"), lit(1L))
     media.select(
       col("media_id"),
-      transform(sequence(lit(0), lit(dim - 1)),
-        i => (pmod(xxhash64(col("content"), i), lit(1000L)).cast("double") / 1000.0)
-      ).as("features"))
+      transform(sequence(lit(0), lit(dim - 1)), i => {
+        val pos = (lit(1L) + pmod(i.cast("long") * 7L, nChars)).cast("int")
+        val ch = ascii(txt.substr(pos, lit(1))).cast("long")
+        (pmod(ch * (i.cast("long") + 1L) + nBytes * 13L + i.cast("long") * i.cast("long"),
+          lit(1000L)).cast("double") / 1000.0)
+      }).as("features"))
+  }
 
   /** Frame sampling (stub): split the payload into `frameBytes` chunks and
     * keep every `stride`-th chunk — the partition/batch shape of video

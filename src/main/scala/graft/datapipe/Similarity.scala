@@ -47,11 +47,14 @@ object Similarity {
     */
   def lshTopK(
       vecs: DataFrame, query: DataFrame, k: Int, nPlanes: Int = 8,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      portablePlanes: Boolean = false): DataFrame = {
     graft.functions.GraftFunctions.register(vecs.sparkSession)
     val sig = (df: DataFrame, out: String) => df
       .withColumn("q", Vectors.quantize(col(vecCol)))
-      .withColumn(out, Vectors.lshSignature(col("q"), nPlanes))
+      .withColumn(out,
+        if (portablePlanes) Vectors.lshSignaturePortable(col("q"), nPlanes)
+        else Vectors.lshSignature(col("q"), nPlanes))
     val qSig = sig(query.limit(1), "bucket")
       .select(col("q").as("q_query"), col("bucket"))
     sig(vecs, "bucket")
@@ -76,11 +79,15 @@ object Similarity {
     val v = vecs.select(col(idCol), Vectors.quantize(col(vecCol)).as("q_vec"))
     val scored = v.crossJoin(broadcast(c))
       .withColumn("cosine", Vectors.cosineQN(col("q_vec"), col("q_cent")))
-    val w = Window.partitionBy(idCol).orderBy(desc("cosine"), col(centroidIdCol))
+    // partial-aggregating max_by instead of a window: no per-partition sort,
+    // map-side combine — the assignment is one exchange on id at any scale.
+    // Tie-break (max cosine, then min centroid_id) via lexicographic struct.
     scored
-      .withColumn("_rn", row_number().over(w))
-      .where(col("_rn") === 1)
-      .select(col(idCol), col(centroidIdCol), col("q_vec"))
+      .groupBy(idCol)
+      .agg(max_by(
+        struct(col(centroidIdCol), col("q_vec")),
+        struct(col("cosine"), (-col(centroidIdCol)).as("neg_cid"))).as("best"))
+      .select(col(idCol), col(s"best.$centroidIdCol"), col("best.q_vec"))
   }
 
   def ivfTopK(

@@ -69,4 +69,30 @@ object Vectors {
     (0 until nPlanes)
       .map(p => hyperplaneBit(q, p) * lit(1L << p))
       .reduce(_ + _)
+
+  /** Portable hyperplane sign for plane `p`, component index `i` (0-based):
+    * one LCG step over (p, i), sign = bit 16 of the state. Plain integer
+    * arithmetic (*, +, %, >>, &) — any SQL engine reproduces it exactly,
+    * unlike the xxhash64 planes. LCG low bits alternate deterministically,
+    * hence the mid-state bit.
+    */
+  def portablePlaneSign(plane: Int, i: Column): Column = {
+    val h = (lit(1103515245L) * (lit(plane.toLong * 65537L) + i) + lit(12345L)) % lit(2147483648L)
+    shiftright(h, 16).bitwiseAND(lit(1L))
+  }
+
+  /** Portable twin of [[hyperplaneBit]] over [[portablePlaneSign]]. */
+  def hyperplaneBitPortable(q: Column, plane: Int): Column = {
+    val signedSum = aggregate(
+      transform(q, (x, i) =>
+        when(portablePlaneSign(plane, i.cast("long")) === 0L, x).otherwise(-x)),
+      lit(0L), (acc, x) => acc + x)
+    when(signedSum >= 0, lit(1L)).otherwise(lit(0L))
+  }
+
+  /** Portable twin of [[lshSignature]] — cross-engine-verifiable buckets. */
+  def lshSignaturePortable(q: Column, nPlanes: Int): Column =
+    (0 until nPlanes)
+      .map(p => hyperplaneBitPortable(q, p) * lit(1L << p))
+      .reduce(_ + _)
 }

@@ -10,9 +10,13 @@ import org.apache.spark.sql.functions._
   * cosine), similarity search (brute-force + LSH + IVF), text analysis
   * (quality, langid, token counts, fingerprints), multimodal plumbing.
   *
-  * Hash/bit-level operators (MinHash, SimHash, LSH, xxhash features) have
-  * no DuckDB-expressible twin -> declared without oracle (rows-only check);
-  * everything else gets an exact oracle.
+  * Every query has an exact DuckDB oracle. Hash/bit-level operators
+  * (MinHash, SimHash, LSH planes, stub features) run their *portable*
+  * variants here — md5-string minhash, md5-bit simhash, LCG plane signs,
+  * char-arithmetic features — whose math any SQL engine reproduces
+  * bit-for-bit. The xxhash64 variants remain the production scale path
+  * (8-byte shuffle keys vs 32-char strings) and are spec-covered against
+  * the portable ones.
   */
 object DataPipeQueries {
 
@@ -42,13 +46,13 @@ object DataPipeQueries {
         .orderBy("id_a", "id_b")),
 
     "d3_minhash_lsh" -> ((s, dir) =>
-      // no oracle: xxhash64 banding not expressible in DuckDB
-      Dedup.minhashLshCandidates(docsWithNearDups(s, dir), k = 16, bands = 4)
+      // portable md5-string minhash: oracle recomputes identical buckets
+      Dedup.minhashLshCandidatesPortable(docsWithNearDups(s, dir), k = 16, bands = 4)
         .orderBy("id_a", "id_b")),
 
     "d5_simhash" -> ((s, dir) =>
-      // no oracle: bit-vote signature over xxhash64
-      Dedup.simhash(docsWithNearDups(s, dir))
+      // portable md5-bit simhash: oracle recomputes identical signatures
+      Dedup.simhashPortable(docsWithNearDups(s, dir))
         .orderBy("doc_id")),
 
     "d4_embedding_cosine_pairs" -> ((s, dir) =>
@@ -61,14 +65,15 @@ object DataPipeQueries {
     }),
 
     "sim2_lsh_topk" -> ((s, dir) => {
-      // no oracle: hyperplane signs from xxhash64
+      // portable LCG hyperplane signs: oracle recomputes identical buckets
       val e = embs(s, dir)
-      Similarity.lshTopK(e, e.where(col("vec_id") === 0), k = 20, nPlanes = 6)
+      Similarity.lshTopK(e, e.where(col("vec_id") === 0), k = 20, nPlanes = 6,
+        portablePlanes = true)
     }),
 
     "sim3_ivf_topk" -> ((s, dir) => {
-      // no oracle (windowed assignment composition) — correctness covered
-      // by the ScalaTest recall spec against bruteForceTopK
+      // pure quantized-integer arithmetic end-to-end: oracle reproduces
+      // assignment, probe selection and re-rank exactly
       val e = embs(s, dir)
       val centroids = e.where(col("vec_id") % 50 === 0)
         .select(col("vec_id").as("centroid_id"), col("embedding"))
@@ -115,7 +120,7 @@ object DataPipeQueries {
     }),
 
     "m2_multimodal_features" -> ((s, dir) =>
-      // no oracle: xxhash64-derived stub features
+      // char/length-arithmetic stub features: fully oracle-expressible
       Multimodal.featuresStub(Multimodal.fromText(docs(s, dir)))
         .select(col("media_id"), col("features")(0).as("f0"), col("features")(7).as("f7"))
         .orderBy("media_id"))
@@ -171,6 +176,41 @@ object DataPipeQueries {
          |JOIN sizes sb ON sb.doc_id = id_b
          |WHERE CAST(n_common AS DOUBLE) / CAST(sa.set_size + sb.set_size - n_common AS DOUBLE) >= 0.5
          |ORDER BY id_a, id_b""".stripMargin,
+    "d3_minhash_lsh" ->
+      s"""$nearDupCte,
+         |sh AS (
+         |  SELECT DISTINCT doc_id,
+         |         concat_ws(' ', t[i], t[i+1], t[i+2]) AS shingle
+         |  FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t
+         |        FROM base)
+         |  CROSS JOIN LATERAL (SELECT unnest(generate_series(1, len(t) - 2)) AS i)
+         |  WHERE len(t) >= 3),
+         |idx AS (SELECT unnest(range(0, 16)) AS i),
+         |mh AS (
+         |  SELECT doc_id, i, min(md5(concat(i, '|', shingle))) AS h
+         |  FROM sh CROSS JOIN idx GROUP BY doc_id, i),
+         |sig AS (SELECT doc_id, list(h ORDER BY i) AS s FROM mh GROUP BY doc_id),
+         |bandidx AS (SELECT unnest(range(0, 4)) AS b),
+         |banded AS (
+         |  SELECT doc_id, b, md5(array_to_string(s[b*4+1 : b*4+4], ',')) AS bucket
+         |  FROM sig CROSS JOIN bandidx)
+         |SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+         |FROM banded x JOIN banded y
+         |  ON x.b = y.b AND x.bucket = y.bucket AND x.doc_id < y.doc_id
+         |ORDER BY id_a, id_b""".stripMargin,
+    "d5_simhash" ->
+      s"""$nearDupCte,
+         |tok AS (SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS token FROM base),
+         |th AS (SELECT doc_id, md5(token) AS h FROM tok),
+         |bitidx AS (SELECT unnest(range(0, 32)) AS b),
+         |votes AS (
+         |  SELECT doc_id, b,
+         |    sum(CASE WHEN (((strpos('0123456789abcdef', substr(h, CAST(b // 4 AS INT) + 1, 1)) - 1) >> (b % 4)) & 1) = 1
+         |             THEN 1 ELSE -1 END) AS vote
+         |  FROM th CROSS JOIN bitidx GROUP BY doc_id, b)
+         |SELECT doc_id,
+         |       CAST(sum(CASE WHEN vote > 0 THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT) AS simhash
+         |FROM votes GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "d4_embedding_cosine_pairs" ->
       s"""WITH $quantCte
          |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
@@ -188,6 +228,49 @@ object DataPipeQueries {
          |         / (sqrt(${dotD("qv.q", "qv.q")}) * sqrt(${dotD("q.qq", "q.qq")})) AS cosine
          |FROM qv, q
          |ORDER BY cosine DESC, vec_id LIMIT 20""".stripMargin,
+    "sim2_lsh_topk" ->
+      s"""WITH $quantCte,
+         |planes AS (SELECT unnest(range(0, 6)) AS p),
+         |bits AS (
+         |  SELECT vec_id, p,
+         |    CASE WHEN list_sum(list_transform(q, (x, i) ->
+         |           CASE WHEN ((((1103515245::BIGINT * (p * 65537 + (i - 1)) + 12345) % 2147483648) >> 16) & 1) = 0
+         |                THEN x ELSE -x END)) >= 0
+         |         THEN (1::BIGINT << p) ELSE 0::BIGINT END AS bit
+         |  FROM qv CROSS JOIN planes),
+         |sigs AS (SELECT vec_id, CAST(sum(bit) AS BIGINT) AS bucket FROM bits GROUP BY vec_id),
+         |qb AS (
+         |  SELECT s.bucket, v.q AS qy FROM sigs s JOIN qv v USING (vec_id)
+         |  WHERE s.vec_id = 0)
+         |SELECT v.vec_id, s.bucket,
+         |       ${dotD("v.q", "qb.qy")}
+         |         / (sqrt(${dotD("v.q", "v.q")}) * sqrt(${dotD("qb.qy", "qb.qy")})) AS cosine
+         |FROM qv v JOIN sigs s USING (vec_id) JOIN qb ON s.bucket = qb.bucket
+         |ORDER BY cosine DESC, v.vec_id LIMIT 20""".stripMargin,
+    "sim3_ivf_topk" ->
+      s"""WITH $quantCte,
+         |cents AS (SELECT vec_id AS centroid_id, q AS qc FROM qv WHERE vec_id % 50 = 0),
+         |qq AS (SELECT q AS qy FROM qv WHERE vec_id = 0),
+         |ac AS (
+         |  SELECT v.vec_id, c.centroid_id, v.q,
+         |         ${dotD("v.q", "c.qc")}
+         |           / (sqrt(${dotD("v.q", "v.q")}) * sqrt(${dotD("c.qc", "c.qc")})) AS cosine
+         |  FROM qv v CROSS JOIN cents c),
+         |assigned AS (
+         |  SELECT vec_id, centroid_id, q FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cosine DESC, centroid_id) AS rn
+         |    FROM ac)
+         |  WHERE rn = 1),
+         |probes AS (
+         |  SELECT centroid_id FROM cents CROSS JOIN qq
+         |  ORDER BY ${dotD("qc", "qy")} / (sqrt(${dotD("qc", "qc")}) * sqrt(${dotD("qy", "qy")})) DESC,
+         |           centroid_id
+         |  LIMIT 3)
+         |SELECT a.vec_id, a.centroid_id,
+         |       ${dotD("a.q", "qy")}
+         |         / (sqrt(${dotD("a.q", "a.q")}) * sqrt(${dotD("qy", "qy")})) AS cosine
+         |FROM assigned a JOIN probes USING (centroid_id) CROSS JOIN qq
+         |ORDER BY cosine DESC, a.vec_id LIMIT 20""".stripMargin,
     "t1_text_quality" ->
       s"""$tokCte,
          |q AS (
@@ -246,6 +329,16 @@ object DataPipeQueries {
         |       CAST(64 + (octet_length(CAST(text AS BLOB)) % 64) AS BIGINT) AS height,
         |       'fake/rgb8' AS format,
         |       CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes
-        |FROM documents ORDER BY media_id""".stripMargin
+        |FROM documents ORDER BY media_id""".stripMargin,
+    "m2_multimodal_features" ->
+      """WITH f AS (
+        |  SELECT CAST(doc_id AS BIGINT) AS media_id, text,
+        |         CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS nb,
+        |         greatest(CAST(length(text) AS BIGINT), 1) AS nc
+        |  FROM documents)
+        |SELECT media_id,
+        |  ((CAST(ascii(substr(text, 1, 1)) AS BIGINT) * 1 + nb * 13 + 0) % 1000) / 1000.0 AS f0,
+        |  ((CAST(ascii(substr(text, CAST(1 + (49 % nc) AS INT), 1)) AS BIGINT) * 8 + nb * 13 + 49) % 1000) / 1000.0 AS f7
+        |FROM f ORDER BY media_id""".stripMargin
   )
 }

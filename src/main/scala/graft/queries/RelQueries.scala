@@ -38,9 +38,14 @@ object RelQueries {
           // canonical row encoding matches engines that promote sum types
           sum(col("l_quantity").cast("decimal(18,4)")).cast("double").as("sum_qty"),
           sum(col("l_extendedprice").cast("decimal(18,4)")).cast("double").as("sum_base_price"),
-          sum((col("l_extendedprice").cast("decimal(18,4)") *
+          // scale-8 sums exceed 2^53 micro-units at larger SFs; emit via
+          // exact-long -> double -> one division so the double equals any
+          // engine's (int/10^scale) conversion, not BigDecimal's correctly-
+          // rounded one (they differ by 1 ulp above 2^53)
+          ((sum((col("l_extendedprice").cast("decimal(18,4)") *
             (lit(1).cast("decimal(18,4)") - col("l_discount").cast("decimal(18,4)")))
-            .cast("decimal(38,8)")).cast("double").as("sum_disc_price"),
+            .cast("decimal(38,8)")) * lit(100000000L)).cast("long").cast("double") /
+            lit(1.0e8)).as("sum_disc_price"),
           count(lit(1)).as("count_order"))
         .orderBy("l_returnflag", "l_linestatus")),
 

@@ -14,12 +14,8 @@ class SparkEntrySpec extends SparkSpec {
     val qs = SparkEntry.queries.keySet
     val os = SparkEntry.oracleSql.keySet
     assert(os.subsetOf(qs), s"orphan oracles: ${os.diff(qs)}")
-    val rowsOnly = qs.diff(os)
-    val expectedRowsOnly = Set(
-      "d3_minhash_lsh", "d5_simhash", "sim2_lsh_topk", "sim3_ivf_topk",
-      "m2_multimodal_features")
-    assert(rowsOnly == expectedRowsOnly,
-      s"undeclared rows-only queries: ${rowsOnly.diff(expectedRowsOnly)}")
+    // every query is oracle-checked (hash-level ops run portable variants)
+    assert(qs.diff(os).isEmpty, s"queries without oracle: ${qs.diff(os)}")
   }
 
   test("every query runs on sf0.001 and yields a schema") {

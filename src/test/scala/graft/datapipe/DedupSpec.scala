@@ -50,6 +50,24 @@ class DedupSpec extends SparkSpec {
       s"near-dup hamming ${ham(sig(1L), sig(3L))} should beat unrelated ${ham(sig(1L), sig(4L))}")
   }
 
+  test("portable minhash LSH agrees with the fast variant on true near-dups") {
+    val fast = Dedup.minhashLshCandidates(docs, k = 16, bands = 8).collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    val portable = Dedup.minhashLshCandidatesPortable(docs, k = 16, bands = 8).collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    // both must find the guaranteed (identical-doc) pair and the near-dup
+    assert(fast.contains((1L, 2L)) && portable.contains((1L, 2L)))
+    assert(fast.contains((1L, 3L)) && portable.contains((1L, 3L)))
+  }
+
+  test("portable simhash: identical equal, near-dups closer than unrelated") {
+    val sig = Dedup.simhashPortable(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("simhash")).toMap
+    assert(sig(1L) == sig(2L))
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(sig(1L), sig(3L)) < ham(sig(1L), sig(4L)))
+  }
+
   test("nearDupKeep drops non-canonical members of dup clusters") {
     val pairs = Dedup.ngramJaccardPairs(docs, n = 3, threshold = 0.5)
     val kept = Dedup.nearDupKeep(docs, pairs).collect()

@@ -21,9 +21,16 @@ class MultimodalSpec extends SparkSpec {
     implicit val s: SparkSession = spark
     val out = Multimodal.decodeStub(media).collect()
       .map(r => r.getAs[Long]("media_id") ->
-        (r.getAs[Int]("width"), r.getAs[Int]("height"), r.getAs[Long]("n_bytes"))).toMap
-    assert(out(1L) == ((64 + ('h' & 0x3f), 64 + 11 % 64, 11L)))
-    assert(out(2L) == ((64 + ('a' & 0x3f), 64 + 200 % 64, 200L)))
+        (r.getAs[Long]("width"), r.getAs[Long]("height"), r.getAs[Long]("n_bytes"))).toMap
+    assert(out(1L) == ((64L + ('h' & 0x3f), 64L + 11 % 64, 11L)))
+    assert(out(2L) == ((64L + ('a' & 0x3f), 64L + 200 % 64, 200L)))
+  }
+
+  test("decodeBatched (mapPartitions codec path) matches the expression stub") {
+    implicit val s: SparkSession = spark
+    val a = Multimodal.decodeStub(media).collect().map(_.toString).sorted.toSeq
+    val b = Multimodal.decodeBatched(media).collect().map(_.toString).sorted.toSeq
+    assert(a == b)
   }
 
   test("feature stub: fixed-dim deterministic vectors") {

@@ -31,6 +31,22 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(4L) == "unknown")
   }
 
+  test("bpe-ish token count: letter chunks, digit runs, symbols") {
+    val s = spark; import s.implicits._
+    val df = Seq(
+      (1L, "hello"),        // hell + o -> 2
+      (2L, "abcd"),         // one <=4-letter chunk -> 1
+      (3L, "a 12345 b!"),   // a, 12345, b, ! -> 4
+      (4L, "internationalization") // 20 letters -> 5 chunks of 4
+    ).toDF("doc_id", "text")
+    val out = df.select(col("doc_id"), TextAnalysis.tokenCountBpeish(col("text")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(out(1L) == 2)
+    assert(out(2L) == 1)
+    assert(out(3L) == 4)
+    assert(out(4L) == 5)
+  }
+
   test("fingerprints are normalization-stable") {
     val s = spark; import s.implicits._
     val df = Seq((1L, "  Hello World  "), (2L, "hello world")).toDF("doc_id", "text")
