@@ -7,11 +7,30 @@ import org.apache.spark.sql.functions._
 
 /** Remaining inventory operators: append-dedup upsert (S4), partial
   * trade_count aggregation (A3), metrics window average (A7), null-ratio
-  * profile (A9), ns<->timestamp conversions (F3).
+  * profile (A9), ns<->timestamp conversions (F3), paged provider ingest
+  * (S13).
   */
 object MiscQueries {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // S13: full paged-client ingest — the rate-limited retrying REST client
+    // drains the fake wire-format server (deterministic integer-arithmetic
+    // bars), lands a distributed frame, aggregates. The oracle regenerates
+    // the same bars from the index formula and must agree exactly.
+    "s13_provider_ingest" -> ((s, dir) => {
+      import graft.sources._
+      val server = new FakeBarServer(nBars = 1000, pageSize = 137)
+      val client = new BarFeedClient(
+        ClientConfig("http://fake"), AuthStrategy.NoAuth, server)
+      PagedProviderSource.ingest(s, client, "TEST", 0L, 1000L * 60000000000L)
+        .groupBy("symbol")
+        .agg(count(lit(1)).as("n_bars"),
+          sum(col("volume")).as("total_volume"),
+          min(col("ts_ns")).as("first_ts"), max(col("ts_ns")).as("last_ts"),
+          sum(col("close").cast("decimal(18,2)")).cast("double").as("sum_close"))
+        .orderBy("symbol")
+    }),
+
     // S4: keep-last upsert — incoming (modified close) wins over existing
     "s4_append_dedup" -> ((s, dir) => {
       val existing = BarQueries.eventBars(s, dir)
@@ -72,6 +91,19 @@ object MiscQueries {
   )
 
   def oracles: Map[String, String] = Map(
+    "s13_provider_ingest" ->
+      """WITH g AS (SELECT unnest(range(0, 1000)) AS i),
+        |bars AS (
+        |  SELECT 'TEST' AS symbol,
+        |         i * 60000000000 AS ts_ns,
+        |         (10000 + (i * 37) % 5000) / 100.0 AS close,
+        |         (i * 7919) % 997 + 1 AS volume
+        |  FROM g)
+        |SELECT symbol, count(*) AS n_bars,
+        |       CAST(sum(volume) AS BIGINT) AS total_volume,
+        |       min(ts_ns) AS first_ts, max(ts_ns) AS last_ts,
+        |       CAST(sum(CAST(close AS DECIMAL(18,2))) AS DOUBLE) AS sum_close
+        |FROM bars GROUP BY symbol ORDER BY symbol""".stripMargin,
     "s4_append_dedup" ->
       s"""${BarQueries.barsCte},
          |incoming AS (

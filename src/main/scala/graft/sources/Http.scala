@@ -1,0 +1,56 @@
+package graft.sources
+
+/** Minimal HTTP protocol for dependency injection (SURVEY §2.1 S13; ref:
+  * ingestion/infrastructure/http_client_protocol.py:31-76). The library
+  * never opens sockets itself — callers inject a real client in production
+  * and tests inject deterministic fakes, exactly the reference's seam.
+  */
+final case class HttpResponse(
+    status: Int,
+    headers: Map[String, String],
+    body: String) {
+  def header(name: String): Option[String] =
+    headers.collectFirst { case (k, v) if k.equalsIgnoreCase(name) => v }
+}
+
+trait HttpClient {
+  def get(
+      url: String,
+      params: Map[String, String],
+      headers: Map[String, String],
+      timeoutMs: Long): HttpResponse
+}
+
+/** Authentication strategies (ref: ingestion/infrastructure/auth.py:8-38):
+  * pure functions from (headers, params) to enriched (headers, params).
+  */
+trait AuthStrategy {
+  def apply(headers: Map[String, String], params: Map[String, String])
+      : (Map[String, String], Map[String, String])
+}
+
+object AuthStrategy {
+  /** Bearer token header. */
+  final case class TokenAuth(token: String) extends AuthStrategy {
+    def apply(h: Map[String, String], p: Map[String, String]) =
+      (h + ("Authorization" -> s"Bearer $token"), p)
+  }
+
+  /** Key-id + secret header pair (vendor-style two-header auth). */
+  final case class HeaderKeyAuth(
+      keyHeader: String, keyId: String,
+      secretHeader: String, secret: String) extends AuthStrategy {
+    def apply(h: Map[String, String], p: Map[String, String]) =
+      (h + (keyHeader -> keyId) + (secretHeader -> secret), p)
+  }
+
+  /** Token passed as a query parameter. */
+  final case class QueryTokenAuth(param: String, token: String) extends AuthStrategy {
+    def apply(h: Map[String, String], p: Map[String, String]) =
+      (h, p + (param -> token))
+  }
+
+  case object NoAuth extends AuthStrategy {
+    def apply(h: Map[String, String], p: Map[String, String]) = (h, p)
+  }
+}

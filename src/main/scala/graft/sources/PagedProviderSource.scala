@@ -42,4 +42,11 @@ object PagedProviderSource {
     spark.createDataFrame(
       spark.sparkContext.parallelize(rows.toList), Schemas.bars)
   }
+
+  /** Full paged-client ingest: fetch every page for (symbol, range) through
+    * the rate-limited retrying client, then distribute as canonical bars.
+    */
+  def ingest(spark: SparkSession, client: PagedApiClient,
+             symbol: String, startNs: Long, endNs: Long): DataFrame =
+    toBars(spark, client.pages(symbol, startNs, endNs))
 }

@@ -1,0 +1,103 @@
+package graft.sources
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import scala.collection.mutable.ArrayBuffer
+
+/** Provider client layer: pagination, auth, retry/backoff, Retry-After,
+  * rate limiting, registry, and the paged-ingest e2e into a DataFrame —
+  * all against the in-process fake server (the reference tests its clients
+  * against fake HTTP protocols the same way).
+  */
+class ProviderClientSpec extends SparkSpec {
+
+  private val cfg = ClientConfig("http://fake", backoffBaseMs = 200L)
+
+  private def noSleep: Long => Unit = _ => ()
+
+  test("paginates with cursors and applies auth headers") {
+    val server = new FakeBarServer(nBars = 250, pageSize = 100)
+    val auth = AuthStrategy.HeaderKeyAuth("X-KEY-ID", "k1", "X-SECRET", "s1")
+    val client = new BarFeedClient(cfg, auth, server, sleepMs = noSleep)
+    val recs = client.fetchBatch("ACME", 0L, 250L * 60000000000L)
+    assert(recs.length == 250)
+    assert(server.requests.length == 3)
+    assert(server.requests(0)._2.get("page_token").isEmpty)
+    assert(server.requests(1)._2.get("page_token").contains("100"))
+    assert(server.requests(2)._2.get("page_token").contains("200"))
+    assert(server.requests.forall(r =>
+      r._3.get("X-KEY-ID").contains("k1") && r._3.get("X-SECRET").contains("s1")))
+    assert(server.requests.forall(_._2.get("symbols").contains("ACME")))
+  }
+
+  test("retries transient 500s with capped exponential backoff") {
+    val server = new FakeBarServer(nBars = 10, pageSize = 10, failFirstN = 2)
+    val sleeps = ArrayBuffer.empty[Long]
+    val client = new BarFeedClient(cfg, AuthStrategy.NoAuth, server,
+      sleepMs = sleeps += _)
+    val recs = client.fetchBatch("T", 0L, 1L)
+    assert(recs.length == 10)
+    assert(sleeps.toSeq == Seq(200L, 400L)) // base * 2^(attempt-1)
+  }
+
+  test("throws after maxRetries exhausted") {
+    val server = new FakeBarServer(nBars = 10, pageSize = 10, failFirstN = 99)
+    val client = new BarFeedClient(cfg, AuthStrategy.NoAuth, server, sleepMs = noSleep)
+    val e = intercept[RuntimeException](client.fetchBatch("T", 0L, 1L))
+    assert(e.getMessage.contains("exceeded 3 retries"))
+  }
+
+  test("429 Retry-After freezes the rate limiter until the resume time") {
+    var nowNs = 0L
+    val sleeps = ArrayBuffer.empty[Long]
+    val sleep: Long => Unit = ms => { sleeps += ms; nowNs += ms * 1000000L }
+    val bucket = new TokenBucket(10, 1000.0, () => nowNs, sleep)
+    // two pages: page 1 hits a 429 (freezing the bucket for 7 s), so
+    // page 2's acquire() must wait out the remaining Retry-After window
+    val server = new FakeBarServer(nBars = 20, pageSize = 10,
+      failFirstN = 1, failStatus = 429, retryAfterSec = 7L)
+    val client = new BarFeedClient(cfg, AuthStrategy.NoAuth, server,
+      rateLimiter = Some(bucket), sleepMs = sleep)
+    val recs = client.fetchBatch("T", 0L, 1L)
+    assert(recs.length == 20)
+    assert(bucket.waits >= 1)
+    assert(sleeps.exists(_ >= 6000L))
+  }
+
+  test("token bucket: burst to capacity, then refill-rate waits") {
+    var nowNs = 0L
+    val sleep: Long => Unit = ms => nowNs += ms * 1000000L
+    val bucket = new TokenBucket(3, 2.0, () => nowNs, sleep) // 2 tokens/sec
+    assert(bucket.acquire() == 0L)
+    assert(bucket.acquire() == 0L)
+    assert(bucket.acquire() == 0L) // burst of `capacity` is free
+    val waited = bucket.acquire()  // empty: next token in ~0.5 s
+    assert(waited >= 450L && waited <= 600L, s"waited $waited ms")
+  }
+
+  test("registry resolves built-ins and registers new providers") {
+    assert(ProviderRegistry.list().contains("barfeed"))
+    assert(ProviderRegistry.list().contains("fake"))
+    assert(ProviderRegistry.get("nope").isEmpty)
+    ProviderRegistry.register("custom",
+      (c, a, h) => new BarFeedClient(c, a, h))
+    assert(ProviderRegistry.get("custom").isDefined)
+    val client = ProviderRegistry.get("fake").get(
+      cfg, AuthStrategy.NoAuth, new FakeBarServer(1, 1))
+    assert(client.isInstanceOf[BarFeedClient])
+  }
+
+  test("e2e: paged ingest lands a canonical distributed bars frame") {
+    val server = new FakeBarServer(nBars = 1000, pageSize = 137)
+    val state = new ClientState.InMemory
+    val client = new BarFeedClient(cfg, AuthStrategy.NoAuth, server,
+      state = state, sleepMs = noSleep)
+    val df = PagedProviderSource.ingest(spark, client, "TEST", 0L, 1000L * 60000000000L)
+    assert(df.count() == 1000L)
+    assert(df.select(countDistinct(col("ts_ns"))).first().getLong(0) == 1000L)
+    assert(df.schema.fieldNames.toSeq ==
+      Seq("symbol", "ts_ns", "open", "high", "low", "close", "volume"))
+    // last non-final page start was checkpointed for resume
+    assert(client.loadCheckpoint("TEST").contains("959"))
+  }
+}
