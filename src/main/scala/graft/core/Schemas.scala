@@ -102,6 +102,35 @@ object Schemas {
     StructField("as_of", DateType, nullable = true)
   ))
 
+  /** Staged SymbolRecord: the full 22-field provider-snapshot row,
+    * including the provider-specific `meta` map — the reference's one
+    * nested column (ref: domain/symbol.py:58-106).
+    */
+  val symbolRecord: StructType = StructType(Seq(
+    StructField("id", LongType, nullable = true),
+    StructField("ticker", StringType, nullable = false),
+    StructField("figi", StringType, nullable = true),
+    StructField("cusip", StringType, nullable = true),
+    StructField("isin", StringType, nullable = true),
+    StructField("cik", StringType, nullable = true),
+    StructField("exchange_mic", StringType, nullable = false),
+    StructField("asset_class", StringType, nullable = false),
+    StructField("currency", StringType, nullable = false),
+    StructField("country", StringType, nullable = true),
+    StructField("sector", StringType, nullable = true),
+    StructField("industry", StringType, nullable = true),
+    StructField("first_trade_date", DateType, nullable = true),
+    StructField("delist_date", DateType, nullable = true),
+    StructField("status", StringType, nullable = false),
+    StructField("shares_outstanding", LongType, nullable = true),
+    StructField("free_float", LongType, nullable = true),
+    StructField("company_name", StringType, nullable = true),
+    StructField("meta", MapType(StringType, StringType), nullable = true),
+    StructField("as_of", DateType, nullable = false),
+    StructField("provider", StringType, nullable = true),
+    StructField("natural_key", StringType, nullable = true)
+  ))
+
   /** Metrics store row (ref: src/marketpipe/metrics.py:145-156). */
   val metrics: StructType = StructType(Seq(
     StructField("ts", LongType, nullable = false), // epoch seconds

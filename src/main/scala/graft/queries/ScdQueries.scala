@@ -44,7 +44,38 @@ object ScdQueries {
     "scd2_latest" -> ((s, dir) =>
       ScdMerge.latest(ScdMerge.merge(master(s, dir), snapshot(s, dir), eff))
         .select("id", "natural_key", "company_name", "valid_from")
-        .orderBy("id"))
+        .orderBy("id")),
+
+    // Identifier format + check-digit validation over md5-derived candidate
+    // strings (mixed valid/invalid) plus known-good public identifiers; the
+    // oracle reproduces the full checksum math in SQL.
+    "sym_identifier_validation" -> ((s, dir) => {
+      import graft.symbols.Identifiers
+      val h = md5(col("c_custkey").cast("string"))
+      val cand = Tables.load(s, dir, "customer").select(
+        upper(substring(h, 1, 9)).as("cusip"),
+        concat(lit("US"), upper(substring(h, 1, 10))).as("isin"),
+        concat(lit("BBG"), upper(substring(h, 1, 8)),
+          (col("c_custkey") % 10).cast("string")).as("figi"),
+        when(col("c_custkey") % 5 === 0,
+          concat(lit("X"), col("c_custkey").cast("string")))
+          .otherwise(col("c_custkey").cast("string")).as("cik"),
+        when(col("c_custkey") % 3 === 0, upper(substring(col("c_mktsegment"), 1, 5)))
+          .otherwise(upper(substring(col("c_mktsegment"), 1, 4))).as("mic"))
+      val sp = s; import sp.implicits._
+      val known = Seq(
+        ("037833100", "US0378331005", "BBG000B9XRY4", "320193", "XNAS"),
+        ("594918104", "US5949181045", "BBG000BPH459", "789019", "XNYS"),
+        ("38259P508", "GB0002634946", "BBG000B9XRY5", "ABC", "XN!S")
+      ).toDF("cusip", "isin", "figi", "cik", "mic")
+      cand.unionByName(known).agg(
+        count(lit(1)).as("n"),
+        sum(Identifiers.cusipValid(col("cusip")).cast("long")).as("n_valid_cusip"),
+        sum(Identifiers.isinValid(col("isin")).cast("long")).as("n_valid_isin"),
+        sum(Identifiers.figiValid(col("figi")).cast("long")).as("n_valid_figi"),
+        sum(Identifiers.cikValid(col("cik")).cast("long")).as("n_valid_cik"),
+        sum(Identifiers.micValid(col("mic")).cast("long")).as("n_valid_mic"))
+    })
   )
 
   private val baseCte =
@@ -87,7 +118,75 @@ object ScdQueries {
        |    FROM cls WHERE action = 'update')),
        |merged AS (SELECT * FROM closed UNION ALL SELECT * FROM newv)""".stripMargin
 
+  /** Per-char numeric values of an uppercased identifier (0-9, A-Z->10-35,
+    * * -> 36, @ -> 37, # -> 38, else -1) — DuckDB twin of
+    * `Identifiers.charValues`.
+    */
+  private def cvSql(c: String): String =
+    s"""list_transform(range(1, length($c) + 1), i ->
+       |    CASE WHEN ascii(substr($c, i, 1)) BETWEEN 48 AND 57 THEN ascii(substr($c, i, 1)) - 48
+       |         WHEN ascii(substr($c, i, 1)) BETWEEN 65 AND 90 THEN ascii(substr($c, i, 1)) - 55
+       |         WHEN ascii(substr($c, i, 1)) = 42 THEN 36
+       |         WHEN ascii(substr($c, i, 1)) = 64 THEN 37
+       |         WHEN ascii(substr($c, i, 1)) = 35 THEN 38
+       |         ELSE -1 END)""".stripMargin
+
+  /** Double even 1-based positions, digit-sum every value, total. */
+  private def luhnSumSql(arr: String): String =
+    s"""list_sum(list_transform($arr, (v, i) ->
+       |    CASE WHEN i % 2 = 0 THEN (v*2)//10 + (v*2)%10 ELSE v//10 + v%10 END))""".stripMargin
+
   def oracles: Map[String, String] = Map(
+    "sym_identifier_validation" ->
+      s"""WITH h AS (
+         |  SELECT md5(CAST(c_custkey AS VARCHAR)) AS hx, c_custkey, c_mktsegment
+         |  FROM customer),
+         |ids AS (
+         |  SELECT upper(substr(hx, 1, 9)) AS cusip,
+         |         'US' || upper(substr(hx, 1, 10)) AS isin,
+         |         'BBG' || upper(substr(hx, 1, 8)) || CAST(c_custkey % 10 AS VARCHAR) AS figi,
+         |         CASE WHEN c_custkey % 5 = 0 THEN 'X' || CAST(c_custkey AS VARCHAR)
+         |              ELSE CAST(c_custkey AS VARCHAR) END AS cik,
+         |         CASE WHEN c_custkey % 3 = 0 THEN upper(substr(c_mktsegment, 1, 5))
+         |              ELSE upper(substr(c_mktsegment, 1, 4)) END AS mic
+         |  FROM h
+         |  UNION ALL
+         |  SELECT * FROM (VALUES
+         |    ('037833100', 'US0378331005', 'BBG000B9XRY4', '320193', 'XNAS'),
+         |    ('594918104', 'US5949181045', 'BBG000BPH459', '789019', 'XNYS'),
+         |    ('38259P508', 'GB0002634946', 'BBG000B9XRY5', 'ABC', 'XN!S'))
+         |    t(cusip, isin, figi, cik, mic)),
+         |cv AS (
+         |  SELECT *, ${cvSql("cusip")} AS cv_cusip,
+         |         ${cvSql("isin")} AS cv_isin,
+         |         ${cvSql("figi")} AS cv_figi
+         |  FROM ids),
+         |isin_digits AS (
+         |  SELECT *, list_reverse(flatten(list_transform(cv_isin, v ->
+         |           CASE WHEN v >= 10 THEN [v // 10, v % 10] ELSE [v] END))) AS isin_rev
+         |  FROM cv),
+         |flags AS (
+         |  SELECT
+         |    (length(cusip) = 9 AND NOT list_contains(cv_cusip, -1)
+         |      AND cv_cusip[9] BETWEEN 0 AND 9
+         |      AND ((10 - (${luhnSumSql("cv_cusip[1:8]")} % 10)) % 10) = cv_cusip[9]) AS v_cusip,
+         |    (length(isin) = 12 AND regexp_matches(isin, '^[A-Z]{2}')
+         |      AND len(list_filter(cv_isin, v -> v = -1 OR v > 35)) = 0
+         |      AND cv_isin[12] BETWEEN 0 AND 9
+         |      AND (list_sum(list_transform(isin_rev, (d, i) ->
+         |            CASE WHEN i % 2 = 0 THEN (d*2)//10 + (d*2)%10 ELSE d END)) % 10) = 0) AS v_isin,
+         |    (regexp_matches(figi, '^[B-DF-HJ-NP-TV-Z0-9]{2}G[B-DF-HJ-NP-TV-Z0-9]{8}[0-9]$$')
+         |      AND ((10 - (${luhnSumSql("cv_figi[1:11]")} % 10)) % 10) = cv_figi[12]) AS v_figi,
+         |    regexp_matches(trim(cik), '^[0-9]{1,10}$$') AS v_cik,
+         |    regexp_matches(upper(trim(mic)), '^[A-Z0-9]{4}$$') AS v_mic
+         |  FROM isin_digits)
+         |SELECT count(*) AS n,
+         |       CAST(sum(CASE WHEN v_cusip THEN 1 ELSE 0 END) AS BIGINT) AS n_valid_cusip,
+         |       CAST(sum(CASE WHEN v_isin THEN 1 ELSE 0 END) AS BIGINT) AS n_valid_isin,
+         |       CAST(sum(CASE WHEN v_figi THEN 1 ELSE 0 END) AS BIGINT) AS n_valid_figi,
+         |       CAST(sum(CASE WHEN v_cik THEN 1 ELSE 0 END) AS BIGINT) AS n_valid_cik,
+         |       CAST(sum(CASE WHEN v_mic THEN 1 ELSE 0 END) AS BIGINT) AS n_valid_mic
+         |FROM flags""".stripMargin,
     "scd2_merge" ->
       s"""$baseCte
          |SELECT * FROM merged ORDER BY id, valid_from""".stripMargin,

@@ -1,0 +1,109 @@
+package graft.symbols
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Security-identifier validation as pure column expressions (SURVEY §2
+  * symbol-domain rows; ref: src/marketpipe/domain/symbol.py:105-233 for
+  * the format rules — FIGI/CUSIP/ISIN length+shape, digits-only CIK
+  * zero-padded to 10, 4-char MIC, 3-letter currency).
+  *
+  * On top of the reference's format checks, the standard public check-digit
+  * algorithms are enforced (CUSIP mod-10 double-add-double, ISIN Luhn over
+  * letter-expanded digits, FIGI's modified Luhn) so a corrupted identifier
+  * is caught even when its shape is right. Everything is Spark
+  * higher-order-function expressions — codegen'd scans, no UDFs, no
+  * shuffle; validation of 10^9 rows is a pure map.
+  */
+object Identifiers {
+
+  /** Per-character numeric values: '0'-'9' -> 0-9, 'A'-'Z' -> 10-35,
+    * CUSIP specials '*' -> 36, '@' -> 37, '#' -> 38; anything else -> -1.
+    * Input must be uppercased. One array element per char.
+    */
+  private def charValues(s: Column): Column =
+    transform(sequence(lit(1), length(s)), i => {
+      val c = ascii(s.substr(i, lit(1)))
+      when(c.between(48, 57), c - 48)
+        .when(c.between(65, 90), c - 55)
+        .when(c === 42, 36).when(c === 64, 37).when(c === 35, 38)
+        .otherwise(-1)
+    })
+
+  private def sumL(arr: Column): Column =
+    aggregate(arr, lit(0L), (acc, x) => acc + x)
+
+  /** digit-sum of a (possibly doubled) value <= 77: tens + ones. */
+  private def digitSum(v: Column): Column =
+    floor(v / 10).cast("long") + (v % 10)
+
+  /** CUSIP: 9 chars; value chars are alnum + * @ #; check digit = 9th.
+    * Sum over first 8 positions (1-based): double even positions, add
+    * digit-sum of each; check = (10 - sum mod 10) mod 10.
+    */
+  def cusipValid(raw: Column): Column = {
+    val s = upper(trim(raw))
+    val vals = charValues(s)
+    val body = slice(vals, 1, 8)
+    val sum = sumL(transform(body, (v, i) =>
+      digitSum(v * when((i + 1) % 2 === 0, 2).otherwise(1))))
+    val check = (lit(10L) - (sum % 10L)) % 10L
+    (length(s) === 9) &&
+      !exists(vals, _ === -1) &&
+      element_at(vals, 9).between(0, 9) &&
+      (check === element_at(vals, 9).cast("long"))
+  }
+
+  /** ISIN: 2 uppercase letters + 9 alnum + 1 check digit; Luhn over the
+    * digit expansion of all 12 chars (letters -> two digits) must be
+    * divisible by 10, doubling every second digit from the right.
+    */
+  def isinValid(raw: Column): Column = {
+    val s = upper(trim(raw))
+    val vals = charValues(s)
+    val digits = flatten(transform(vals, v =>
+      when(v >= 10, array(floor(v / 10).cast("long"), (v % 10).cast("long")))
+        .otherwise(array(v.cast("long")))))
+    val luhn = sumL(transform(reverse(digits), (d, i) =>
+      when(i % 2 === 1, digitSum(d * 2)).otherwise(d)))
+    (length(s) === 12) &&
+      s.substr(lit(1), lit(2)).rlike("^[A-Z]{2}$") &&
+      !exists(vals, v => v === -1 || v > 35) &&
+      element_at(vals, 12).between(0, 9) &&
+      (luhn % 10L === 0L)
+  }
+
+  /** FIGI: 12 chars — two consonant/digit chars, 'G', eight
+    * consonant/digit chars, one check digit; modified Luhn over the first
+    * 11 values (double even positions, digit-sum, mod 10) must yield the
+    * 12th char.
+    */
+  def figiValid(raw: Column): Column = {
+    val s = upper(trim(raw))
+    val vals = charValues(s)
+    val body = slice(vals, 1, 11)
+    val sum = sumL(transform(body, (v, i) =>
+      digitSum(v * when((i + 1) % 2 === 0, 2).otherwise(1))))
+    val check = (lit(10L) - (sum % 10L)) % 10L
+    s.rlike("^[B-DF-HJ-NP-TV-Z0-9]{2}G[B-DF-HJ-NP-TV-Z0-9]{8}[0-9]$") &&
+      (check === element_at(vals, 12).cast("long"))
+  }
+
+  /** CIK: 1-10 digits (stored zero-padded to 10, ref symbol.py:160-173). */
+  def cikValid(raw: Column): Column =
+    trim(raw).rlike("^[0-9]{1,10}$")
+
+  /** CIK normalized to the canonical 10-digit zero-padded form. */
+  def cikNormalize(raw: Column): Column =
+    when(cikValid(raw), lpad(trim(raw), 10, "0"))
+
+  /** Exchange MIC: exactly 4 uppercase alphanumeric chars (ISO 10383
+    * shape; ref symbol.py:175-184 enforces length 4).
+    */
+  def micValid(raw: Column): Column =
+    upper(trim(raw)).rlike("^[A-Z0-9]{4}$")
+
+  /** 3-letter ISO currency shape (ref symbol.py:186-195). */
+  def currencyValid(raw: Column): Column =
+    upper(trim(raw)).rlike("^[A-Z]{3}$")
+}

@@ -30,6 +30,24 @@ object Normalizer {
       .drop("_rn")
   }
 
+  /** Identifier validity columns over a staged SymbolRecord frame: format
+    * AND check-digit validation for figi/cusip/isin, digits-only cik,
+    * 4-char MIC (see [[Identifiers]]). Invalid identifiers are nulled (the
+    * reference raises per-record; columnar validation nulls + flags so one
+    * bad row cannot fail a 10^9-row batch).
+    */
+  def withIdentifierValidity(snapshot: DataFrame): DataFrame =
+    snapshot
+      .withColumn("figi_valid", col("figi").isNotNull && Identifiers.figiValid(col("figi")))
+      .withColumn("cusip_valid", col("cusip").isNotNull && Identifiers.cusipValid(col("cusip")))
+      .withColumn("isin_valid", col("isin").isNotNull && Identifiers.isinValid(col("isin")))
+      .withColumn("cik_valid", col("cik").isNotNull && Identifiers.cikValid(col("cik")))
+      .withColumn("mic_valid", Identifiers.micValid(col("exchange_mic")))
+      .withColumn("figi", when(col("figi_valid"), col("figi")))
+      .withColumn("cusip", when(col("cusip_valid"), col("cusip")))
+      .withColumn("isin", when(col("isin_valid"), col("isin")))
+      .withColumn("cik", when(col("cik_valid"), Identifiers.cikNormalize(col("cik"))))
+
   /** W2: dense surrogate IDs ordered by natural_key, stable across reruns;
     * `offset` shifts new inserts past the current max id
     * (ref: symbol_normalizer.sql:46-82; scd_writer.py:94-112).
