@@ -2,19 +2,23 @@ package graft.cli
 
 import graft.core.FrameSpec
 import graft.gen.SyntheticSource
-import graft.jobs.{GapDetector, Job, JobRepo, JobState}
+import graft.jobs.{GapDetector, Job, JobRepo, JobState, Prune}
 import graft.metrics.MetricsStore
 import graft.pipeline.IngestPipeline
-import org.apache.spark.sql.SparkSession
+import graft.validate.{CsvReportSink, RuleSet}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Thin CLI mirroring the reference's command surface
-  * (ref: src/marketpipe/cli/ — ingest-ohlcv / aggregate / query / gaps):
+/** CLI mirroring the reference's command surface (ref: src/marketpipe/cli/):
   *
-  *   ingest <dataRoot> <symbols,csv> <startIsoDate> <nBars>
-  *   query  <dataRoot> <sql> [limit]
-  *   gaps   <dataRoot> <start> <end>
-  *   demo   <dataRoot>
+  *   ingest    <dataRoot> <symbols,csv> <startIsoDate> <nBars>
+  *   query     <dataRoot> <sql> [limit] [--csv|--md]     (ref query.py:40-65)
+  *   validate  <dataRoot> [--list | --show <jobId>]      (ref ohlcv_validate.py)
+  *   backfill  <dataRoot> <start> <end> [symbols,csv]    (ref ohlcv_backfill.py:113-161)
+  *   prune     <dataRoot> <ageExpr> [--dry-run]          (ref prune.py:41-330)
+  *   jobs      <dataRoot> list|status|cleanup [ageExpr]  (ref jobs.py:163-189,519-535)
+  *   gaps      <dataRoot> <start> <end>
+  *   demo      <dataRoot> | stream-demo
   */
 object Main {
 
@@ -33,16 +37,49 @@ object Main {
   def main(args: Array[String]): Unit = args.toList match {
     case "ingest" :: root :: syms :: start :: nBars :: Nil =>
       ingest(session(), root, syms.split(",").toSeq, start, nBars.toInt)
+
     case "query" :: root :: sql :: rest =>
       val spark = session()
-      val limit = rest.headOption.map(_.toInt).getOrElse(50)
-      new IngestPipeline(spark, s"$root/raw", s"$root/agg", s"$root/reports")
-        .query(sql).show(limit, truncate = false)
+      val limit = rest.find(_.forall(_.isDigit)).map(_.toInt).getOrElse(50)
+      val df = new IngestPipeline(spark, s"$root/raw", s"$root/agg", s"$root/reports")
+        .query(sql)
+      if (rest.contains("--csv")) printCsv(df, limit)
+      else if (rest.contains("--md")) printMarkdown(df, limit)
+      else df.show(limit, truncate = false)
+
+    case "validate" :: root :: Nil =>
+      validateAll(session(), root)
+    case "validate" :: root :: "--list" :: Nil =>
+      CsvReportSink.list(session(), s"$root/reports").foreach(println)
+    case "validate" :: root :: "--show" :: jobId :: Nil =>
+      printCsv(CsvReportSink.read(session(), s"$root/reports", jobId), Int.MaxValue)
+
+    case "backfill" :: root :: start :: end :: rest =>
+      backfill(session(), root, start, end, rest.headOption.map(_.split(",").toSeq))
+
+    case "prune" :: root :: ageExpr :: rest =>
+      prune(session(), root, ageExpr, dryRun = rest.contains("--dry-run"))
+
+    case "jobs" :: root :: "list" :: rest =>
+      val limit = rest.headOption.map(_.toInt).getOrElse(10)
+      new JobRepo(session(), s"$root/state/jobs").load()
+        .orderBy(desc("updated_at")).show(limit, truncate = false)
+    case "jobs" :: root :: "status" :: Nil =>
+      jobsStatus(session(), root)
+    case "jobs" :: root :: "cleanup" :: rest =>
+      val age = rest.headOption.getOrElse("30d")
+      val cutoff = Prune.cutoffDate(age, java.time.LocalDate.now())
+        .atStartOfDay(java.time.ZoneOffset.UTC).toEpochSecond
+      val dropped = new JobRepo(session(), s"$root/state/jobs")
+        .cleanupTerminal(cutoff)
+      println(s"[jobs] cleanup: dropped $dropped terminal jobs older than $age")
+
     case "gaps" :: root :: start :: end :: Nil =>
       val spark = session()
       val bars = spark.read.option("basePath", s"$root/raw").parquet(s"$root/raw")
       GapDetector.missingDays(bars.select(col("symbol"), col("date")), start, end)
         .orderBy("symbol", "date").show(100)
+
     case "stream-demo" :: Nil =>
       // live Structured Streaming path: rate source -> bar mapping ->
       // watermarked tumbling resample -> console, a few micro-batches
@@ -70,13 +107,19 @@ object Main {
       new IngestPipeline(spark, s"$root/raw", s"$root/agg", s"$root/reports")
         .query("SELECT symbol, count(*) AS bars_5m, min(ts_ns) AS first_ts " +
           "FROM bars_5m GROUP BY symbol ORDER BY symbol").show()
+
     case other =>
-      System.err.println(s"usage: ingest|query|gaps|demo ... (got: $other)")
+      System.err.println(
+        s"usage: ingest|query|validate|backfill|prune|jobs|gaps|demo|stream-demo ... (got: $other)")
       sys.exit(2)
   }
 
-  private def ingest(spark: SparkSession, root: String,
-                     symbols: Seq[String], startDate: String, nBars: Int): Unit = {
+  /** One synthetic-source ingestion job with full state tracking: the job
+    * transitions to FAILED (and the error is rethrown) when the pipeline
+    * throws — the reference's state machine marks failures the same way.
+    */
+  private[cli] def ingest(spark: SparkSession, root: String,
+                          symbols: Seq[String], startDate: String, nBars: Int): Unit = {
     val startNs = java.time.LocalDate.parse(startDate)
       .atStartOfDay(java.time.ZoneOffset.UTC).toEpochSecond * 1000000000L +
       48600L * 1000000000L // 13:30 UTC market open
@@ -87,11 +130,146 @@ object Main {
     repo.transition(jobId, JobState.InProgress, now)
     val pipe = new IngestPipeline(spark, s"$root/raw", s"$root/agg", s"$root/reports")
     val bars = SyntheticSource.bars(spark, symbols, startNs, nBars)
-    val (clean, errs) = pipe.runJob(bars, jobId)
+    val (clean, errs) =
+      try pipe.runJob(bars, jobId)
+      catch {
+        case e: Throwable =>
+          repo.transition(jobId, JobState.Failed, System.currentTimeMillis() / 1000)
+          throw e
+      }
     repo.transition(jobId, JobState.Completed, System.currentTimeMillis() / 1000)
     new MetricsStore(spark, s"$root/state/metrics")
       .record(Seq((now, "bars_ingested", clean.toDouble, "synthetic", "fake")))
     println(s"[ingest] job=$jobId clean=$clean errors=$errs frames=" +
       FrameSpec.defaults.map(_.name).mkString(","))
+  }
+
+  /** Re-validate everything in the raw store, write a CSV report, print
+    * per-reason counts (ref: ohlcv_validate.py validate-and-report flow).
+    */
+  private[cli] def validateAll(spark: SparkSession, root: String): Unit = {
+    val bars = spark.read.option("basePath", s"$root/raw").parquet(s"$root/raw")
+      .select("symbol", "ts_ns", "open", "high", "low", "close", "volume")
+    val (_, errors) = RuleSet.split(bars)
+    val jobId = "revalidate"
+    val n = errors.count()
+    CsvReportSink.write(errors, s"$root/reports", jobId)
+    println(s"[validate] checked=${bars.count()} errors=$n report=$root/reports/$jobId")
+    errors.groupBy("reason").agg(count(lit(1)).as("n")).orderBy("reason")
+      .collect().foreach(r => println(s"  ${r.getString(0)}: ${r.getLong(1)}"))
+  }
+
+  /** Executing backfill loop (T6; ref ohlcv_backfill.py:113-161): detect
+    * per-symbol missing days, run one ingestion job per gap through the
+    * pipeline, record job state + metrics per gap, never abort the loop on
+    * a single-gap failure.
+    */
+  private[cli] def backfill(spark: SparkSession, root: String,
+                            start: String, end: String,
+                            symbolsOpt: Option[Seq[String]]): Unit = {
+    val s2 = spark; import s2.implicits._
+    val rawPath = s"$root/raw"
+    val existing =
+      try spark.read.option("basePath", rawPath).parquet(rawPath)
+        .select(col("symbol").cast("string"), col("date").cast("date"))
+      catch { case _: org.apache.spark.sql.AnalysisException =>
+        Seq.empty[(String, java.sql.Date)].toDF("symbol", "date")
+      }
+    // a sentinel 1970 row per requested symbol keeps symbols with no data
+    // at all in the gap scan (their whole range is missing)
+    val seeded = symbolsOpt match {
+      case Some(ss) =>
+        existing.where(col("symbol").isin(ss: _*))
+          .unionByName(ss.toDF("symbol")
+            .withColumn("date", to_date(lit("1970-01-01"))))
+      case None => existing
+    }
+    val plan = GapDetector.backfillPlan(
+      GapDetector.missingDays(seeded, start, end)).collect()
+    val metrics = new MetricsStore(spark, s"$root/state/metrics")
+    var ok = 0L; var failed = 0L
+    plan.foreach { r =>
+      val sym = r.getAs[String]("symbol")
+      val day = r.getAs[java.sql.Date]("date").toString
+      val t0 = System.nanoTime()
+      try {
+        ingest(spark, root, Seq(sym), day, 390)
+        ok += 1
+        metrics.record(Seq((System.currentTimeMillis() / 1000,
+          "backfill_gap_seconds", (System.nanoTime() - t0) / 1e9, sym, "backfill")))
+      } catch {
+        case e: Throwable =>
+          failed += 1
+          metrics.record(Seq((System.currentTimeMillis() / 1000,
+            "backfill_gap_failed", 1.0, sym, "backfill")))
+          System.err.println(s"[backfill] FAILED $sym $day: ${e.getMessage}")
+      }
+    }
+    println(s"[backfill] gaps=${plan.length} ok=$ok failed=$failed")
+  }
+
+  /** Retention prune: partition directories older than the cutoff plus the
+    * metadata half (terminal job rows) — ref prune.py:41-330.
+    */
+  private[cli] def prune(spark: SparkSession, root: String,
+                         ageExpr: String, dryRun: Boolean): Unit = {
+    val cutoff = Prune.cutoffDate(ageExpr, java.time.LocalDate.now())
+    val store = spark.read.option("basePath", s"$root/raw").parquet(s"$root/raw")
+      .withColumn("frame", lit("1m"))
+    val parts = Prune.prunablePartitions(store, cutoff)
+      .collect().map(r => (r.getAs[String]("frame"), r.getAs[String]("symbol"),
+        r.getAs[java.sql.Date]("date").toString)).toSeq
+    if (dryRun) {
+      println(s"[prune] DRY RUN: would delete ${parts.length} partitions before $cutoff")
+      parts.take(20).foreach(p => println(s"  frame=${p._1}/symbol=${p._2}/date=${p._3}"))
+    } else {
+      val deleted = Prune.prunePaths(spark, s"$root/raw", parts)
+      val droppedJobs = new JobRepo(spark, s"$root/state/jobs")
+        .pruneByDay(cutoff.toString)
+      println(s"[prune] deleted=$deleted partitions, dropped=$droppedJobs job rows before $cutoff")
+    }
+  }
+
+  private[cli] def jobsStatus(spark: SparkSession, root: String): Unit = {
+    val repo = new JobRepo(spark, s"$root/state/jobs")
+    println("Job Status Summary")
+    repo.histogram().collect().foreach(r =>
+      println(f"  ${r.getString(0)}%-12s: ${r.getLong(1)}%6d"))
+    println("Recently active:")
+    repo.load()
+      .where(col("state").isin(JobState.Pending, JobState.InProgress))
+      .orderBy(desc("updated_at")).limit(10)
+      .collect().foreach(r => println(s"  ${r.getAs[String]("job_id")} " +
+        s"${r.getAs[String]("state")} updated=${r.getAs[Long]("updated_at")}"))
+  }
+
+  /** CSV to stdout with header (ref: query.py --csv). */
+  private[cli] def printCsv(df: DataFrame, limit: Int): Unit = {
+    def esc(s: String): String =
+      if (s == null) ""
+      else if (s.exists(c => c == ',' || c == '"' || c == '\n'))
+        "\"" + s.replace("\"", "\"\"") + "\""
+      else s
+    println(df.columns.map(esc).mkString(","))
+    df.limit(limit).toLocalIterator().forEachRemaining { row =>
+      println((0 until row.length).map(i =>
+        esc(if (row.isNullAt(i)) null else row.get(i).toString)).mkString(","))
+    }
+  }
+
+  /** Markdown table to stdout (ref: query.py to_markdown fallback; F13). */
+  private[cli] def printMarkdown(df: DataFrame, limit: Int): Unit = {
+    val rows = df.limit(limit).collect()
+    val cols = df.columns.toSeq
+    val cells = rows.map(r => (0 until r.length).map(i =>
+      if (r.isNullAt(i)) "" else r.get(i).toString))
+    val widths = cols.indices.map(i =>
+      (cols(i).length +: cells.map(_(i).length)).max)
+    def line(vals: Seq[String]): String =
+      vals.zipWithIndex.map { case (v, i) => v.padTo(widths(i), ' ') }
+        .mkString("| ", " | ", " |")
+    println(line(cols))
+    println(widths.map("-" * _).mkString("| ", " | ", " |"))
+    cells.foreach(c => println(line(c)))
   }
 }

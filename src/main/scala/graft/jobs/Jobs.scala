@@ -25,6 +25,9 @@ object JobState {
 
   def canTransition(from: String, to: String): Boolean =
     transitions.getOrElse(from, Set.empty).contains(to)
+
+  def isTerminal(state: String): Boolean =
+    state == Completed || state == Failed || state == Cancelled
 }
 
 final case class Job(
@@ -35,36 +38,76 @@ final case class Job(
     created_at: Long, // epoch seconds
     updated_at: Long)
 
+/** Append-log job repository: every save/transition appends one row with a
+  * monotonically increasing `seq`; reads resolve latest-wins per job_id.
+  * No read-modify-write of the whole table — concurrent jobs appending
+  * their own updates cannot lose each other's writes, and a transition is
+  * O(1 append + 1 point lookup) instead of O(all jobs). `compact()`
+  * rewrites the log to its latest view (single-writer maintenance op).
+  */
 final class JobRepo(spark: SparkSession, path: String) {
   import spark.implicits._
 
-  def load(): DataFrame =
+  private def raw(): DataFrame =
     try spark.read.parquet(path)
     catch { case _: org.apache.spark.sql.AnalysisException =>
-      Seq.empty[Job].toDF()
+      Seq.empty[Job].toDF().withColumn("seq", lit(0L))
     }
 
-  def save(jobs: Seq[Job]): Unit = {
-    val cur = load().as[Job].collect().filterNot(j => jobs.exists(_.job_id == j.job_id))
-    (cur ++ jobs).toSeq.toDF()
-      .repartition(1).write.mode(SaveMode.Overwrite).parquet(path)
+  /** Latest-wins view of the log (one row per job_id). */
+  def load(): DataFrame = {
+    val r = raw()
+    r.groupBy("job_id")
+      .agg(max_by(
+        struct(r.columns.filterNot(_ == "job_id").map(col).toSeq: _*),
+        col("seq")).as("j"))
+      .select(col("job_id") +: r.columns.filterNot(c => c == "job_id" || c == "seq")
+        .map(c => col(s"j.$c")).toSeq: _*)
   }
 
+  private def append(jobs: Seq[Job]): Unit =
+    jobs.toDF().withColumn("seq", lit(System.nanoTime()))
+      .repartition(1).write.mode(SaveMode.Append).parquet(path)
+
+  def save(jobs: Seq[Job]): Unit = append(jobs)
+
+  def get(jobId: String): Option[Job] =
+    load().where(col("job_id") === jobId).as[Job].collect().headOption
+
   def transition(jobId: String, to: String, now: Long): Unit = {
-    val all = load().as[Job].collect()
-    val updated = all.map {
-      case j if j.job_id == jobId =>
-        require(JobState.canTransition(j.state, to),
-          s"illegal transition ${j.state} -> $to for $jobId")
-        j.copy(state = to, updated_at = now)
-      case j => j
-    }
-    updated.toSeq.toDF().repartition(1).write.mode(SaveMode.Overwrite).parquet(path)
+    val j = get(jobId).getOrElse(
+      throw new IllegalArgumentException(s"unknown job $jobId"))
+    require(JobState.canTransition(j.state, to),
+      s"illegal transition ${j.state} -> $to for $jobId")
+    append(Seq(j.copy(state = to, updated_at = now)))
   }
 
   /** A14: job-state histogram (ref: cli/jobs.py:163-168). */
   def histogram(): DataFrame =
     load().groupBy("state").count().orderBy("state")
+
+  /** Rewrite the append log as its latest-wins view, keeping only jobs
+    * matching `keep` — the metadata half of retention pruning (ref:
+    * cli/prune.py:228-330). Single-writer maintenance operation.
+    * Returns rows dropped.
+    */
+  def compact(keep: Job => Boolean = _ => true): Long = {
+    val latest = load().as[Job].collect()
+    val kept = latest.filter(keep)
+    kept.toSeq.toDF().withColumn("seq", lit(System.nanoTime()))
+      .repartition(1).write.mode(SaveMode.Overwrite).parquet(path)
+    latest.length - kept.length
+  }
+
+  /** Drop terminal jobs not updated since `cutoffEpochSec` (jobs cleanup). */
+  def cleanupTerminal(cutoffEpochSec: Long): Long =
+    compact(j => !(JobState.isTerminal(j.state) && j.updated_at < cutoffEpochSec))
+
+  /** Drop terminal jobs whose data day precedes `cutoffDay` (YYYY-MM-DD) —
+    * pairs with partition pruning of the same cutoff.
+    */
+  def pruneByDay(cutoffDay: String): Long =
+    compact(j => !(JobState.isTerminal(j.state) && j.day < cutoffDay))
 }
 
 /** Per-symbol ingestion checkpoints = last processed ts_ns

@@ -51,9 +51,11 @@ final class IngestPipeline(
         agg.withColumn("frame", lit(f.name))
       }.reduce(_ unionByName _)
       aggStore.writeFrames(allFrames, compactPartitions = true)
-      val errCached = errors.cache()
-      val nErr = errCached.count()
-      if (nErr > 0) CsvReportSink.write(errCached, reportRoot, jobId)
+      // localCheckpoint not cache: materialized once, GC-cleaned, no
+      // session-long pin (same rationale as ScdMerge)
+      val errMat = errors.localCheckpoint()
+      val nErr = errMat.count()
+      CsvReportSink.write(errMat, reportRoot, jobId) // header-only when clean
       views.refreshViews()
       (cached.count(), nErr)
     } finally cached.unpersist()

@@ -1,17 +1,46 @@
 package graft.validate
 
-import org.apache.spark.sql.DataFrame
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
 
-/** Validation report sink: CSV per (job, symbol), header even when empty
-  * (ref: src/marketpipe/validation/infrastructure/repositories.py:22-59).
+/** Validation report sink: CSV per (job, symbol), header-only file when a
+  * job has zero errors (ref:
+  * src/marketpipe/validation/infrastructure/repositories.py:22-59).
+  *
+  * Writes repartition BY symbol (not coalesce(1)): each symbol's file is
+  * produced by the task that owns that symbol's rows, so a pathological
+  * error day parallelizes across the cluster instead of serializing
+  * through one thread — still exactly one file per symbol directory.
   */
 object CsvReportSink {
+
   def write(errors: DataFrame, reportRoot: String, jobId: String): Unit =
-    errors
-      .coalesce(1)
-      .write
-      .mode("overwrite")
-      .option("header", "true")
-      .partitionBy("symbol")
-      .csv(s"$reportRoot/$jobId")
+    if (errors.isEmpty) {
+      // reference parity: an empty report still materializes with a header
+      val dir = new Path(s"$reportRoot/$jobId")
+      val fs = dir.getFileSystem(errors.sparkSession.sparkContext.hadoopConfiguration)
+      val out = fs.create(new Path(dir, "empty.csv"), true)
+      out.write((errors.columns.mkString(",") + "\n").getBytes("UTF-8"))
+      out.close()
+    } else {
+      errors
+        .repartition(org.apache.spark.sql.functions.col("symbol"))
+        .write
+        .mode("overwrite")
+        .option("header", "true")
+        .partitionBy("symbol")
+        .csv(s"$reportRoot/$jobId")
+    }
+
+  /** Job ids with reports on disk (ref: ohlcv_validate.py --list). */
+  def list(spark: SparkSession, reportRoot: String): Seq[String] = {
+    val root = new Path(reportRoot)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) Seq.empty
+    else fs.listStatus(root).filter(_.isDirectory).map(_.getPath.getName).toSeq.sorted
+  }
+
+  /** Load one job's report back as a DataFrame (ref: --show). */
+  def read(spark: SparkSession, reportRoot: String, jobId: String): DataFrame =
+    spark.read.option("header", "true").csv(s"$reportRoot/$jobId")
 }

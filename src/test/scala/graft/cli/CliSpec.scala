@@ -1,0 +1,81 @@
+package graft.cli
+
+import graft.SparkSpec
+import graft.jobs.{JobRepo, JobState}
+import graft.validate.CsvReportSink
+import java.nio.file.Files
+
+/** CLI command e2e over a temp data root: ingest with job tracking,
+  * re-validate, executing backfill, retention prune (partitions + job
+  * metadata), jobs status/cleanup, csv/markdown output.
+  */
+class CliSpec extends SparkSpec {
+
+  private def newRoot(): String =
+    Files.createTempDirectory("graft_cli").toString
+
+  test("ingest -> jobs status -> validate -> query output modes") {
+    val root = newRoot()
+    Main.ingest(spark, root, Seq("AAPL", "MSFT"), "2024-01-02", 30)
+    val repo = new JobRepo(spark, s"$root/state/jobs")
+    val jobs = repo.load().collect()
+    assert(jobs.length == 1)
+    assert(jobs.head.getAs[String]("state") == JobState.Completed)
+
+    Main.validateAll(spark, root)
+    assert(CsvReportSink.list(spark, s"$root/reports").nonEmpty)
+    // synthetic bars are clean: the revalidate report must still exist
+    // (header-only parity) and read back with the error schema
+    val report = CsvReportSink.read(spark, s"$root/reports", "revalidate")
+    assert(report.columns.toSeq == Seq("symbol", "ts_ns", "reason"))
+    assert(report.count() == 0L)
+
+    Main.jobsStatus(spark, root) // smoke: prints summary
+    val df = spark.sql("SELECT 1 AS a, 'x,y' AS b")
+    Main.printCsv(df, 10)
+    Main.printMarkdown(df, 10)
+  }
+
+  test("backfill executes per-gap jobs and records their state") {
+    val root = newRoot()
+    // day 1 ingested, day 2 missing -> exactly one gap to fill
+    Main.ingest(spark, root, Seq("TSLA"), "2024-01-02", 30)
+    Main.backfill(spark, root, "2024-01-02", "2024-01-03", Some(Seq("TSLA")))
+    val jobs = new JobRepo(spark, s"$root/state/jobs").load().collect()
+      .map(r => r.getAs[String]("job_id") -> r.getAs[String]("state")).toMap
+    assert(jobs("TSLA_2024-01-02") == JobState.Completed)
+    assert(jobs("TSLA_2024-01-03") == JobState.Completed)
+    // the gap day's partitions now exist
+    val filled = spark.read.option("basePath", s"$root/raw").parquet(s"$root/raw")
+      .where("date = '2024-01-03'")
+    assert(filled.count() > 0)
+  }
+
+  test("prune removes old partitions and terminal job metadata") {
+    val root = newRoot()
+    Main.ingest(spark, root, Seq("NVDA"), "2024-01-02", 30)
+    Main.prune(spark, root, ageExpr = "1d", dryRun = true)
+    assert(spark.read.option("basePath", s"$root/raw").parquet(s"$root/raw").count() > 0)
+    Main.prune(spark, root, ageExpr = "1d", dryRun = false)
+    val fs = new org.apache.hadoop.fs.Path(s"$root/raw")
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val remaining = if (fs.exists(new org.apache.hadoop.fs.Path(s"$root/raw")))
+      fs.listStatus(new org.apache.hadoop.fs.Path(s"$root/raw"))
+        .count(_.getPath.getName.startsWith("symbol=")) else 0
+    // 2024-01-02 is long before today-1d: the symbol partition is gone
+    assert(remaining == 0 ||
+      !fs.exists(new org.apache.hadoop.fs.Path(s"$root/raw/symbol=NVDA/date=2024-01-02")))
+    // job metadata half: terminal job rows older than cutoff dropped
+    assert(new JobRepo(spark, s"$root/state/jobs").load().count() == 0L)
+  }
+
+  test("jobs cleanup compacts the append log") {
+    val root = newRoot()
+    Main.ingest(spark, root, Seq("AMD"), "2024-01-02", 30)
+    val repo = new JobRepo(spark, s"$root/state/jobs")
+    assert(repo.load().count() == 1L)
+    val dropped = repo.cleanupTerminal(System.currentTimeMillis() / 1000 + 10)
+    assert(dropped == 1L)
+    assert(repo.load().count() == 0L)
+  }
+}
