@@ -41,6 +41,10 @@ object SparkEntry {
     new QueryPack { // LLM-data-pipeline operators
       def queries = DataPipeQueries.queries
       def oracles = DataPipeQueries.oracles
+    },
+    new QueryPack { // write/orchestration round-trips
+      def queries = OrchestrationQueries.queries
+      def oracles = OrchestrationQueries.oracles
     }
   )
 

@@ -16,6 +16,10 @@ object ScdQueries {
 
   private val eff = "2024-06-01"
 
+  private[queries] def masterFor(s: SparkSession, dir: String): DataFrame = master(s, dir)
+  private[queries] def snapshotFor(s: SparkSession, dir: String): DataFrame = snapshot(s, dir)
+  private[queries] def mergedCte: String = baseCte
+
   private def master(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "customer").select(
       col("c_custkey").cast("long").as("id"),
