@@ -74,6 +74,20 @@ object Main {
         .cleanupTerminal(cutoff)
       println(s"[jobs] cleanup: dropped $dropped terminal jobs older than $age")
 
+    case "metrics" :: root :: "list" :: Nil =>
+      new MetricsStore(session(), s"$root/state/metrics").names()
+        .collect().foreach(r => println(r.getString(0)))
+    case "metrics" :: root :: "summary" :: Nil =>
+      new MetricsStore(session(), s"$root/state/metrics").summary()
+        .show(100, truncate = false)
+    case "metrics" :: root :: "avg" :: name :: rest =>
+      val since = rest.headOption.map(_.toLong).getOrElse(0L)
+      new MetricsStore(session(), s"$root/state/metrics")
+        .windowAvg(name, since).show(truncate = false)
+    case "metrics" :: root :: "trend" :: name :: Nil =>
+      new MetricsStore(session(), s"$root/state/metrics")
+        .trend(name, System.currentTimeMillis() / 1000).show(48, truncate = false)
+
     case "gaps" :: root :: start :: end :: Nil =>
       val spark = session()
       val bars = spark.read.option("basePath", s"$root/raw").parquet(s"$root/raw")

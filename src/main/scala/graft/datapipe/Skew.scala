@@ -31,14 +31,23 @@ object Skew {
     * keys: groupBy (key, salt) first — each hot key's load is split
     * `salts` ways — then re-aggregate by key. `partialAggs` must be
     * decomposable (sum/count/min/max): the caller provides both phases.
+    *
+    * The salt hashes the row's non-key columns (`saltCols`, default: all
+    * other columns): deterministic under task retries and input
+    * reordering — a rand() salt re-rolls on retry, which is unsound for
+    * anything downstream that sees the partial rows. Hashing is also
+    * cheaper than drawing a random double then hashing it.
     */
   def saltedAgg(
       df: DataFrame, key: String, salts: Int,
-      partialAggs: Seq[Column], finalAggs: Seq[Column]): DataFrame =
+      partialAggs: Seq[Column], finalAggs: Seq[Column],
+      saltCols: Seq[String] = Nil): DataFrame = {
+    val basis = if (saltCols.nonEmpty) saltCols else df.columns.filterNot(_ == key).toSeq
     df
-      .withColumn("_salt", pmod(xxhash64(rand(42) * 1000000), lit(salts)))
+      .withColumn("_salt", pmod(xxhash64(basis.map(col): _*), lit(salts)))
       .groupBy(col(key), col("_salt"))
       .agg(partialAggs.head, partialAggs.tail: _*)
       .groupBy(col(key))
       .agg(finalAggs.head, finalAggs.tail: _*)
+  }
 }

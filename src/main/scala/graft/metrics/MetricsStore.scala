@@ -41,4 +41,19 @@ final class MetricsStore(spark: SparkSession, path: String) {
 
   /** A12: distinct metric names (ref: metrics.py:250-255). */
   def names(): DataFrame = load().select("name").distinct().orderBy("name")
+
+  /** Dashboard-style per-metric summary: samples, avg/min/max and the
+    * latest value+ts (ref: cli/metrics_info.py info surface).
+    */
+  def summary(): DataFrame =
+    load()
+      .groupBy("name")
+      .agg(
+        count(lit(1)).as("n"),
+        avg("value").as("avg_value"),
+        min("value").as("min_value"),
+        max("value").as("max_value"),
+        max_by(col("value"), col("ts")).as("latest_value"),
+        max("ts").as("latest_ts"))
+      .orderBy("name")
 }

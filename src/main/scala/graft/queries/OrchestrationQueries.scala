@@ -158,6 +158,101 @@ object OrchestrationQueries {
       repo.histogram()
     }),
 
+    // S2: empty-view fallback — a catalog over a store with no data still
+    // answers SQL with the typed empty frame.
+    "s2_empty_view_fallback" -> ((s, _) => {
+      val root = tmp("graft_s2")
+      val views = new graft.views.ViewCatalog(s, s"$root/agg")
+      val empty = views.query("SELECT * FROM bars_1h")
+      import s.implicits._
+      Seq((empty.count(), empty.columns.length.toLong))
+        .toDF("n_rows", "n_cols")
+    }),
+
+    // S9: CSV report sink round-trip — one injected bad bar produces one
+    // error row; the report reads back with its reason.
+    "s9_report_roundtrip" -> ((s, _) => {
+      import s.implicits._
+      val root = tmp("graft_s9")
+      val bad = Seq(("AAA", startNs + 10000L * 60000000000L,
+        100.0, 100.5, 99.5, 100.0, -5L))
+        .toDF("symbol", "ts_ns", "open", "high", "low", "close", "volume")
+      val pipe = new IngestPipeline(s, s"$root/raw", s"$root/agg", s"$root/reports")
+      pipe.runJob(detBars(s, Seq("AAA" -> 0), 200).unionByName(bad), "badjob")
+      graft.validate.CsvReportSink.read(s, s"$root/reports", "badjob")
+        .groupBy("reason").agg(count(lit(1)).as("n")).orderBy("reason")
+    }),
+
+    // S12: metrics row-store round-trip — two append batches, summarized.
+    "s12_metrics_roundtrip" -> ((s, _) => {
+      val root = tmp("graft_s12")
+      val ms = new graft.metrics.MetricsStore(s, root)
+      ms.record((0 until 10).map(i =>
+        (1700000000L + i * 60L, "bars_ingested", 100.0 + i, "prov", "feed")))
+      ms.record((0 until 5).map(i =>
+        (1700000000L + i * 60L, "errors", i.toDouble, "prov", "feed")))
+      ms.summary()
+    }),
+
+    // S14: seeded synthetic source determinism — two generations with the
+    // same seed are row-identical.
+    "s14_synthetic_determinism" -> ((s, _) => {
+      import s.implicits._
+      val a = graft.gen.SyntheticSource.bars(s, Seq("AAPL", "MSFT"),
+        startNs, 400, seed = 42L)
+      val b = graft.gen.SyntheticSource.bars(s, Seq("AAPL", "MSFT"),
+        startNs, 400, seed = 42L)
+      val equal = a.join(b, Seq("symbol", "ts_ns", "open", "high", "low", "close", "volume"))
+        .count()
+      Seq((a.count(), equal)).toDF("n_total", "n_equal")
+    }),
+
+    // A11: storage stats — compacted write yields exactly one file per
+    // (frame, symbol, date) partition; stats sees the file index only.
+    "a11_storage_stats" -> ((s, _) => {
+      import s.implicits._
+      val root = tmp("graft_a11")
+      val store = new ParquetStore(s, root)
+      store.write(detBars(s, Seq("AAA" -> 0), 2000), FrameSpec.F1m,
+        compactPartitions = true)
+      val files = store.stats().collect()(0).getAs[Long]("files")
+      val rows = store.load(FrameSpec.F1m).count()
+      Seq((files, rows)).toDF("files", "rows")
+    }),
+
+    // F10: age-expression parsing against a pinned 'today'.
+    "f10_age_expr" -> ((s, _) => {
+      import s.implicits._
+      val today = java.time.LocalDate.parse("2026-08-12")
+      Seq("30d", "18m", "5y").map(e =>
+        (e, java.sql.Date.valueOf(Prune.cutoffDate(e, today))))
+        .toDF("expr", "cutoff").orderBy("expr")
+    }),
+
+    // T2: streaming tumbling event-time resample over a MemoryStream of
+    // the deterministic bars — the oracle recomputes the same buckets.
+    "t2_streaming_resample" -> ((s, _) => {
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val mem = MemoryStream[(String, Long, Double, Double, Double, Double, Long)]
+      val rows = detBars(s, Seq("SSS" -> 3), 300).collect().map(r =>
+        (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
+          r.getDouble(4), r.getDouble(5), r.getLong(6)))
+      mem.addData(rows.toSeq)
+      val bars = mem.toDF()
+        .toDF("symbol", "ts_ns", "open", "high", "low", "close", "volume")
+        .withColumn("timestamp",
+          timestamp_micros((col("ts_ns") / 1000L).cast("long")))
+        .drop("ts_ns")
+      val out = graft.streaming.StreamingIngest.streamingResample(bars, FrameSpec.F5m)
+      val q = out.writeStream.format("memory").queryName("t2_stream_sink")
+        .outputMode("complete")
+        .option("checkpointLocation", tmp("graft_t2_ckpt")).start()
+      try q.processAllAvailable() finally q.stop()
+      s.sql("SELECT * FROM t2_stream_sink ORDER BY symbol, ts_ns")
+    }),
+
     // T9: retention prune — write 3 days of bars, select + delete
     // partitions before day 2, read back the survivors.
     "t9_prune_roundtrip" -> ((s, _) => {
@@ -224,6 +319,40 @@ object OrchestrationQueries {
       s"""${detCte(Seq("CCC" -> 2), 3000)}
          |SELECT symbol, date, count(*) AS n, CAST(sum(volume) AS BIGINT) AS vol
          |FROM det WHERE date >= DATE '2024-01-03'
-         |GROUP BY symbol, date ORDER BY symbol, date""".stripMargin
+         |GROUP BY symbol, date ORDER BY symbol, date""".stripMargin,
+    "s2_empty_view_fallback" ->
+      "SELECT CAST(0 AS BIGINT) AS n_rows, CAST(7 AS BIGINT) AS n_cols",
+    "s9_report_roundtrip" ->
+      """SELECT 'negative_volume' AS reason, CAST(1 AS BIGINT) AS n""",
+    "s12_metrics_roundtrip" ->
+      """WITH m AS (
+        |  SELECT 1700000000 + i * 60 AS ts, 'bars_ingested' AS name,
+        |         100.0 + i AS value FROM (SELECT unnest(range(0, 10)) AS i)
+        |  UNION ALL
+        |  SELECT 1700000000 + i * 60, 'errors', CAST(i AS DOUBLE)
+        |  FROM (SELECT unnest(range(0, 5)) AS i))
+        |SELECT name, count(*) AS n, avg(value) AS avg_value,
+        |       min(value) AS min_value, max(value) AS max_value,
+        |       arg_max(value, ts) AS latest_value,
+        |       CAST(max(ts) AS BIGINT) AS latest_ts
+        |FROM m GROUP BY name ORDER BY name""".stripMargin,
+    "s14_synthetic_determinism" ->
+      "SELECT CAST(800 AS BIGINT) AS n_total, CAST(800 AS BIGINT) AS n_equal",
+    "a11_storage_stats" ->
+      "SELECT CAST(2 AS BIGINT) AS files, CAST(2000 AS BIGINT) AS rows",
+    "f10_age_expr" ->
+      """SELECT * FROM (VALUES
+        |  ('18m', DATE '2025-02-12'),
+        |  ('30d', DATE '2026-07-13'),
+        |  ('5y', DATE '2021-08-12')) t(expr, cutoff)
+        |ORDER BY expr""".stripMargin,
+    "t2_streaming_resample" ->
+      s"""${detCte(Seq("SSS" -> 3), 300)}
+         |SELECT symbol, bucket AS ts_ns, arg_min(open, ts_ns) AS open,
+         |       max(high) AS high, min(low) AS low,
+         |       arg_max(close, ts_ns) AS close,
+         |       CAST(sum(volume) AS BIGINT) AS volume
+         |FROM (SELECT *, ts_ns - ts_ns % 300000000000 AS bucket FROM det)
+         |GROUP BY symbol, bucket ORDER BY symbol, ts_ns""".stripMargin
   )
 }

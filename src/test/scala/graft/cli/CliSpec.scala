@@ -34,6 +34,13 @@ class CliSpec extends SparkSpec {
     val df = spark.sql("SELECT 1 AS a, 'x,y' AS b")
     Main.printCsv(df, 10)
     Main.printMarkdown(df, 10)
+
+    // metrics surface: ingest recorded bars_ingested
+    val ms = new graft.metrics.MetricsStore(spark, s"$root/state/metrics")
+    assert(ms.names().collect().map(_.getString(0)).contains("bars_ingested"))
+    val sum = ms.summary().collect().map(r => r.getAs[String]("name") -> r).toMap
+    assert(sum("bars_ingested").getAs[Long]("n") == 1L)
+    assert(sum("bars_ingested").getAs[Double]("latest_value") == 60.0) // 30 bars x 2 symbols
   }
 
   test("backfill executes per-gap jobs and records their state") {
