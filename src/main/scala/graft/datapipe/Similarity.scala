@@ -90,6 +90,28 @@ object Similarity {
       .select(col(idCol), col(s"best.$centroidIdCol"), col("best.q_vec"))
   }
 
+  /** One k-means refinement iteration over quantized vectors: assign each
+    * vector to its nearest centroid (cosine), then recompute centroids as
+    * per-dimension means. Shuffle profile: one exchange on vec_id for the
+    * assignment (max_by, map-side combined), one on (centroid, dim) for
+    * the means — both partial-aggregating, no windows, no collect. Means
+    * are exact-integer sums divided once, so results are engine-exact.
+    * Returns (centroid_id, pos, mean_q) — the new centroid matrix in
+    * long-micro-units as one row per dimension.
+    */
+  def kmeansIter(
+      vecs: DataFrame, centroids: DataFrame,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      centroidIdCol: String = "centroid_id"): DataFrame = {
+    val assigned = ivfAssign(vecs, centroids, idCol, vecCol, centroidIdCol)
+    assigned
+      .select(col(centroidIdCol), posexplode(col("q_vec")).as(Seq("pos", "v")))
+      .groupBy(centroidIdCol, "pos")
+      .agg((sum(col("v")).cast("double") / count(lit(1)).cast("double")).as("mean_q"))
+      .select(col(centroidIdCol), col("pos").cast("long").as("pos"), col("mean_q"))
+      .orderBy(col(centroidIdCol), col("pos"))
+  }
+
   def ivfTopK(
       vecs: DataFrame, centroids: DataFrame, query: DataFrame,
       k: Int, nProbe: Int = 2,

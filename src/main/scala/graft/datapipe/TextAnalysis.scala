@@ -81,6 +81,46 @@ object TextAnalysis {
         least(col("stopword_ratio") * 5.0, lit(1.0)) * 0.3 +
         when(col("mean_token_len").between(3.0, 10.0), 0.2).otherwise(0.0)))
 
+  /** PII patterns chosen to evaluate identically under Java regex and
+    * RE2-style engines (no backreferences, no lookaround): email, URL,
+    * international phone (+digits form).
+    */
+  val emailRe = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-z]{2,}"
+  val urlRe = "https?://[^\\s]+"
+  val phoneRe = "\\+[0-9]{7,15}"
+
+  /** Per-document PII hit counts — pure map, codegen'd. */
+  def withPiiCounts(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs
+      .withColumn("n_emails", size(regexp_extract_all(col(textCol), lit(emailRe), lit(0))).cast("long"))
+      .withColumn("n_urls", size(regexp_extract_all(col(textCol), lit(urlRe), lit(0))).cast("long"))
+      .withColumn("n_phones", size(regexp_extract_all(col(textCol), lit(phoneRe), lit(0))).cast("long"))
+
+  /** PII redaction: emails/URLs/phones replaced with typed tags — the
+    * scrub step of a training-data pipeline. Order matters (emails before
+    * URLs would break mailto-in-URL cases; URLs first is canonical).
+    */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, urlRe, "<URL>"),
+        emailRe, "<EMAIL>"),
+      phoneRe, "<PHONE>")
+
+  /** Repetition metrics: duplicated-token ratio (1 - distinct/total) and
+    * duplicated-line ratio — degenerate-document detectors. Per-row
+    * arithmetic only: deterministic doubles, no cross-row FP.
+    */
+  def withRepetition(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = tokens(col(textCol))
+    val lines = split(col(textCol), "\\n")
+    docs
+      .withColumn("dup_token_ratio",
+        lit(1.0) - size(array_distinct(t)).cast("double") / size(t).cast("double"))
+      .withColumn("dup_line_ratio",
+        lit(1.0) - size(array_distinct(lines)).cast("double") / size(lines).cast("double"))
+  }
+
   /** Stable content fingerprint (md5 of normalized text) for exact dedup
     * and change detection.
     */

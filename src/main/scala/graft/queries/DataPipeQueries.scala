@@ -80,6 +80,45 @@ object DataPipeQueries {
       Similarity.ivfTopK(e, centroids, e.where(col("vec_id") === 0), k = 20, nProbe = 3)
     }),
 
+    // PII scrub: documents ∪ injected PII rows (ids +200000, crafted
+    // email/url/phone suffix) -> per-source hit counts + redaction delta.
+    "pii_scrub" -> ((s, dir) => {
+      val base = docs(s, dir).select("doc_id", "source", "text")
+      val injected = base.where(col("doc_id") < 40)
+        .select((col("doc_id") + 200000L).as("doc_id"),
+          lit("pii").as("source"),
+          concat(col("text"),
+            lit(" contact bob.smith@example.com or https://example.com/x?q=1 or +14155551234"))
+            .as("text"))
+      val all = base.unionByName(injected)
+      TextAnalysis.withPiiCounts(all)
+        .withColumn("len_delta",
+          length(col("text")) - length(TextAnalysis.redactPii(col("text"))))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_emails")).as("emails"),
+          sum(col("n_urls")).as("urls"),
+          sum(col("n_phones")).as("phones"),
+          sum(col("len_delta").cast("long")).as("len_delta"))
+        .orderBy("source")
+    }),
+
+    // Repetition detection: degenerate docs = high duplicated-token ratio.
+    "rep_detect" -> ((s, dir) =>
+      TextAnalysis.withRepetition(docs(s, dir))
+        .where(col("dup_token_ratio") > 0.5)
+        .select("doc_id", "dup_token_ratio", "dup_line_ratio")
+        .orderBy("doc_id")),
+
+    // One k-means refinement iteration over the embeddings (centroids =
+    // every 50th vector) — exact integer means, fully oracle-checkable.
+    "sim4_kmeans_iter" -> ((s, dir) => {
+      val e = embs(s, dir)
+      val centroids = e.where(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("centroid_id"), col("embedding"))
+      Similarity.kmeansIter(e, centroids)
+    }),
+
     "t1_text_quality" -> ((s, dir) =>
       TextAnalysis.withQuality(docs(s, dir))
         .withColumn("quality", TextAnalysis.qualityScore)
@@ -271,6 +310,63 @@ object DataPipeQueries {
          |         / (sqrt(${dotD("a.q", "a.q")}) * sqrt(${dotD("qy", "qy")})) AS cosine
          |FROM assigned a JOIN probes USING (centroid_id) CROSS JOIN qq
          |ORDER BY cosine DESC, a.vec_id LIMIT 20""".stripMargin,
+    "pii_scrub" ->
+      """WITH base AS (
+        |  SELECT doc_id, source, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 200000, 'pii',
+        |         text || ' contact bob.smith@example.com or https://example.com/x?q=1 or +14155551234'
+        |  FROM documents WHERE doc_id < 40),
+        |c AS (
+        |  SELECT source,
+        |    len(regexp_extract_all(text, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-z]{2,}')) AS e,
+        |    len(regexp_extract_all(text, 'https?://[^\s]+')) AS u,
+        |    len(regexp_extract_all(text, '\+[0-9]{7,15}')) AS p,
+        |    length(text) - length(
+        |      regexp_replace(
+        |        regexp_replace(
+        |          regexp_replace(text, 'https?://[^\s]+', '<URL>', 'g'),
+        |          '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
+        |        '\+[0-9]{7,15}', '<PHONE>', 'g')) AS d
+        |  FROM base)
+        |SELECT source, count(*) AS n_docs,
+        |       CAST(sum(e) AS BIGINT) AS emails,
+        |       CAST(sum(u) AS BIGINT) AS urls,
+        |       CAST(sum(p) AS BIGINT) AS phones,
+        |       CAST(sum(d) AS BIGINT) AS len_delta
+        |FROM c GROUP BY source ORDER BY source""".stripMargin,
+    "rep_detect" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    string_split_regex(lower(trim(text)), '\s+') AS tk,
+        |    string_split(text, chr(10)) AS ln
+        |  FROM documents)
+        |SELECT doc_id,
+        |  1.0 - CAST(len(list_distinct(tk)) AS DOUBLE) / CAST(len(tk) AS DOUBLE) AS dup_token_ratio,
+        |  1.0 - CAST(len(list_distinct(ln)) AS DOUBLE) / CAST(len(ln) AS DOUBLE) AS dup_line_ratio
+        |FROM t
+        |WHERE (1.0 - CAST(len(list_distinct(tk)) AS DOUBLE) / CAST(len(tk) AS DOUBLE)) > 0.5
+        |ORDER BY doc_id""".stripMargin,
+    "sim4_kmeans_iter" ->
+      s"""WITH $quantCte,
+         |cents AS (SELECT vec_id AS centroid_id, q AS qc FROM qv WHERE vec_id % 50 = 0),
+         |ac AS (
+         |  SELECT v.vec_id, c.centroid_id, v.q,
+         |         ${dotD("v.q", "c.qc")}
+         |           / (sqrt(${dotD("v.q", "v.q")}) * sqrt(${dotD("c.qc", "c.qc")})) AS cosine
+         |  FROM qv v CROSS JOIN cents c),
+         |assigned AS (
+         |  SELECT vec_id, centroid_id, q FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cosine DESC, centroid_id) AS rn
+         |    FROM ac)
+         |  WHERE rn = 1),
+         |pe AS (
+         |  SELECT centroid_id, i - 1 AS pos, q[i] AS v
+         |  FROM assigned
+         |  CROSS JOIN LATERAL (SELECT unnest(generate_series(1, len(q))) AS i))
+         |SELECT centroid_id, CAST(pos AS BIGINT) AS pos,
+         |       CAST(sum(v) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mean_q
+         |FROM pe GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "t1_text_quality" ->
       s"""$tokCte,
          |q AS (

@@ -16,6 +16,41 @@ class SimilaritySpec extends SparkSpec {
     assert(math.abs(top.head.getAs[Double]("cosine") - 1.0) < 1e-9)
   }
 
+  test("kmeans iteration: singleton clusters reproduce their own vector") {
+    val s = spark; import s.implicits._
+    // orthogonal unit vectors: each is its own nearest centroid, so the
+    // refined centroid equals the (quantized) vector itself
+    val vecs = Seq(
+      (0L, Seq(1.0f, 0.0f, 0.0f)),
+      (1L, Seq(0.0f, 1.0f, 0.0f)),
+      (2L, Seq(0.0f, 0.0f, 1.0f))
+    ).toDF("vec_id", "embedding")
+    val cents = vecs.select(col("vec_id").as("centroid_id"), col("embedding"))
+    val out = Similarity.kmeansIter(vecs, cents).collect()
+    assert(out.length == 9) // 3 centroids x 3 dims
+    out.foreach { r =>
+      val cid = r.getAs[Long]("centroid_id"); val pos = r.getAs[Long]("pos")
+      val expected = if (cid == pos) 1000000.0 else 0.0
+      assert(r.getAs[Double]("mean_q") == expected, s"cid=$cid pos=$pos")
+    }
+  }
+
+  test("kmeans iteration: merged cluster means its members") {
+    val s = spark; import s.implicits._
+    val vecs = Seq(
+      (0L, Seq(1.0f, 0.0f)), (1L, Seq(1.0f, 0.2f)), // both near centroid 0
+      (2L, Seq(0.0f, 1.0f))
+    ).toDF("vec_id", "embedding")
+    val cents = Seq((0L, Seq(1.0f, 0.1f)), (9L, Seq(0.0f, 1.0f)))
+      .toDF("centroid_id", "embedding")
+    val out = Similarity.kmeansIter(vecs, cents).collect()
+      .map(r => (r.getAs[Long]("centroid_id"), r.getAs[Long]("pos")) -> r.getAs[Double]("mean_q"))
+      .toMap
+    assert(out((0L, 0L)) == 1000000.0)   // (1e6 + 1e6) / 2
+    assert(out((0L, 1L)) == 100000.0)    // (0 + 2e5) / 2
+    assert(out((9L, 1L)) == 1000000.0)
+  }
+
   test("IVF top-k with full probing equals brute force top-k") {
     val centroids = embs.where(col("vec_id") % 20 === 0)
       .select(col("vec_id").as("centroid_id"), col("embedding"))

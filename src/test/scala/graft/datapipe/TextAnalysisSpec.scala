@@ -47,6 +47,39 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(4L) == 5)
   }
 
+  test("PII counts and redaction") {
+    val s = spark; import s.implicits._
+    val df = Seq(
+      (1L, "mail a@b.com and see https://x.io/y or call +14155551234"),
+      (2L, "clean text with no identifiers at all")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.withPiiCounts(df)
+      .withColumn("red", TextAnalysis.redactPii(col("text")))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out(1L).getAs[Long]("n_emails") == 1L)
+    assert(out(1L).getAs[Long]("n_urls") == 1L)
+    assert(out(1L).getAs[Long]("n_phones") == 1L)
+    assert(out(1L).getAs[String]("red") ==
+      "mail <EMAIL> and see <URL> or call <PHONE>")
+    assert(out(2L).getAs[Long]("n_emails") == 0L)
+    assert(out(2L).getAs[String]("red") == "clean text with no identifiers at all")
+  }
+
+  test("repetition ratios flag degenerate documents") {
+    val s = spark; import s.implicits._
+    val df = Seq(
+      (1L, "spam spam spam spam"),           // 1 distinct / 4 -> 0.75
+      (2L, "all words here are different"),  // 0.0
+      (3L, "a\nb\na\nb")                     // dup lines 0.5
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.withRepetition(df).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Double]("dup_token_ratio"), r.getAs[Double]("dup_line_ratio"))).toMap
+    assert(out(1L)._1 == 0.75)
+    assert(out(2L)._1 == 0.0)
+    assert(out(3L)._2 == 0.5)
+  }
+
   test("fingerprints are normalization-stable") {
     val s = spark; import s.implicits._
     val df = Seq((1L, "  Hello World  "), (2L, "hello world")).toDF("doc_id", "text")
