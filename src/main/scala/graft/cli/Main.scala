@@ -74,6 +74,28 @@ object Main {
         .cleanupTerminal(cutoff)
       println(s"[jobs] cleanup: dropped $dropped terminal jobs older than $age")
 
+    case "symbols" :: root :: Nil =>
+      // distinct symbols with bar counts + date range, most data first
+      val spark = session()
+      spark.read.option("basePath", s"$root/raw").parquet(s"$root/raw")
+        .groupBy("symbol")
+        .agg(count(lit(1)).as("bars"), min("date").as("first_date"),
+          max("date").as("last_date"))
+        .orderBy(desc("bars"), col("symbol"))
+        .show(100, truncate = false)
+
+    case "files" :: root :: rest =>
+      val n = rest.headOption.map(_.toInt).getOrElse(20)
+      new graft.storage.ParquetStore(session(), s"$root/raw")
+        .listFilesRecent(n).show(n, truncate = false)
+
+    case "health" :: root :: Nil =>
+      sys.exit(if (health(session(), root)) 0 else 1)
+
+    case "factory-reset" :: root :: rest =>
+      factoryReset(session(), root,
+        confirm = rest.contains("--confirm"), dryRun = rest.contains("--dry-run"))
+
     case "metrics" :: root :: "list" :: Nil =>
       new MetricsStore(session(), s"$root/state/metrics").names()
         .collect().foreach(r => println(r.getString(0)))
@@ -255,6 +277,74 @@ object Main {
       .orderBy(desc("updated_at")).limit(10)
       .collect().foreach(r => println(s"  ${r.getAs[String]("job_id")} " +
         s"${r.getAs[String]("state")} updated=${r.getAs[Long]("updated_at")}"))
+  }
+
+  /** Installation health check (ref: cli/health_check.py:53-98): session,
+    * registry, fake provider fetch, data-dir writability, store/view
+    * readability, metrics store, and a mini end-to-end pipeline. Prints
+    * one PASS/FAIL line per check, returns overall status.
+    */
+  private[cli] def health(spark: SparkSession, root: String): Boolean = {
+    import graft.sources._
+    var ok = true
+    def check(name: String)(f: => Unit): Unit = {
+      val r = try { f; "PASS" } catch { case e: Throwable => ok = false; s"FAIL ${e.getMessage.take(80)}" }
+      println(f"[health] $name%-28s $r")
+    }
+    check("spark_session")(require(spark.version.nonEmpty))
+    check("provider_registry")(require(ProviderRegistry.list().nonEmpty))
+    check("fake_provider_fetch") {
+      val c = ProviderRegistry.get("fake").get(
+        ClientConfig("http://fake"), AuthStrategy.NoAuth, new FakeBarServer(1, 1))
+      require(c.fetchBatch("HLT", 0L, 60000000000L).nonEmpty)
+    }
+    check("data_dir_writable") {
+      val p = new org.apache.hadoop.fs.Path(s"$root/.health_probe")
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val o = fs.create(p, true); o.write(1); o.close(); fs.delete(p, false)
+    }
+    check("raw_store_readable") {
+      try spark.read.option("basePath", s"$root/raw").parquet(s"$root/raw").limit(1).collect()
+      catch { case _: org.apache.spark.sql.AnalysisException => () } // empty is healthy
+    }
+    check("views_queryable") {
+      new IngestPipeline(spark, s"$root/raw", s"$root/agg", s"$root/reports")
+        .query("SELECT count(*) FROM bars_5m").collect()
+    }
+    check("metrics_store")(new MetricsStore(spark, s"$root/state/metrics").names().collect())
+    check("end_to_end_pipeline") {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_health").toString
+      val pipe = new IngestPipeline(spark, s"$tmp/raw", s"$tmp/agg", s"$tmp/rep")
+      val bars = SyntheticSource.bars(spark, Seq("HLT"),
+        1704202200000000000L, 10)
+      val (clean, _) = pipe.runJob(bars, "health")
+      require(clean == 10L)
+    }
+    println(s"[health] overall: ${if (ok) "HEALTHY" else "UNHEALTHY"}")
+    ok
+  }
+
+  /** Nuclear data wipe (ref: cli/factory_reset.py:64-135): lists raw/agg/
+    * reports/state with sizes; deletes only with --confirm.
+    */
+  private[cli] def factoryReset(spark: SparkSession, root: String,
+                                confirm: Boolean, dryRun: Boolean): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val targets = Seq("raw", "agg", "reports", "state").map(d =>
+      new org.apache.hadoop.fs.Path(s"$root/$d"))
+    val existing = targets.filter(p => p.getFileSystem(conf).exists(p))
+    if (existing.isEmpty) { println("[factory-reset] nothing to remove"); return }
+    existing.foreach { p =>
+      val fs = p.getFileSystem(conf)
+      val bytes = fs.getContentSummary(p).getLength
+      println(f"[factory-reset] $p%-60s ${bytes}%12d bytes")
+    }
+    if (dryRun || !confirm) {
+      println("[factory-reset] DRY RUN (pass --confirm to delete)")
+    } else {
+      existing.foreach(p => p.getFileSystem(conf).delete(p, true))
+      println(s"[factory-reset] removed ${existing.length} trees")
+    }
   }
 
   /** CSV to stdout with header (ref: query.py --csv). */

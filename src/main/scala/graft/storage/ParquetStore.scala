@@ -92,6 +92,22 @@ final class ParquetStore(spark: SparkSession, root: String) {
     sortCol.fold(w)(c => w.sortBy(c)).saveAsTable(table)
   }
 
+  /** O5: data files, most recently modified first (ref: the reference's
+    * recent-first listing surface) — metadata only, no data scan.
+    */
+  def listFilesRecent(limit: Int = 100): DataFrame = {
+    val files = spark.read.option("basePath", root).parquet(root).inputFiles
+    import spark.implicits._
+    files.toSeq.map { f =>
+      val p = new org.apache.hadoop.fs.Path(f)
+      val st = p.getFileSystem(spark.sparkContext.hadoopConfiguration).getFileStatus(p)
+      (f, st.getLen, st.getModificationTime)
+    }.toDF("path", "bytes", "mod_time")
+      .orderBy(org.apache.spark.sql.functions.desc("mod_time"),
+        org.apache.spark.sql.functions.col("path"))
+      .limit(limit)
+  }
+
   /** Storage stats (ref: parquet_engine.py:500-535): file count, bytes —
     * from the file index, no data scan.
     */

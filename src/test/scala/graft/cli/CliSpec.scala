@@ -76,6 +76,23 @@ class CliSpec extends SparkSpec {
     assert(new JobRepo(spark, s"$root/state/jobs").load().count() == 0L)
   }
 
+  test("health check passes on a working install; factory-reset wipes") {
+    val root = newRoot()
+    Main.ingest(spark, root, Seq("INTC"), "2024-01-02", 10)
+    assert(Main.health(spark, root), "all health checks should pass")
+    // recent-first file listing (O5)
+    val files = new graft.storage.ParquetStore(spark, s"$root/raw").listFilesRecent(5)
+    assert(files.count() > 0)
+    assert(files.columns.toSeq == Seq("path", "bytes", "mod_time"))
+    Main.factoryReset(spark, root, confirm = false, dryRun = true)
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$root/raw")), "dry run keeps data")
+    Main.factoryReset(spark, root, confirm = true, dryRun = false)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$root/raw")))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$root/state")))
+  }
+
   test("jobs cleanup compacts the append log") {
     val root = newRoot()
     Main.ingest(spark, root, Seq("AMD"), "2024-01-02", 30)
