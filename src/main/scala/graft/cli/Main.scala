@@ -38,6 +38,19 @@ object Main {
     case "ingest" :: root :: syms :: start :: nBars :: Nil =>
       ingest(session(), root, syms.split(",").toSeq, start, nBars.toInt)
 
+    case "ingest" :: "--config" :: path :: Nil =>
+      // config-driven ingest (ref: cli/ohlcv_ingest.py --config): one job
+      // per day in [start, end], weekdays only
+      val cfg = graft.config.IngestConfig.load(path)
+      val spark = session()
+      var d = java.time.LocalDate.parse(cfg.start)
+      val end = java.time.LocalDate.parse(cfg.end)
+      while (!d.isAfter(end)) {
+        val dow = d.getDayOfWeek.getValue
+        if (dow <= 5) ingest(spark, cfg.outputPath, cfg.symbols, d.toString, 390)
+        d = d.plusDays(1)
+      }
+
     case "query" :: root :: sql :: rest =>
       val spark = session()
       val limit = rest.find(_.forall(_.isDigit)).map(_.toInt).getOrElse(50)
