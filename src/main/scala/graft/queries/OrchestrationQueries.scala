@@ -253,6 +253,22 @@ object OrchestrationQueries {
       s.sql("SELECT * FROM t2_stream_sink ORDER BY symbol, ts_ns")
     }),
 
+    // Post-ingestion verification: one requested symbol fully covered, one
+    // covered but short of the requested end, one with no data at all.
+    "v2_post_ingest_verification" -> ((s, _) => {
+      val root = tmp("graft_v2")
+      val store = new ParquetStore(s, root)
+      // AAA: 2 full days (2024-01-02/03); DDD: day 1 only
+      store.write(detBars(s, Seq("AAA" -> 0), 2880), FrameSpec.F1m)
+      store.write(detBars(s, Seq("DDD" -> 4), 1440), FrameSpec.F1m,
+        mode = org.apache.spark.sql.SaveMode.Append)
+      graft.validate.IngestVerification.verify(
+        s.read.option("basePath", root).parquet(root),
+        Seq("AAA", "DDD", "MISSING"),
+        "2024-01-02", "2024-01-03", toleranceDays = 0)
+        .orderBy("symbol")
+    }),
+
     // T9: retention prune — write 3 days of bars, select + delete
     // partitions before day 2, read back the survivors.
     "t9_prune_roundtrip" -> ((s, _) => {
@@ -322,6 +338,15 @@ object OrchestrationQueries {
          |GROUP BY symbol, date ORDER BY symbol, date""".stripMargin,
     "s2_empty_view_fallback" ->
       "SELECT CAST(0 AS BIGINT) AS n_rows, CAST(7 AS BIGINT) AS n_cols",
+    "v2_post_ingest_verification" ->
+      """SELECT * FROM (VALUES
+        |  ('AAA', DATE '2024-01-02', DATE '2024-01-03', CAST(2880 AS BIGINT), true, CAST(NULL AS VARCHAR)),
+        |  ('DDD', DATE '2024-01-02', DATE '2024-01-02', CAST(1440 AS BIGINT), false,
+        |   'Coverage 2024-01-02..2024-01-02 misses requested 2024-01-02..2024-01-03'),
+        |  ('MISSING', CAST(NULL AS DATE), CAST(NULL AS DATE), CAST(0 AS BIGINT), false,
+        |   'No data found for MISSING'))
+        |  t(symbol, actual_start, actual_end, total_bars, passed, error_message)
+        |ORDER BY symbol""".stripMargin,
     "s9_report_roundtrip" ->
       """SELECT 'negative_volume' AS reason, CAST(1 AS BIGINT) AS n""",
     "s12_metrics_roundtrip" ->

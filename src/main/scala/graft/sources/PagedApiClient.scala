@@ -108,8 +108,9 @@ abstract class PagedApiClient(
         case Right(json) if !shouldRetry(r.status, json) && r.status < 400 =>
           return json
         case _ if !shouldRetry(r.status, parsed.getOrElse(JNothing)) =>
-          throw new RuntimeException(
-            s"provider request failed: status=${r.status} body=${r.body.take(200)}")
+          throw new RuntimeException(graft.security.Mask.safeForLog(
+            s"provider request failed: status=${r.status} body=${r.body.take(200)}",
+            config.apiKey))
         case _ => // retryable
           if (r.status == 429) {
             r.header("Retry-After").flatMap(_.toLongOption).foreach { sec =>
@@ -118,9 +119,10 @@ abstract class PagedApiClient(
           }
           attempt += 1
           if (attempt > config.maxRetries)
-            throw new RuntimeException(
+            throw new RuntimeException(graft.security.Mask.safeForLog(
               s"provider request exceeded ${config.maxRetries} retries: " +
-                s"status=${r.status} body=${r.body.take(200)}")
+                s"status=${r.status} body=${r.body.take(200)}",
+              config.apiKey))
           sleepMs(backoffMs(attempt))
       }
     }

@@ -40,11 +40,13 @@ class ProviderClientSpec extends SparkSpec {
     assert(sleeps.toSeq == Seq(200L, 400L)) // base * 2^(attempt-1)
   }
 
-  test("throws after maxRetries exhausted") {
+  test("throws after maxRetries exhausted, masking the api key") {
     val server = new FakeBarServer(nBars = 10, pageSize = 10, failFirstN = 99)
-    val client = new BarFeedClient(cfg, AuthStrategy.NoAuth, server, sleepMs = noSleep)
+    val secretCfg = cfg.copy(apiKey = "SUPERSECRET99")
+    val client = new BarFeedClient(secretCfg, AuthStrategy.NoAuth, server, sleepMs = noSleep)
     val e = intercept[RuntimeException](client.fetchBatch("T", 0L, 1L))
     assert(e.getMessage.contains("exceeded 3 retries"))
+    assert(!e.getMessage.contains("SUPERSECRET99"))
   }
 
   test("429 Retry-After freezes the rate limiter until the resume time") {
