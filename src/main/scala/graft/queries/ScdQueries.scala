@@ -50,6 +50,29 @@ object ScdQueries {
         .select("id", "natural_key", "company_name", "valid_from")
         .orderBy("id")),
 
+    // S15 full: paged symbol-list provider feed -> identifier validation ->
+    // natural keys. The fake feed constructs real FIGI check digits (every
+    // 7th corrupted), so the valid count is known by construction.
+    "s15_symbol_feed_ingest" -> ((s, dir) => {
+      import graft.sources._
+      import graft.symbols.Normalizer
+      val client = new SymbolFeedClient(
+        ClientConfig("http://fake"), AuthStrategy.NoAuth,
+        new FakeSymbolServer(nSymbols = 500, pageSize = 97))
+      val snap = client.fetchSymbols(s)
+        .withColumnRenamed("mic", "exchange_mic")
+        .withColumn("cusip", lit(null).cast("string"))
+        .withColumn("isin", lit(null).cast("string"))
+        .withColumn("cik", lit(null).cast("string"))
+      val validated = Normalizer.withNaturalKey(
+        Normalizer.withIdentifierValidity(snap))
+      validated.agg(
+        count(lit(1)).as("n"),
+        sum(col("figi_valid").cast("long")).as("n_valid_figi"),
+        sum(col("mic_valid").cast("long")).as("n_valid_mic"),
+        countDistinct(col("natural_key")).as("n_distinct_keys"))
+    }),
+
     // Identifier format + check-digit validation over md5-derived candidate
     // strings (mixed valid/invalid) plus known-good public identifiers; the
     // oracle reproduces the full checksum math in SQL.
@@ -141,6 +164,13 @@ object ScdQueries {
        |    CASE WHEN i % 2 = 0 THEN (v*2)//10 + (v*2)%10 ELSE v//10 + v%10 END))""".stripMargin
 
   def oracles: Map[String, String] = Map(
+    "s15_symbol_feed_ingest" ->
+      """WITH g AS (SELECT unnest(range(0, 500)) AS i)
+        |SELECT count(*) AS n,
+        |       CAST(sum(CASE WHEN i % 7 <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_valid_figi,
+        |       CAST(count(*) AS BIGINT) AS n_valid_mic,
+        |       count(DISTINCT i) AS n_distinct_keys
+        |FROM g""".stripMargin,
     "sym_identifier_validation" ->
       s"""WITH h AS (
          |  SELECT md5(CAST(c_custkey AS VARCHAR)) AS hx, c_custkey, c_mktsegment

@@ -89,6 +89,20 @@ class ProviderClientSpec extends SparkSpec {
     assert(client.isInstanceOf[BarFeedClient])
   }
 
+  test("symbol feed: paged fetch, real FIGI check digits, 1-in-7 corrupted") {
+    val client = new SymbolFeedClient(cfg, AuthStrategy.NoAuth,
+      new FakeSymbolServer(nSymbols = 50, pageSize = 13))
+    val snap = client.fetchSymbols(spark)
+    assert(snap.count() == 50L)
+    val validated = graft.symbols.Normalizer.withIdentifierValidity(
+      snap.withColumnRenamed("mic", "exchange_mic")
+        .withColumn("cusip", lit(null).cast("string"))
+        .withColumn("isin", lit(null).cast("string"))
+        .withColumn("cik", lit(null).cast("string")))
+    val nValid = validated.where(col("figi_valid")).count()
+    assert(nValid == 50L - 8L) // i % 7 == 0 for 8 of 0..49
+  }
+
   test("e2e: paged ingest lands a canonical distributed bars frame") {
     val server = new FakeBarServer(nBars = 1000, pageSize = 137)
     val state = new ClientState.InMemory
