@@ -88,4 +88,38 @@ object StreamingIngest {
           SymbolUpdate(symbol, next.lastTs, next.dayVolume, next.barCount)
       }.toDF()
   }
+
+  /** T5 streaming twin: live gap detection via flatMapGroupsWithState.
+    * Per symbol, keeps the last seen bar timestamp; whenever a batch's
+    * bars (sorted by ts) jump more than `barNs` past the previous bar, one
+    * gap event (symbol, gap_start_ns, gap_end_ns, missing_bars) is emitted
+    * immediately — the streaming analogue of `GapDetector.missingDays`,
+    * without waiting for a batch scan. State is one long per symbol.
+    */
+  final case class GapState(lastTs: Long)
+  final case class GapEvent(symbol: String, gap_start_ns: Long, gap_end_ns: Long,
+                            missing_bars: Long)
+
+  def detectGaps(spark: SparkSession, bars: DataFrame,
+                 barNs: Long = 60000000000L): DataFrame = {
+    import spark.implicits._
+    bars.selectExpr("symbol", "ts_ns", "volume").as[InBar]
+      .groupByKey(_.symbol)
+      .flatMapGroupsWithState[GapState, GapEvent](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (symbol: String, rows: Iterator[InBar], state: GroupState[GapState]) =>
+          val sorted = rows.toSeq.sortBy(_.ts_ns)
+          var last = state.getOption.map(_.lastTs).getOrElse(Long.MinValue)
+          val gaps = Seq.newBuilder[GapEvent]
+          sorted.foreach { b =>
+            if (last != Long.MinValue && b.ts_ns > last + barNs) {
+              gaps += GapEvent(symbol, last + barNs, b.ts_ns,
+                (b.ts_ns - last) / barNs - 1)
+            }
+            if (b.ts_ns > last) last = b.ts_ns
+          }
+          if (last != Long.MinValue) state.update(GapState(last))
+          gaps.result().iterator
+      }.toDF()
+  }
 }

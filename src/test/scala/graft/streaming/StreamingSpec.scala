@@ -95,4 +95,29 @@ class StreamingSpec extends SparkSpec {
       assert(last.getAs[Long]("barCount") == 3L)
     } finally q.stop()
   }
+
+  test("flatMapGroupsWithState emits gap events across micro-batches") {
+    val s = spark; import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val bar = 60000000000L
+    val mem = MemoryStream[B]
+    val out = StreamingIngest.detectGaps(spark, mem.toDF(), barNs = bar)
+    val q = out.writeStream.format("memory").queryName("gapevents")
+      .outputMode("append")
+      .option("checkpointLocation", tmpDir("ckpt5")).start()
+    try {
+      // batch 1: bars at minute 0, 1, then a 3-bar hole, then minute 5
+      mem.addData(B("AAPL", 0L, 1L), B("AAPL", bar, 1L), B("AAPL", 5 * bar, 1L))
+      q.processAllAvailable()
+      // batch 2: a cross-batch gap (minute 5 -> minute 8) + a clean symbol
+      mem.addData(B("AAPL", 8 * bar, 1L), B("MSFT", 0L, 1L))
+      q.processAllAvailable()
+      mem.addData(B("MSFT", bar, 1L)) // consecutive: no gap
+      q.processAllAvailable()
+      val gaps = spark.sql("SELECT * FROM gapevents ORDER BY symbol, gap_start_ns")
+        .collect().map(r => (r.getAs[String]("symbol"),
+          r.getAs[Long]("gap_start_ns") / bar, r.getAs[Long]("missing_bars")))
+      assert(gaps.toSeq == Seq(("AAPL", 2L, 3L), ("AAPL", 6L, 2L)))
+    } finally q.stop()
+  }
 }
