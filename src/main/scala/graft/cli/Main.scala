@@ -90,12 +90,15 @@ object Main {
     case "symbols" :: root :: Nil =>
       // distinct symbols with bar counts + date range, most data first
       val spark = session()
-      spark.read.option("basePath", s"$root/raw").parquet(s"$root/raw")
+      try spark.read.option("basePath", s"$root/raw").parquet(s"$root/raw")
         .groupBy("symbol")
         .agg(count(lit(1)).as("bars"), min("date").as("first_date"),
           max("date").as("last_date"))
         .orderBy(desc("bars"), col("symbol"))
         .show(100, truncate = false)
+      catch { case _: org.apache.spark.sql.AnalysisException =>
+        println("[symbols] store is empty")
+      }
 
     case "files" :: root :: rest =>
       val n = rest.headOption.map(_.toInt).getOrElse(20)

@@ -76,7 +76,12 @@ object Multimodal {
       it.map { r =>
         val id = r.getLong(0)
         val bytes = r.getAs[Array[Byte]](1)
-        val w = 64L + (if (bytes.isEmpty) 0L else (bytes(0) & 0x3f).toLong)
+        // first *character* codepoint of the UTF-8 decode, matching the
+        // expression stub's ascii(substring(cast-to-string)) — a raw
+        // first-byte read would diverge on multi-byte characters
+        val s = new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
+        val c = if (s.isEmpty) 0 else s.codePointAt(0)
+        val w = 64L + (c % 64).toLong
         val h = 64L + (bytes.length % 64).toLong
         Row(id, w, h, "fake/rgb8", bytes.length.toLong)
       }

@@ -85,7 +85,7 @@ object TextAnalysis {
     * RE2-style engines (no backreferences, no lookaround): email, URL,
     * international phone (+digits form).
     */
-  val emailRe = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-z]{2,}"
+  val emailRe = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
   val urlRe = "https?://[^\\s]+"
   val phoneRe = "\\+[0-9]{7,15}"
 

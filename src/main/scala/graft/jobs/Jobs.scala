@@ -66,7 +66,7 @@ final class JobRepo(spark: SparkSession, path: String) {
   }
 
   private def append(jobs: Seq[Job]): Unit =
-    jobs.toDF().withColumn("seq", lit(System.nanoTime()))
+    jobs.toDF().withColumn("seq", lit(JobRepo.nextSeq()))
       .repartition(1).write.mode(SaveMode.Append).parquet(path)
 
   def save(jobs: Seq[Job]): Unit = append(jobs)
@@ -94,7 +94,7 @@ final class JobRepo(spark: SparkSession, path: String) {
   def compact(keep: Job => Boolean = _ => true): Long = {
     val latest = load().as[Job].collect()
     val kept = latest.filter(keep)
-    kept.toSeq.toDF().withColumn("seq", lit(System.nanoTime()))
+    kept.toSeq.toDF().withColumn("seq", lit(JobRepo.nextSeq()))
       .repartition(1).write.mode(SaveMode.Overwrite).parquet(path)
     latest.length - kept.length
   }
@@ -108,6 +108,17 @@ final class JobRepo(spark: SparkSession, path: String) {
     */
   def pruneByDay(cutoffDay: String): Long =
     compact(j => !(JobState.isTerminal(j.state) && j.day < cutoffDay))
+}
+
+object JobRepo {
+  // wall-clock-anchored strictly increasing sequence: survives JVM
+  // restarts (nanoTime does not — it can reset below older entries and
+  // make latest-wins return stale rows) while staying unique within a
+  // process even for appends in the same microsecond
+  private val seqGen = new java.util.concurrent.atomic.AtomicLong(0L)
+  private[jobs] def nextSeq(): Long =
+    seqGen.updateAndGet(prev =>
+      math.max(prev + 1, System.currentTimeMillis() * 1000000L))
 }
 
 /** Per-symbol ingestion checkpoints = last processed ts_ns

@@ -319,14 +319,14 @@ object DataPipeQueries {
         |  FROM documents WHERE doc_id < 40),
         |c AS (
         |  SELECT source,
-        |    len(regexp_extract_all(text, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-z]{2,}')) AS e,
+        |    len(regexp_extract_all(text, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}')) AS e,
         |    len(regexp_extract_all(text, 'https?://[^\s]+')) AS u,
         |    len(regexp_extract_all(text, '\+[0-9]{7,15}')) AS p,
         |    length(text) - length(
         |      regexp_replace(
         |        regexp_replace(
         |          regexp_replace(text, 'https?://[^\s]+', '<URL>', 'g'),
-        |          '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
+        |          '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}', '<EMAIL>', 'g'),
         |        '\+[0-9]{7,15}', '<PHONE>', 'g')) AS d
         |  FROM base)
         |SELECT source, count(*) AS n_docs,

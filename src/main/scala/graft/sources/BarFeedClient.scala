@@ -112,7 +112,8 @@ final class FakeBarServer(
     pageSize: Int,
     failFirstN: Int = 0,
     failStatus: Int = 500,
-    retryAfterSec: Long = -1L) extends HttpClient {
+    retryAfterSec: Long = -1L,
+    failAtRequest: Int = -1) extends HttpClient {
 
   val requests = scala.collection.mutable.ArrayBuffer.empty[(String, Map[String, String], Map[String, String])]
   private var failures = failFirstN
@@ -120,6 +121,8 @@ final class FakeBarServer(
   def get(url: String, params: Map[String, String],
           headers: Map[String, String], timeoutMs: Long): HttpResponse = synchronized {
     requests += ((url, params, headers))
+    if (requests.length == failAtRequest)
+      return HttpResponse(404, Map.empty, """{"error":"hard failure"}""")
     if (failures > 0) {
       failures -= 1
       val hdrs = if (retryAfterSec >= 0) Map("Retry-After" -> retryAfterSec.toString)

@@ -27,6 +27,11 @@ trait HttpClient {
 trait AuthStrategy {
   def apply(headers: Map[String, String], params: Map[String, String])
       : (Map[String, String], Map[String, String])
+
+  /** Secret material this strategy injects — used to mask error/log text
+    * (a provider error body can echo the request URL/params).
+    */
+  def secrets: Seq[String] = Seq.empty
 }
 
 object AuthStrategy {
@@ -34,6 +39,7 @@ object AuthStrategy {
   final case class TokenAuth(token: String) extends AuthStrategy {
     def apply(h: Map[String, String], p: Map[String, String]) =
       (h + ("Authorization" -> s"Bearer $token"), p)
+    override def secrets: Seq[String] = Seq(token)
   }
 
   /** Key-id + secret header pair (vendor-style two-header auth). */
@@ -42,12 +48,14 @@ object AuthStrategy {
       secretHeader: String, secret: String) extends AuthStrategy {
     def apply(h: Map[String, String], p: Map[String, String]) =
       (h + (keyHeader -> keyId) + (secretHeader -> secret), p)
+    override def secrets: Seq[String] = Seq(keyId, secret)
   }
 
   /** Token passed as a query parameter. */
   final case class QueryTokenAuth(param: String, token: String) extends AuthStrategy {
     def apply(h: Map[String, String], p: Map[String, String]) =
       (h, p + (param -> token))
+    override def secrets: Seq[String] = Seq(token)
   }
 
   case object NoAuth extends AuthStrategy {

@@ -110,7 +110,7 @@ abstract class PagedApiClient(
         case _ if !shouldRetry(r.status, parsed.getOrElse(JNothing)) =>
           throw new RuntimeException(graft.security.Mask.safeForLog(
             s"provider request failed: status=${r.status} body=${r.body.take(200)}",
-            config.apiKey))
+            (config.apiKey +: auth.secrets): _*))
         case _ => // retryable
           if (r.status == 429) {
             r.header("Retry-After").flatMap(_.toLongOption).foreach { sec =>
@@ -122,35 +122,44 @@ abstract class PagedApiClient(
             throw new RuntimeException(graft.security.Mask.safeForLog(
               s"provider request exceeded ${config.maxRetries} retries: " +
                 s"status=${r.status} body=${r.body.take(200)}",
-              config.apiKey))
+              (config.apiKey +: auth.secrets): _*))
           sleepMs(backoffMs(attempt))
       }
     }
     throw new IllegalStateException("unreachable")
   }
 
-  /** Cursor-driven page iterator (ref: base_api_client.py:75-100). */
-  final def paginate(symbol: String, startNs: Long, endNs: Long): Iterator[JValue] =
+  /** Cursor-driven page iterator (ref: base_api_client.py:75-100). With
+    * `resume`, the first request starts from the symbol's saved checkpoint
+    * cursor (a previous run's last emitted next-page token) instead of the
+    * beginning; the checkpoint is cleared on successful exhaustion so a
+    * later fresh fetch starts over.
+    */
+  final def paginate(symbol: String, startNs: Long, endNs: Long,
+                     resume: Boolean = false): Iterator[JValue] =
     new Iterator[JValue] {
-      private var cursor: Option[String] = None
+      private var cursor: Option[String] =
+        if (resume) loadCheckpoint(symbol).filter(_.nonEmpty) else None
       private var exhausted = false
       def hasNext: Boolean = !exhausted
       def next(): JValue = {
         val page = request(symbol, buildParams(symbol, startNs, endNs, cursor))
         cursor = nextCursor(page)
         cursor.foreach(saveCheckpoint(symbol, _))
-        if (cursor.isEmpty) exhausted = true
+        if (cursor.isEmpty) { exhausted = true; saveCheckpoint(symbol, "") }
         page
       }
     }
 
   /** Fetch and parse every page for one (symbol, range). */
-  final def fetchBatch(symbol: String, startNs: Long, endNs: Long)
+  final def fetchBatch(symbol: String, startNs: Long, endNs: Long,
+                       resume: Boolean = false)
       : Seq[PagedProviderSource.ProviderRecord] =
-    paginate(symbol, startNs, endNs).flatMap(parsePage).toSeq
+    paginate(symbol, startNs, endNs, resume).flatMap(parsePage).toSeq
 
   /** Page stream in [[PagedProviderSource.toBars]] shape. */
-  final def pages(symbol: String, startNs: Long, endNs: Long)
+  final def pages(symbol: String, startNs: Long, endNs: Long,
+                  resume: Boolean = false)
       : Iterator[Seq[PagedProviderSource.ProviderRecord]] =
-    paginate(symbol, startNs, endNs).map(parsePage)
+    paginate(symbol, startNs, endNs, resume).map(parsePage)
 }

@@ -40,8 +40,11 @@ final class SymbolFeedClient(
   def symbolPage(page: JValue): Seq[(String, String, String, String)] =
     page \ "symbols" match {
       case JArray(items) => items.flatMap { s =>
-        (s \ "ticker", s \ "name", s \ "mic", s \ "figi") match {
-          case (JString(t), JString(n), JString(m), JString(f)) => Some((t, n, m, f))
+        // figi is optional (null/absent lands a null column — the natural
+        // key falls back to ticker|mic downstream); the rest are required
+        val figi = s \ "figi" match { case JString(f) => f; case _ => null }
+        (s \ "ticker", s \ "name", s \ "mic") match {
+          case (JString(t), JString(n), JString(m)) => Some((t, n, m, figi))
           case _ => None
         }
       }

@@ -38,26 +38,29 @@ final class TokenBucket(
     lastRefillNs = now
   }
 
-  /** Block until `n` tokens are available; returns total ms waited. */
-  def acquire(n: Int = 1): Long = synchronized {
+  /** Block until `n` tokens are available; returns total ms waited.
+    * Sleeps happen OUTSIDE the monitor: another thread's
+    * [[notifyRetryAfter]] (or acquire) must never block behind a waiter's
+    * sleep — state is examined under the lock, waited out unlocked, then
+    * re-examined.
+    */
+  def acquire(n: Int = 1): Long = {
     require(n <= capacity, s"cannot acquire $n tokens, capacity is $capacity")
     var waitedMs = 0L
-    var done = false
-    while (!done) {
-      val now = nanoTime()
-      if (now < retryAfterUntilNs) {
-        val ms = (retryAfterUntilNs - now) / 1000000L + 1
-        waitsCount += 1
-        sleepMs(ms); waitedMs += ms
-      } else {
-        refill()
-        if (tokens >= n) { tokens -= n; done = true }
-        else {
-          val ms = math.ceil((n - tokens) / refillPerSec * 1000.0).toLong.max(1L)
+    while (true) {
+      val sleepForMs: Long = synchronized {
+        val now = nanoTime()
+        if (now < retryAfterUntilNs) {
           waitsCount += 1
-          sleepMs(ms); waitedMs += ms
+          (retryAfterUntilNs - now) / 1000000L + 1
+        } else {
+          refill()
+          if (tokens >= n) { tokens -= n; return waitedMs }
+          waitsCount += 1
+          math.ceil((n - tokens) / refillPerSec * 1000.0).toLong.max(1L)
         }
       }
+      sleepMs(sleepForMs); waitedMs += sleepForMs
     }
     waitedMs
   }

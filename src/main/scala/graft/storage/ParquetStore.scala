@@ -93,16 +93,24 @@ final class ParquetStore(spark: SparkSession, root: String) {
   }
 
   /** O5: data files, most recently modified first (ref: the reference's
-    * recent-first listing surface) — metadata only, no data scan.
+    * recent-first listing surface) — metadata only, no data scan. Empty or
+    * missing store lists as zero rows; statuses come from one listStatus
+    * per parent directory, not one RPC per file.
     */
   def listFilesRecent(limit: Int = 100): DataFrame = {
-    val files = spark.read.option("basePath", root).parquet(root).inputFiles
     import spark.implicits._
-    files.toSeq.map { f =>
-      val p = new org.apache.hadoop.fs.Path(f)
-      val st = p.getFileSystem(spark.sparkContext.hadoopConfiguration).getFileStatus(p)
-      (f, st.getLen, st.getModificationTime)
-    }.toDF("path", "bytes", "mod_time")
+    val files =
+      try spark.read.option("basePath", root).parquet(root).inputFiles
+      catch { case _: org.apache.spark.sql.AnalysisException => Array.empty[String] }
+    val conf = spark.sparkContext.hadoopConfiguration
+    val byDir = files.map(new org.apache.hadoop.fs.Path(_)).groupBy(_.getParent)
+    val rows = byDir.toSeq.flatMap { case (dir, children) =>
+      val names = children.map(_.getName).toSet
+      dir.getFileSystem(conf).listStatus(dir)
+        .filter(st => names.contains(st.getPath.getName))
+        .map(st => (st.getPath.toString, st.getLen, st.getModificationTime))
+    }
+    rows.toDF("path", "bytes", "mod_time")
       .orderBy(org.apache.spark.sql.functions.desc("mod_time"),
         org.apache.spark.sql.functions.col("path"))
       .limit(limit)

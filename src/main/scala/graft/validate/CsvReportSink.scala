@@ -14,11 +14,16 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object CsvReportSink {
 
-  def write(errors: DataFrame, reportRoot: String, jobId: String): Unit =
+  def write(errors: DataFrame, reportRoot: String, jobId: String): Unit = {
+    // clear any previous run's report first: a re-run with different (or
+    // zero) error symbols must not leave stale per-symbol files behind —
+    // and the session may be in dynamic partition-overwrite mode, which
+    // would only replace the partitions present in THIS run
+    val dir = new Path(s"$reportRoot/$jobId")
+    val fs = dir.getFileSystem(errors.sparkSession.sparkContext.hadoopConfiguration)
+    if (fs.exists(dir)) fs.delete(dir, true)
     if (errors.isEmpty) {
       // reference parity: an empty report still materializes with a header
-      val dir = new Path(s"$reportRoot/$jobId")
-      val fs = dir.getFileSystem(errors.sparkSession.sparkContext.hadoopConfiguration)
       val out = fs.create(new Path(dir, "empty.csv"), true)
       out.write((errors.columns.mkString(",") + "\n").getBytes("UTF-8"))
       out.close()
@@ -31,6 +36,7 @@ object CsvReportSink {
         .partitionBy("symbol")
         .csv(s"$reportRoot/$jobId")
     }
+  }
 
   /** Job ids with reports on disk (ref: ohlcv_validate.py --list). */
   def list(spark: SparkSession, reportRoot: String): Seq[String] = {

@@ -63,15 +63,13 @@ class CliSpec extends SparkSpec {
     Main.ingest(spark, root, Seq("NVDA"), "2024-01-02", 30)
     Main.prune(spark, root, ageExpr = "1d", dryRun = true)
     assert(spark.read.option("basePath", s"$root/raw").parquet(s"$root/raw").count() > 0)
+    val prunedPath = new org.apache.hadoop.fs.Path(
+      s"$root/raw/frame=1m/symbol=NVDA/date=2024-01-02")
+    val fs = prunedPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.exists(prunedPath), "partition must exist before the real prune")
     Main.prune(spark, root, ageExpr = "1d", dryRun = false)
-    val fs = new org.apache.hadoop.fs.Path(s"$root/raw")
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val remaining = if (fs.exists(new org.apache.hadoop.fs.Path(s"$root/raw")))
-      fs.listStatus(new org.apache.hadoop.fs.Path(s"$root/raw"))
-        .count(_.getPath.getName.startsWith("symbol=")) else 0
-    // 2024-01-02 is long before today-1d: the symbol partition is gone
-    assert(remaining == 0 ||
-      !fs.exists(new org.apache.hadoop.fs.Path(s"$root/raw/symbol=NVDA/date=2024-01-02")))
+    // 2024-01-02 is long before today-1d: the partition directory is gone
+    assert(!fs.exists(prunedPath))
     // job metadata half: terminal job rows older than cutoff dropped
     assert(new JobRepo(spark, s"$root/state/jobs").load().count() == 0L)
   }

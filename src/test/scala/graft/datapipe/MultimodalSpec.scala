@@ -8,7 +8,8 @@ class MultimodalSpec extends SparkSpec {
   private def media = {
     val s = spark; import s.implicits._
     Multimodal.fromText(
-      Seq((1L, "hello world"), (2L, "a" * 200)).toDF("doc_id", "text"))
+      Seq((1L, "hello world"), (2L, "a" * 200),
+        (3L, "émoji start, multi-byte first char")).toDF("doc_id", "text"))
   }
 
   test("multimodal table has the canonical schema") {
@@ -48,6 +49,6 @@ class MultimodalSpec extends SparkSpec {
 
   test("size-aware repartition returns all rows") {
     val out = Multimodal.repartitionBySize(media, targetPartitionBytes = 64L)
-    assert(out.count() == 2L)
+    assert(out.count() == 3L)
   }
 }

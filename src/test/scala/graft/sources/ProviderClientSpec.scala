@@ -89,6 +89,24 @@ class ProviderClientSpec extends SparkSpec {
     assert(client.isInstanceOf[BarFeedClient])
   }
 
+  test("checkpoint resume: a crashed fetch continues from the saved cursor") {
+    val state = new ClientState.InMemory
+    // 400 bars / 100-page: request 3 (serving bars 200-300) fails hard
+    val crashServer = new FakeBarServer(nBars = 400, pageSize = 100, failAtRequest = 3)
+    val c1 = new BarFeedClient(cfg, AuthStrategy.NoAuth, crashServer,
+      state = state, sleepMs = noSleep)
+    intercept[RuntimeException](c1.fetchBatch("T", 0L, 1L))
+    assert(c1.loadCheckpoint("T").contains("200"))
+    val freshServer = new FakeBarServer(nBars = 400, pageSize = 100)
+    val c2 = new BarFeedClient(cfg, AuthStrategy.NoAuth, freshServer,
+      state = state, sleepMs = noSleep)
+    val recs = c2.fetchBatch("T", 0L, 1L, resume = true)
+    assert(recs.length == 200) // bars 200..399 only
+    assert(freshServer.requests.head._2.get("page_token").contains("200"))
+    // successful exhaustion clears the checkpoint for the next fresh fetch
+    assert(c2.loadCheckpoint("T").forall(_.isEmpty))
+  }
+
   test("symbol feed: paged fetch, real FIGI check digits, 1-in-7 corrupted") {
     val client = new SymbolFeedClient(cfg, AuthStrategy.NoAuth,
       new FakeSymbolServer(nSymbols = 50, pageSize = 13))
@@ -113,7 +131,7 @@ class ProviderClientSpec extends SparkSpec {
     assert(df.select(countDistinct(col("ts_ns"))).first().getLong(0) == 1000L)
     assert(df.schema.fieldNames.toSeq ==
       Seq("symbol", "ts_ns", "open", "high", "low", "close", "volume"))
-    // last non-final page start was checkpointed for resume
-    assert(client.loadCheckpoint("TEST").contains("959"))
+    // successful exhaustion clears the resume checkpoint
+    assert(client.loadCheckpoint("TEST").forall(_.isEmpty))
   }
 }
