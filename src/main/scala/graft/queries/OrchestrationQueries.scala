@@ -92,7 +92,11 @@ object OrchestrationQueries {
     // view read back. Deterministic bars pass every rule, so clean = all.
     "s5_pipeline_roundtrip" -> ((s, _) => {
       val root = tmp("graft_s5")
-      val pipe = new IngestPipeline(s, s"$root/raw", s"$root/agg", s"$root/reports")
+      // two frames keep the multi-frame union write path exercised while
+      // the query stays cheap (the full 5-frame set is IngestPipelineSpec's
+      // job; this run's observable is the bars_5m view)
+      val pipe = new IngestPipeline(s, s"$root/raw", s"$root/agg", s"$root/reports",
+        frames = Seq(FrameSpec.F5m, FrameSpec.F1d))
       pipe.runJob(detBars(s, twoSyms, 600), "det_job")
       pipe.query(
         """SELECT symbol, count(*) AS n_5m, sum(volume) AS vol,
