@@ -1,0 +1,45 @@
+package graft.datapipe
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.NumericType
+
+/** Column profiler for data-quality triage over arbitrary tables: per
+  * column — row count, nulls, distinct values, min/max (string-rendered),
+  * and an exact mean for numerics (decimal accumulation, one division).
+  *
+  * Scale shape: ONE scan computes every column's aggregates in a single
+  * grouped-aggregate pass (profiling 100 columns of a 100 TB table costs
+  * one pass, not 100); the 1-row result is then reshaped to one row per
+  * column from a localCheckpoint so the scan is never re-executed.
+  */
+object Profiler {
+
+  def profile(df: DataFrame, columns: Seq[String] = Nil): DataFrame = {
+    val targets = if (columns.nonEmpty) columns else df.columns.toSeq
+    val aggs = targets.flatMap { c =>
+      val isNum = df.schema(c).dataType.isInstanceOf[NumericType]
+      Seq(
+        sum(col(c).isNull.cast("long")).as(s"${c}__nulls"),
+        countDistinct(col(c)).as(s"${c}__distinct"),
+        min(col(c)).cast("string").as(s"${c}__min"),
+        max(col(c)).cast("string").as(s"${c}__max"),
+        (if (isNum)
+          sum(col(c).cast("decimal(28,6)")).cast("double") /
+            count(col(c)).cast("double")
+        else lit(null).cast("double")).as(s"${c}__mean"))
+    }
+    val one = df.agg(count(lit(1)).as("__n"), aggs: _*).localCheckpoint()
+    targets.map { c =>
+      one.select(
+        lit(c).as("column"),
+        lit(df.schema(c).dataType.simpleString).as("dtype"),
+        col("__n").as("n"),
+        col(s"${c}__nulls").as("n_null"),
+        col(s"${c}__distinct").as("n_distinct"),
+        col(s"${c}__min").as("min_value"),
+        col(s"${c}__max").as("max_value"),
+        col(s"${c}__mean").as("mean"))
+    }.reduce(_ unionByName _)
+  }
+}

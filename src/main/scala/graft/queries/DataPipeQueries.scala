@@ -103,6 +103,13 @@ object DataPipeQueries {
         .orderBy("source")
     }),
 
+    // One-scan column profiler over lineitem (columns chosen so min/max
+    // string renderings are engine-stable: integers, dates, chars).
+    "prof_column_profile" -> ((s, dir) =>
+      Profiler.profile(Tables.load(s, dir, "lineitem"),
+        Seq("l_orderkey", "l_linenumber", "l_shipdate", "l_returnflag"))
+        .orderBy("column")),
+
     // Repetition detection: degenerate docs = high duplicated-token ratio.
     "rep_detect" -> ((s, dir) =>
       TextAnalysis.withRepetition(docs(s, dir))
@@ -335,6 +342,27 @@ object DataPipeQueries {
         |       CAST(sum(p) AS BIGINT) AS phones,
         |       CAST(sum(d) AS BIGINT) AS len_delta
         |FROM c GROUP BY source ORDER BY source""".stripMargin,
+    "prof_column_profile" -> {
+      def prof(c: String, dtype: String, numeric: Boolean): String = {
+        val mean =
+          if (numeric)
+            s"CAST(sum(CAST($c AS DECIMAL(28,6))) AS DOUBLE) / CAST(count($c) AS DOUBLE)"
+          else "CAST(NULL AS DOUBLE)"
+        s"""SELECT '$c' AS "column", '$dtype' AS dtype, count(*) AS n,
+           |  CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+           |  count(DISTINCT $c) AS n_distinct,
+           |  CAST(min($c) AS VARCHAR) AS min_value,
+           |  CAST(max($c) AS VARCHAR) AS max_value,
+           |  $mean AS mean
+           |FROM lineitem""".stripMargin
+      }
+      Seq(
+        prof("l_orderkey", "bigint", numeric = true),
+        prof("l_linenumber", "int", numeric = true),
+        prof("l_shipdate", "timestamp_ntz", numeric = false),
+        prof("l_returnflag", "string", numeric = false))
+        .mkString("SELECT * FROM (\n", "\nUNION ALL\n", "\n) ORDER BY \"column\"")
+    },
     "rep_detect" ->
       """WITH t AS (
         |  SELECT doc_id,
