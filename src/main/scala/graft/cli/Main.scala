@@ -100,6 +100,12 @@ object Main {
         println("[symbols] store is empty")
       }
 
+    case "compact" :: root :: rest =>
+      val maxFiles = rest.headOption.map(_.toInt).getOrElse(1)
+      val n = new graft.storage.ParquetStore(session(), s"$root/raw")
+        .compactStore(maxFiles)
+      println(s"[compact] rewrote $n crowded partitions (> $maxFiles files)")
+
     case "files" :: root :: rest =>
       val n = rest.headOption.map(_.toInt).getOrElse(20)
       new graft.storage.ParquetStore(session(), s"$root/raw")

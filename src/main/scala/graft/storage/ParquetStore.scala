@@ -92,6 +92,46 @@ final class ParquetStore(spark: SparkSession, root: String) {
     sortCol.fold(w)(c => w.sortBy(c)).saveAsTable(table)
   }
 
+  /** Small-file compaction: rewrite exactly the (frame, symbol, date)
+    * partitions that have accumulated more than `maxFilesPerPartition`
+    * data files (append-mode ingest, retries and task-parallel writes all
+    * create slivers). Partition selection is a pure file-index query; the
+    * rewrite reads ONLY the affected partitions (partition-pruned scan)
+    * and replaces them via dynamic overwrite — untouched partitions are
+    * never read or written. Returns the number of partitions compacted.
+    */
+  def compactStore(maxFilesPerPartition: Int = 1): Long = {
+    val files = spark.read.option("basePath", root).parquet(root).inputFiles
+    val crowded = files
+      .map(new org.apache.hadoop.fs.Path(_).getParent.toString)
+      .groupBy(identity).filter(_._2.length > maxFilesPerPartition)
+      .keys.toSeq
+    if (crowded.isEmpty) return 0L
+    def part(dir: String, key: String): String = {
+      val m = s"$key=([^/]+)".r.findFirstMatchIn(dir)
+      m.map(_.group(1)).getOrElse(
+        throw new IllegalStateException(s"unpartitioned dir in store: $dir"))
+    }
+    val keys = crowded.map(d => (part(d, "frame"), part(d, "symbol"), part(d, "date")))
+    import spark.implicits._
+    val keyDf = keys.toDF("frame", "symbol", "date")
+      .withColumn("date", to_date(col("date")))
+    val affected = spark.read.option("basePath", root).parquet(root)
+      .join(broadcast(keyDf), Seq("frame", "symbol", "date"), "left_semi")
+    // read fully into executor storage BEFORE the overwrite of the same
+    // partitions (cannot stream from files being replaced)
+    val materialized = affected.localCheckpoint()
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    materialized
+      .repartition(col("frame"), col("symbol"), col("date"))
+      .sortWithinPartitions("symbol", "ts_ns")
+      .write.mode(SaveMode.Overwrite)
+      .option("compression", "zstd")
+      .partitionBy("frame", "symbol", "date")
+      .parquet(root)
+    keys.length.toLong
+  }
+
   /** O5: data files, most recently modified first (ref: the reference's
     * recent-first listing surface) — metadata only, no data scan. Empty or
     * missing store lists as zero rows; statuses come from one listStatus

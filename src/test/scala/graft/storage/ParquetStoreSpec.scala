@@ -39,6 +39,30 @@ class ParquetStoreSpec extends SparkSpec {
     assert(store.load(FrameSpec.F1m, symbols = Seq("NOPE")).count() == 0)
   }
 
+  test("compactStore rewrites only crowded partitions down to one file") {
+    import org.apache.spark.sql.SaveMode
+    val root = tmpDir("compact")
+    val store = new ParquetStore(spark, root)
+    // AAPL written twice in append mode -> >= 2 files in its partition;
+    // MSFT written once compacted -> exactly 1 file, must be left alone
+    store.write(bars("AAPL", 10).repartition(2), FrameSpec.F1m, mode = SaveMode.Append)
+    store.write(bars("AAPL", 10, 300.0).repartition(2), FrameSpec.F1m, mode = SaveMode.Append)
+    store.write(bars("MSFT", 10, 200.0), FrameSpec.F1m,
+      mode = SaveMode.Append, compactPartitions = true)
+    def filesIn(sym: String) =
+      spark.read.option("basePath", root).parquet(root).inputFiles
+        .count(_.contains(s"symbol=$sym"))
+    assert(filesIn("AAPL") >= 2)
+    val msftBefore = filesIn("MSFT")
+    val total = spark.read.option("basePath", root).parquet(root).count()
+    val n = store.compactStore(maxFilesPerPartition = 1)
+    assert(n == 1L, s"expected only AAPL's partition compacted, got $n")
+    assert(filesIn("AAPL") == 1)
+    assert(filesIn("MSFT") == msftBefore)
+    assert(spark.read.option("basePath", root).parquet(root).count() == total,
+      "compaction must preserve every row")
+  }
+
   test("appendDedup: incoming wins on (symbol, ts_ns) collisions") {
     val existing = bars("AAPL", 5)
     val incoming = bars("AAPL", 3, base = 500.0) // same ts_ns, new prices
