@@ -103,6 +103,17 @@ object DataPipeQueries {
         .orderBy("source")
     }),
 
+    // Flagship composition: the full curation pipeline over documents with
+    // injected exact/near dups — per-stage retention counts plus the id-sum
+    // of the surviving set (pins set identity, not just cardinality).
+    "curate_pipeline" -> ((s, dir) => {
+      import s.implicits._
+      val (curated, counts) = Curate.run(docsWithNearDups(s, dir))
+      val idSum = curated.agg(coalesce(sum(col("doc_id")), lit(0L))).first().getLong(0)
+      counts.unionByName(Seq(("6_curated_id_sum", idSum)).toDF("stage", "n_docs"))
+        .orderBy("stage")
+    }),
+
     // One-scan column profiler over lineitem (columns chosen so min/max
     // string renderings are engine-stable: integers, dates, chars).
     "prof_column_profile" -> ((s, dir) =>
@@ -342,6 +353,69 @@ object DataPipeQueries {
         |       CAST(sum(p) AS BIGINT) AS phones,
         |       CAST(sum(d) AS BIGINT) AS len_delta
         |FROM c GROUP BY source ORDER BY source""".stripMargin,
+    "curate_pipeline" ->
+      s"""$nearDupCte,
+         |norm AS (SELECT doc_id, text, md5(lower(trim(text))) AS h FROM base),
+         |exact AS (
+         |  SELECT doc_id, text FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY h ORDER BY doc_id) AS rn
+         |    FROM norm) WHERE rn = 1),
+         |csh AS (
+         |  SELECT DISTINCT doc_id,
+         |         concat_ws(' ', t[i], t[i+1], t[i+2]) AS shingle
+         |  FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t
+         |        FROM exact)
+         |  CROSS JOIN LATERAL (SELECT unnest(generate_series(1, len(t) - 2)) AS i)
+         |  WHERE len(t) >= 3),
+         |csizes AS (SELECT doc_id, count(*) AS set_size FROM csh GROUP BY doc_id),
+         |cinter AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+         |  FROM csh a JOIN csh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |cpairs AS (
+         |  SELECT id_a, id_b FROM cinter
+         |  JOIN csizes sa ON sa.doc_id = id_a
+         |  JOIN csizes sb ON sb.doc_id = id_b
+         |  WHERE CAST(n_common AS DOUBLE) / CAST(sa.set_size + sb.set_size - n_common AS DOUBLE) >= 0.5),
+         |nd AS (SELECT * FROM exact WHERE doc_id NOT IN (SELECT id_b FROM cpairs)),
+         |ctoks AS (
+         |  SELECT doc_id, text, string_split_regex(lower(trim(text)), '\\s+') AS t FROM nd),
+         |cscores AS (
+         |  SELECT *,
+         |    len(list_filter(t, x -> list_contains(['the','a','of','and','to'], x))) AS s_en,
+         |    len(list_filter(t, x -> list_contains(['der','die','das','und','nicht'], x))) AS s_de,
+         |    len(list_filter(t, x -> list_contains(['el','la','los','y','de'], x))) AS s_es,
+         |    len(list_filter(t, x -> list_contains(['le','la','les','et','des'], x))) AS s_fr,
+         |    len(list_filter(t, x -> list_contains(['de5','shi4','le5','zai4','he2'], x))) AS s_zh
+         |  FROM ctoks),
+         |langed AS (
+         |  SELECT doc_id, text, t FROM cscores
+         |  WHERE s_en = greatest(s_en, s_de, s_es, s_fr, s_zh) AND s_en > 0),
+         |cq AS (
+         |  SELECT doc_id, text, t,
+         |    CAST(len(list_distinct(t)) AS DOUBLE) / CAST(len(t) AS DOUBLE) AS unique_ratio,
+         |    CAST(len(list_filter(t, x -> list_contains(['the','a','of','and','to'], x))) AS DOUBLE)
+         |      / CAST(len(t) AS DOUBLE) AS stopword_ratio,
+         |    CAST(length(trim(text)) - (len(t) - 1) AS DOUBLE) / CAST(len(t) AS DOUBLE) AS mean_token_len
+         |  FROM langed),
+         |qual AS (
+         |  SELECT doc_id, text, t FROM cq
+         |  WHERE least(1.0, greatest(0.0,
+         |          unique_ratio * 0.5
+         |          + least(stopword_ratio * 5.0, 1.0) * 0.3
+         |          + (CASE WHEN mean_token_len BETWEEN 3.0 AND 10.0 THEN 0.2 ELSE 0.0 END))) >= 0.3),
+         |crep AS (
+         |  SELECT doc_id FROM qual
+         |  WHERE 1.0 - CAST(len(list_distinct(t)) AS DOUBLE) / CAST(len(t) AS DOUBLE) <= 0.6)
+         |SELECT stage, CAST(n_docs AS BIGINT) AS n_docs FROM (
+         |  SELECT '0_input' AS stage, count(*) AS n_docs FROM base
+         |  UNION ALL SELECT '1_exact_dedup', count(*) FROM exact
+         |  UNION ALL SELECT '2_near_dedup', count(*) FROM nd
+         |  UNION ALL SELECT '3_lang_filter', count(*) FROM langed
+         |  UNION ALL SELECT '4_quality_floor', count(*) FROM qual
+         |  UNION ALL SELECT '5_repetition_cap', count(*) FROM crep
+         |  UNION ALL SELECT '6_curated_id_sum', coalesce(sum(doc_id), 0) FROM crep)
+         |ORDER BY stage""".stripMargin,
     "prof_column_profile" -> {
       def prof(c: String, dtype: String, numeric: Boolean): String = {
         val mean =

@@ -1,0 +1,33 @@
+package graft.datapipe
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class CurateSpec extends SparkSpec {
+
+  test("curation drops dups, wrong languages, junk; redacts survivors") {
+    val s = spark; import s.implicits._
+    val good = "the quick brown fox and the lazy dog of a house with many different words inside"
+    val docs = Seq(
+      (1L, good + " contact me at jane@corp.com today"),
+      (2L, good + " contact me at jane@corp.com today"), // exact dup of 1
+      (3L, good + " contact me at jane@corp.com now"),   // near dup of 1
+      (4L, "der hund und die katze und das haus und der garten und nicht mehr"), // german
+      (5L, "spam spam spam spam spam spam spam spam spam the"), // degenerate EN
+      (6L, "the cat and the dog of a house walked to a park and found many things there")
+    ).toDF("doc_id", "text")
+    val (curated, counts) = Curate.run(docs)
+    val c = counts.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(c("0_input") == 6L)
+    assert(c("1_exact_dedup") == 5L)    // doc 2 dropped
+    assert(c("2_near_dedup") == 4L)     // doc 3 dropped
+    assert(c("3_lang_filter") == 3L)    // doc 4 dropped
+    assert(c("4_quality_floor") == 3L)  // doc 5 passes quality...
+    assert(c("5_repetition_cap") == 2L) // ...but its 0.8 dup-token ratio fails here
+    val kept = curated.collect().map(r => r.getAs[Long]("doc_id")).toSet
+    assert(kept == Set(1L, 6L))
+    val redacted = curated.where(col("doc_id") === 1L)
+      .select("text").first().getString(0)
+    assert(redacted.contains("<EMAIL>") && !redacted.contains("jane@corp.com"))
+  }
+}
