@@ -36,10 +36,14 @@ object Curate {
     import spark.implicits._
 
     val input = docs
-    val afterExact = Dedup.exactKeep(input, textCol, idCol)
+    // materialize the two frontiers that everything downstream re-reads:
+    // exactKeep feeds BOTH the pair generation and the survivor join, and
+    // afterNear feeds four filter stages plus the final redaction — without
+    // this, each stage count() re-executes the (expensive) pairwise stage
+    val afterExact = Dedup.exactKeep(input, textCol, idCol).localCheckpoint()
     val pairs = Dedup.ngramJaccardPairs(afterExact, cfg.ngramN,
       cfg.jaccardThreshold, textCol = textCol, idCol = idCol)
-    val afterNear = Dedup.nearDupKeep(afterExact, pairs, idCol)
+    val afterNear = Dedup.nearDupKeep(afterExact, pairs, idCol).localCheckpoint()
     val afterLang = afterNear.where(
       TextAnalysis.langId(col(textCol)).isin(cfg.allowedLangs.map(lit): _*))
     val afterQuality = TextAnalysis.withQuality(afterLang, textCol)

@@ -108,17 +108,22 @@ object DataPipeQueries {
     // of the surviving set (pins set identity, not just cardinality).
     "curate_pipeline" -> ((s, dir) => {
       import s.implicits._
-      val (curated, counts) = Curate.run(docsWithNearDups(s, dir))
+      // half the corpus (plus all injected dups): the pairwise stage's
+      // full-scale cost is d2's own benchmark; this query checks the
+      // composition end-to-end
+      val input = docsWithNearDups(s, dir)
+        .where(col("doc_id") < 2000 || col("doc_id") >= 100000)
+      val (curated, counts) = Curate.run(input)
       val idSum = curated.agg(coalesce(sum(col("doc_id")), lit(0L))).first().getLong(0)
       counts.unionByName(Seq(("6_curated_id_sum", idSum)).toDF("stage", "n_docs"))
         .orderBy("stage")
     }),
 
-    // One-scan column profiler over lineitem (columns chosen so min/max
-    // string renderings are engine-stable: integers, dates, chars).
+    // One-scan column profiler over orders (columns chosen so min/max
+    // string renderings are engine-stable: integers, timestamps, chars).
     "prof_column_profile" -> ((s, dir) =>
-      Profiler.profile(Tables.load(s, dir, "lineitem"),
-        Seq("l_orderkey", "l_linenumber", "l_shipdate", "l_returnflag"))
+      Profiler.profile(Tables.load(s, dir, "orders"),
+        Seq("o_orderkey", "o_custkey", "o_orderdate", "o_orderstatus"))
         .orderBy("column")),
 
     // Repetition detection: degenerate docs = high duplicated-token ratio.
@@ -355,7 +360,8 @@ object DataPipeQueries {
         |FROM c GROUP BY source ORDER BY source""".stripMargin,
     "curate_pipeline" ->
       s"""$nearDupCte,
-         |norm AS (SELECT doc_id, text, md5(lower(trim(text))) AS h FROM base),
+         |cin AS (SELECT * FROM base WHERE doc_id < 2000 OR doc_id >= 100000),
+         |norm AS (SELECT doc_id, text, md5(lower(trim(text))) AS h FROM cin),
          |exact AS (
          |  SELECT doc_id, text FROM (
          |    SELECT *, row_number() OVER (PARTITION BY h ORDER BY doc_id) AS rn
@@ -408,7 +414,7 @@ object DataPipeQueries {
          |  SELECT doc_id FROM qual
          |  WHERE 1.0 - CAST(len(list_distinct(t)) AS DOUBLE) / CAST(len(t) AS DOUBLE) <= 0.6)
          |SELECT stage, CAST(n_docs AS BIGINT) AS n_docs FROM (
-         |  SELECT '0_input' AS stage, count(*) AS n_docs FROM base
+         |  SELECT '0_input' AS stage, count(*) AS n_docs FROM cin
          |  UNION ALL SELECT '1_exact_dedup', count(*) FROM exact
          |  UNION ALL SELECT '2_near_dedup', count(*) FROM nd
          |  UNION ALL SELECT '3_lang_filter', count(*) FROM langed
@@ -428,13 +434,13 @@ object DataPipeQueries {
            |  CAST(min($c) AS VARCHAR) AS min_value,
            |  CAST(max($c) AS VARCHAR) AS max_value,
            |  $mean AS mean
-           |FROM lineitem""".stripMargin
+           |FROM orders""".stripMargin
       }
       Seq(
-        prof("l_orderkey", "bigint", numeric = true),
-        prof("l_linenumber", "int", numeric = true),
-        prof("l_shipdate", "timestamp_ntz", numeric = false),
-        prof("l_returnflag", "string", numeric = false))
+        prof("o_orderkey", "bigint", numeric = true),
+        prof("o_custkey", "bigint", numeric = true),
+        prof("o_orderdate", "timestamp_ntz", numeric = false),
+        prof("o_orderstatus", "string", numeric = false))
         .mkString("SELECT * FROM (\n", "\nUNION ALL\n", "\n) ORDER BY \"column\"")
     },
     "rep_detect" ->
