@@ -112,7 +112,7 @@ object DataPipeQueries {
       // full-scale cost is d2's own benchmark; this query checks the
       // composition end-to-end
       val input = docsWithNearDups(s, dir)
-        .where(col("doc_id") < 2000 || col("doc_id") >= 100000)
+        .where(col("doc_id") < 1200 || col("doc_id") >= 100000)
       val (curated, counts) = Curate.run(input)
       val idSum = curated.agg(coalesce(sum(col("doc_id")), lit(0L))).first().getLong(0)
       counts.unionByName(Seq(("6_curated_id_sum", idSum)).toDF("stage", "n_docs"))
@@ -360,7 +360,7 @@ object DataPipeQueries {
         |FROM c GROUP BY source ORDER BY source""".stripMargin,
     "curate_pipeline" ->
       s"""$nearDupCte,
-         |cin AS (SELECT * FROM base WHERE doc_id < 2000 OR doc_id >= 100000),
+         |cin AS (SELECT * FROM base WHERE doc_id < 1200 OR doc_id >= 100000),
          |norm AS (SELECT doc_id, text, md5(lower(trim(text))) AS h FROM cin),
          |exact AS (
          |  SELECT doc_id, text FROM (
