@@ -45,6 +45,10 @@ object SparkEntry {
     new QueryPack { // write/orchestration round-trips
       def queries = OrchestrationQueries.queries
       def oracles = OrchestrationQueries.oracles
+    },
+    new QueryPack { // per-vendor wire-dialect ingest round-trips
+      def queries = VendorQueries.queries
+      def oracles = VendorQueries.oracles
     }
   )
 

@@ -86,6 +86,9 @@ object ProviderRegistry {
   private val registry = scala.collection.concurrent.TrieMap.empty[String, Factory]
 
   register("barfeed", (cfg, auth, http) => new BarFeedClient(cfg, auth, http))
+  register("iex", (cfg, auth, http) => new IexBarFeed(cfg, auth, http))
+  register("finnhub", (cfg, auth, http) => new FinnhubBarFeed(cfg, auth, http))
+  register("polygon", (cfg, auth, http) => new PolygonBarFeed(cfg, auth, http))
   register("fake", (cfg, auth, _) =>
     new BarFeedClient(cfg, auth, new FakeBarServer(nBars = 390, pageSize = 100)))
 

@@ -63,6 +63,12 @@ abstract class PagedApiClient(
   /** Endpoint path for a symbol (e.g. "/v2/bars"). */
   def endpointPath(symbol: String): String
 
+  /** Endpoint path when the vendor encodes the time range in the URL path
+    * (e.g. the aggregates-range dialect); defaults to the plain path.
+    */
+  def endpointPathFor(symbol: String, startNs: Long, endNs: Long): String =
+    endpointPath(symbol)
+
   /** Vendor query parameters for one page request. */
   def buildParams(symbol: String, startNs: Long, endNs: Long,
                   cursor: Option[String]): Map[String, String]
@@ -88,9 +94,13 @@ abstract class PagedApiClient(
   final def loadCheckpoint(symbol: String): Option[String] = state.get(symbol)
 
   /** One rate-limited, retried GET returning parsed JSON. */
-  final def request(symbol: String, params: Map[String, String]): JValue = {
+  final def request(symbol: String, params: Map[String, String]): JValue =
+    requestPath(endpointPath(symbol), params)
+
+  /** As [[request]] but against an explicit endpoint path. */
+  final def requestPath(path: String, params: Map[String, String]): JValue = {
     rateLimiter.foreach(_.acquire())
-    val url = config.baseUrl + endpointPath(symbol)
+    val url = config.baseUrl + path
     val baseHeaders = Map(
       "Accept" -> "application/json", "User-Agent" -> config.userAgent)
     val (headers, authedParams) = auth.apply(baseHeaders, params)
@@ -143,7 +153,8 @@ abstract class PagedApiClient(
       private var exhausted = false
       def hasNext: Boolean = !exhausted
       def next(): JValue = {
-        val page = request(symbol, buildParams(symbol, startNs, endNs, cursor))
+        val page = requestPath(endpointPathFor(symbol, startNs, endNs),
+          buildParams(symbol, startNs, endNs, cursor))
         cursor = nextCursor(page)
         cursor.foreach(saveCheckpoint(symbol, _))
         if (cursor.isEmpty) { exhausted = true; saveCheckpoint(symbol, "") }
@@ -155,11 +166,15 @@ abstract class PagedApiClient(
   final def fetchBatch(symbol: String, startNs: Long, endNs: Long,
                        resume: Boolean = false)
       : Seq[PagedProviderSource.ProviderRecord] =
-    paginate(symbol, startNs, endNs, resume).flatMap(parsePage).toSeq
+    pages(symbol, startNs, endNs, resume).flatten.toSeq
 
-  /** Page stream in [[PagedProviderSource.toBars]] shape. */
+  /** Page stream in [[PagedProviderSource.toBars]] shape. Dialects whose
+    * wire rows do not echo the symbol (per-symbol endpoints) parse to an
+    * empty symbol; the requested one is stamped on here.
+    */
   final def pages(symbol: String, startNs: Long, endNs: Long,
                   resume: Boolean = false)
       : Iterator[Seq[PagedProviderSource.ProviderRecord]] =
-    paginate(symbol, startNs, endNs, resume).map(parsePage)
+    paginate(symbol, startNs, endNs, resume).map(parsePage(_)
+      .map(r => if (r.symbol.isEmpty) r.copy(symbol = symbol) else r))
 }
