@@ -1,5 +1,6 @@
 package graft.datapipe
 
+import graft.core.Materialize
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -40,10 +41,10 @@ object Curate {
     // exactKeep feeds BOTH the pair generation and the survivor join, and
     // afterNear feeds four filter stages plus the final redaction — without
     // this, each stage count() re-executes the (expensive) pairwise stage
-    val afterExact = Dedup.exactKeep(input, textCol, idCol).localCheckpoint()
+    val afterExact = Materialize.frontier(Dedup.exactKeep(input, textCol, idCol))
     val pairs = Dedup.ngramJaccardPairs(afterExact, cfg.ngramN,
       cfg.jaccardThreshold, textCol = textCol, idCol = idCol)
-    val afterNear = Dedup.nearDupKeep(afterExact, pairs, idCol).localCheckpoint()
+    val afterNear = Materialize.frontier(Dedup.nearDupKeep(afterExact, pairs, idCol))
     val afterLang = afterNear.where(
       TextAnalysis.langId(col(textCol)).isin(cfg.allowedLangs.map(lit): _*))
     val afterQuality = TextAnalysis.withQuality(afterLang, textCol)

@@ -1,5 +1,6 @@
 package graft.datapipe
 
+import graft.core.Materialize
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -52,7 +53,7 @@ object Dedup {
 
   /** Word n-gram shingles, distinct per document: (id, shingle).
     *
-    * The shingle arrays are materialized (localCheckpoint) before the
+    * The shingle arrays are materialized (Materialize.frontier) before the
     * explode: Spark's Generate re-evaluates its generator expression per
     * OUTPUT row, so exploding an unmaterialized O(tokens)-cost array turns
     * O(docs·tokens) work into O(docs·tokens²) — measured 13s vs 1.2s on
@@ -61,7 +62,7 @@ object Dedup {
     */
   def shingles(docs: DataFrame, n: Int = 3,
                textCol: String = "text", idCol: String = "doc_id"): DataFrame =
-    shingleArrays(docs, n, textCol, idCol).localCheckpoint()
+    Materialize.frontier(shingleArrays(docs, n, textCol, idCol))
       .select(col(idCol), explode(col("shingles")).as("shingle"))
 
   /** N-gram Jaccard near-duplicate pairs with similarity >= `threshold`.
@@ -80,21 +81,22 @@ object Dedup {
     // expansion, two shuffles total (by shingle, then by pair); the
     // stopword cap is simply the posting-list length. A self-join here
     // would recompute the expansion per side and lose exchange reuse.
-    val postings = shingleArrays(docs, n, textCol, idCol)
-      .localCheckpoint() // see shingles(): explode re-evaluates its input per output row
+    val postings = Materialize.frontier(shingleArrays(docs, n, textCol, idCol))
+      // see shingles(): explode re-evaluates its input per output row
       .withColumn("set_size", size(col("shingles")))
       .select(col(idCol), col("set_size"), explode(col("shingles")).as("shingle"))
       .groupBy("shingle")
       .agg(sort_array(collect_list(struct(col(idCol).as("id"), col("set_size")))).as("docs"))
       .where(size(col("docs")).between(2, maxDocsPerShingle))
-    val pairs = postings.select(flatten(
+    val pairArrays = postings.select(flatten(
       transform(col("docs"), (x, i) =>
         transform(slice(col("docs"), i + 2, size(col("docs"))),
           y => struct(
             x.getField("id").as("id_a"), y.getField("id").as("id_b"),
             x.getField("set_size").as("size_a"), y.getField("set_size").as("size_b")))))
       .as("pairs"))
-      .localCheckpoint() // O(df²) pair array must not be rebuilt per exploded row
+    // O(df²) pair array must not be rebuilt per exploded row
+    val pairs = Materialize.frontier(pairArrays)
       .select(explode(col("pairs")).as("p")).select("p.*")
     pairs
       .groupBy("id_a", "id_b")

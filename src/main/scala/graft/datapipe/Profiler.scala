@@ -1,5 +1,6 @@
 package graft.datapipe
 
+import graft.core.Materialize
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.NumericType
@@ -11,17 +12,29 @@ import org.apache.spark.sql.types.NumericType
   * Scale shape: ONE scan computes every column's aggregates in a single
   * grouped-aggregate pass (profiling 100 columns of a 100 TB table costs
   * one pass, not 100); the 1-row result is then reshaped to one row per
-  * column from a localCheckpoint so the scan is never re-executed.
+  * column from a materialized frontier so the scan is never re-executed.
+  *
+  * Distinct counts default to `approx_count_distinct` (HyperLogLog++):
+  * multiple EXACT `countDistinct`s in one agg make Spark plan an `Expand`
+  * that multiplies every input row by ~(k+1) before the exchange — a
+  * ~101x intermediate-row blowup when profiling 100 columns — while the
+  * sketches aggregate in one pass with no Expand. Pass
+  * `exactDistinct = true` only for small/offline profiling where exact
+  * cardinalities are worth the blowup.
   */
 object Profiler {
 
-  def profile(df: DataFrame, columns: Seq[String] = Nil): DataFrame = {
+  def profile(df: DataFrame, columns: Seq[String] = Nil,
+              exactDistinct: Boolean = false): DataFrame = {
     val targets = if (columns.nonEmpty) columns else df.columns.toSeq
     val aggs = targets.flatMap { c =>
       val isNum = df.schema(c).dataType.isInstanceOf[NumericType]
+      val distinct =
+        if (exactDistinct) countDistinct(col(c))
+        else approx_count_distinct(col(c))
       Seq(
         sum(col(c).isNull.cast("long")).as(s"${c}__nulls"),
-        countDistinct(col(c)).as(s"${c}__distinct"),
+        distinct.as(s"${c}__distinct"),
         min(col(c)).cast("string").as(s"${c}__min"),
         max(col(c)).cast("string").as(s"${c}__max"),
         (if (isNum)
@@ -29,7 +42,7 @@ object Profiler {
             count(col(c)).cast("double")
         else lit(null).cast("double")).as(s"${c}__mean"))
     }
-    val one = df.agg(count(lit(1)).as("__n"), aggs: _*).localCheckpoint()
+    val one = Materialize.frontier(df.agg(count(lit(1)).as("__n"), aggs: _*))
     targets.map { c =>
       one.select(
         lit(c).as("column"),

@@ -121,9 +121,12 @@ object DataPipeQueries {
 
     // One-scan column profiler over orders (columns chosen so min/max
     // string renderings are engine-stable: integers, timestamps, chars).
+    // exactDistinct: the DuckDB oracle computes exact cardinalities; the
+    // library default is approx_count_distinct (no Expand blowup at scale)
     "prof_column_profile" -> ((s, dir) =>
       Profiler.profile(Tables.load(s, dir, "orders"),
-        Seq("o_orderkey", "o_custkey", "o_orderdate", "o_orderstatus"))
+        Seq("o_orderkey", "o_custkey", "o_orderdate", "o_orderstatus"),
+        exactDistinct = true)
         .orderBy("column")),
 
     // Repetition detection: degenerate docs = high duplicated-token ratio.

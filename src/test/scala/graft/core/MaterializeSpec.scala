@@ -1,0 +1,54 @@
+package graft.core
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Materialize.frontier strategy selection: small plans localCheckpoint;
+  * large plans (forced via a zero threshold) take the fault-tolerant
+  * paths — scratch-dir parquet round-trip when configured, replicated
+  * disk persist otherwise — and every path returns identical rows.
+  */
+class MaterializeSpec extends SparkSpec {
+
+  private def df = spark.range(0, 1000)
+    .select(col("id"), (col("id") % 7).as("k"))
+
+  private def rows(d: org.apache.spark.sql.DataFrame): Seq[(Long, Long)] =
+    d.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+
+  test("small estimate takes localCheckpoint (truncated lineage)") {
+    val m = Materialize.frontier(df)
+    assert(rows(m) == rows(df))
+    // localCheckpoint truncates lineage to a scanned-RDD leaf
+    assert(m.queryExecution.optimizedPlan.toString.contains("LogicalRDD"))
+  }
+
+  test("forced scale path without scratch dir persists with replication") {
+    spark.conf.set(Materialize.LocalMaxBytesConf, "0")
+    try {
+      val m = Materialize.frontier(df)
+      assert(rows(m) == rows(df))
+      assert(m.storageLevel.useDisk && m.storageLevel.replication == 2)
+      assert(!m.storageLevel.useMemory)
+      m.unpersist()
+    } finally spark.conf.unset(Materialize.LocalMaxBytesConf)
+  }
+
+  test("forced scale path with scratch dir round-trips through parquet") {
+    val dir = java.nio.file.Files.createTempDirectory("mat_scratch").toString
+    spark.conf.set(Materialize.LocalMaxBytesConf, "0")
+    spark.conf.set(Materialize.ScratchDirConf, dir)
+    try {
+      val m = Materialize.frontier(df)
+      assert(rows(m) == rows(df))
+      // the frontier now reads from files — a lost executor recomputes
+      // from the scratch table, not from (truncated or giant) lineage
+      assert(m.queryExecution.optimizedPlan.toString.toLowerCase.contains("parquet") ||
+        m.inputFiles.nonEmpty)
+      assert(m.inputFiles.forall(_.contains("frontier_")))
+    } finally {
+      spark.conf.unset(Materialize.LocalMaxBytesConf)
+      spark.conf.unset(Materialize.ScratchDirConf)
+    }
+  }
+}
