@@ -134,8 +134,9 @@ object Main {
 
     case "gaps" :: root :: start :: end :: Nil =>
       val spark = session()
-      val bars = spark.read.option("basePath", s"$root/raw").parquet(s"$root/raw")
-      GapDetector.missingDays(bars.select(col("symbol"), col("date")), start, end)
+      // partition-index path: gap detection never reads parquet footers
+      GapDetector.missingDaysInStore(
+          new graft.storage.ParquetStore(spark, s"$root/raw"), "1m", start, end)
         .orderBy("symbol", "date").show(100)
 
     case "stream-demo" :: Nil =>
@@ -226,13 +227,9 @@ object Main {
                             start: String, end: String,
                             symbolsOpt: Option[Seq[String]]): Unit = {
     val s2 = spark; import s2.implicits._
-    val rawPath = s"$root/raw"
-    val existing =
-      try spark.read.option("basePath", rawPath).parquet(rawPath)
-        .select(col("symbol").cast("string"), col("date").cast("date"))
-      catch { case _: org.apache.spark.sql.AnalysisException =>
-        Seq.empty[(String, java.sql.Date)].toDF("symbol", "date")
-      }
+    // existing set from the partition directory index — no data/footer reads
+    val existing = new graft.storage.ParquetStore(spark, s"$root/raw")
+      .partitionDays("1m")
     // a sentinel 1970 row per requested symbol keeps symbols with no data
     // at all in the gap scan (their whole range is missing)
     val seeded = symbolsOpt match {

@@ -45,7 +45,8 @@ final case class Job(
   * O(1 append + 1 point lookup) instead of O(all jobs). `compact()`
   * rewrites the log to its latest view (single-writer maintenance op).
   */
-final class JobRepo(spark: SparkSession, path: String) {
+final class JobRepo(spark: SparkSession, path: String,
+                    autoCompactFiles: Int = 64) {
   import spark.implicits._
 
   private def raw(): DataFrame =
@@ -54,25 +55,42 @@ final class JobRepo(spark: SparkSession, path: String) {
       Seq.empty[Job].toDF().withColumn("seq", lit(0L))
     }
 
-  /** Latest-wins view of the log (one row per job_id). */
-  def load(): DataFrame = {
-    val r = raw()
+  /** Latest-wins fold (one row per job_id) over a (pre-filtered) log. */
+  private def latest(r: DataFrame): DataFrame =
     r.groupBy("job_id")
       .agg(max_by(
         struct(r.columns.filterNot(_ == "job_id").map(col).toSeq: _*),
         col("seq")).as("j"))
       .select(col("job_id") +: r.columns.filterNot(c => c == "job_id" || c == "seq")
         .map(c => col(s"j.$c")).toSeq: _*)
+
+  /** Latest-wins view of the log (one row per job_id). */
+  def load(): DataFrame = latest(raw())
+
+  private def logFileCount(): Int = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) 0
+    else fs.listStatus(p).count(_.getPath.getName.endsWith(".parquet"))
   }
 
-  private def append(jobs: Seq[Job]): Unit =
+  private def append(jobs: Seq[Job]): Unit = {
     jobs.toDF().withColumn("seq", lit(JobRepo.nextSeq()))
       .repartition(1).write.mode(SaveMode.Append).parquet(path)
+    // each append adds one file; fold the log back to one when it crowds
+    // so per-read cost stays bounded between explicit compact() calls
+    if (autoCompactFiles > 0 && logFileCount() > autoCompactFiles) compact()
+  }
 
   def save(jobs: Seq[Job]): Unit = append(jobs)
 
+  /** Point lookup: the job_id filter lands BEFORE the latest-wins fold —
+    * it reaches the parquet scan as a pushed filter, so transition-path
+    * appends (single-job files) are skipped via footer min/max stats
+    * instead of being read and folded whole.
+    */
   def get(jobId: String): Option[Job] =
-    load().where(col("job_id") === jobId).as[Job].collect().headOption
+    latest(raw().where(col("job_id") === jobId)).as[Job].collect().headOption
 
   def transition(jobId: String, to: String, now: Long): Unit = {
     val j = get(jobId).getOrElse(

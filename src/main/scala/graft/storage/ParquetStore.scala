@@ -156,6 +156,27 @@ final class ParquetStore(spark: SparkSession, root: String) {
       .limit(limit)
   }
 
+  /** Existing (symbol, date) pairs for one frame from the partition
+    * DIRECTORY names alone — the file-index listing, zero parquet footer
+    * or data-page reads. `select distinct symbol, date` over the frame
+    * would open every file's footer (millions of reads at 100 TB); the
+    * hive directory structure already IS that distinct set.
+    */
+  def partitionDays(frameName: String): DataFrame = {
+    import spark.implicits._
+    val files =
+      try spark.read.option("basePath", root).parquet(root).inputFiles
+      catch { case _: org.apache.spark.sql.AnalysisException => Array.empty[String] }
+    val re = ("frame=" + java.util.regex.Pattern.quote(frameName) +
+      "/symbol=([^/]+)/date=(\\d{4}-\\d{2}-\\d{2})$").r.unanchored
+    val pairs = files.iterator
+      .map(f => new org.apache.hadoop.fs.Path(f).getParent.toString)
+      .toSet[String]
+      .flatMap(d => re.findFirstMatchIn(d).map(m => (m.group(1), m.group(2))))
+      .toSeq.sorted
+    pairs.toDF("symbol", "date").withColumn("date", to_date(col("date")))
+  }
+
   /** Storage stats (ref: parquet_engine.py:500-535): file count, bytes —
     * from the file index, no data scan.
     */

@@ -50,6 +50,64 @@ class JobsSpec extends SparkSpec {
     assert(plan.getAs[java.sql.Date]("job_end").toString == "2024-01-03")
   }
 
+  test("append log auto-compacts past the file threshold; states survive") {
+    val dir = tmpDir("jobsac") + "/jobs"
+    val repo = new JobRepo(spark, dir, autoCompactFiles = 5)
+    def files(): Int = {
+      val p = new org.apache.hadoop.fs.Path(dir)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.listStatus(p).count(_.getPath.getName.endsWith(".parquet"))
+    }
+    (1 to 4).foreach { i =>
+      repo.save(Seq(Job(s"j$i", "AAPL", "2024-01-02", JobState.Pending, i, i)))
+    }
+    assert(files() == 4) // under threshold: no compaction yet
+    (1 to 4).foreach(i => repo.transition(s"j$i", JobState.InProgress, 100L + i))
+    // 8 appends crossed the threshold of 5 -> log folded back to one file
+    assert(files() <= 5)
+    val states = repo.load().collect()
+      .map(r => r.getAs[String]("job_id") -> r.getAs[String]("state")).toMap
+    assert(states == (1 to 4).map(i => s"j$i" -> JobState.InProgress).toMap)
+    assert(repo.get("j3").map(_.state).contains(JobState.InProgress))
+  }
+
+  test("point lookup pushes the job_id filter below the latest-wins fold") {
+    val dir = tmpDir("jobspl") + "/jobs"
+    val repo = new JobRepo(spark, dir)
+    repo.save(Seq(Job("jx", "AAPL", "2024-01-02", JobState.Pending, 1L, 1L)))
+    repo.save(Seq(Job("jy", "MSFT", "2024-01-02", JobState.Pending, 2L, 2L)))
+    assert(repo.get("jy").map(_.symbol).contains("MSFT"))
+    // the filtered raw scan must show the pushed job_id predicate
+    val scan = spark.read.parquet(dir).where(col("job_id") === "jy")
+    val plan = scan.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("job_id"))
+  }
+
+  test("store-backed gap detection uses the partition index, not a scan") {
+    val s = spark; import s.implicits._
+    val root = tmpDir("gapstore") + "/raw"
+    val store = new graft.storage.ParquetStore(spark, root)
+    val barsFor = (sym: String, day: String) => {
+      val ns = java.time.LocalDate.parse(day)
+        .atStartOfDay(java.time.ZoneOffset.UTC).toEpochSecond * 1000000000L
+      Seq((sym, ns, 1.0, 2.0, 0.5, 1.5, 10L))
+        .toDF("symbol", "ts_ns", "open", "high", "low", "close", "volume")
+    }
+    store.write(barsFor("AAPL", "2024-01-01"), graft.core.FrameSpec.F1m)
+    store.write(barsFor("AAPL", "2024-01-03"), graft.core.FrameSpec.F1m)
+    store.write(barsFor("MSFT", "2024-01-02"), graft.core.FrameSpec.F1m)
+    val gaps = GapDetector.missingDaysInStore(store, "1m", "2024-01-01", "2024-01-03")
+    // the whole gap query is built from the directory listing: no parquet
+    // scan node anywhere in its plan
+    val plan = gaps.queryExecution.executedPlan.toString
+    assert(!plan.toLowerCase.contains("parquet"))
+    val got = gaps.collect()
+      .map(r => (r.getAs[String]("symbol"), r.getAs[java.sql.Date]("date").toString)).toSet
+    assert(got == Set(
+      ("AAPL", "2024-01-02"),
+      ("MSFT", "2024-01-01"), ("MSFT", "2024-01-03")))
+  }
+
   test("prune: age parse + partition selection") {
     val today = LocalDate.parse("2024-06-15")
     assert(Prune.cutoffDate("30d", today) == LocalDate.parse("2024-05-16"))
