@@ -49,6 +49,10 @@ object SparkEntry {
     new QueryPack { // per-vendor wire-dialect ingest round-trips
       def queries = VendorQueries.queries
       def oracles = VendorQueries.oracles
+    },
+    new QueryPack { // formerly spec-only operator surfaces
+      def queries = SurfaceQueries.queries
+      def oracles = SurfaceQueries.oracles
     }
   )
 

@@ -12,11 +12,14 @@ import org.apache.spark.sql.functions._
 /** CLI mirroring the reference's command surface (ref: src/marketpipe/cli/):
   *
   *   ingest    <dataRoot> <symbols,csv> <startIsoDate> <nBars>
+  *   aggregate <dataRoot> [--frame f] [--symbol s] [--job SYM_DATE]
+  *                                                       (ref ohlcv_aggregate.py:130-179)
   *   query     <dataRoot> <sql> [limit] [--csv|--md]     (ref query.py:40-65)
   *   validate  <dataRoot> [--list | --show <jobId>]      (ref ohlcv_validate.py)
   *   backfill  <dataRoot> <start> <end> [symbols,csv]    (ref ohlcv_backfill.py:113-161)
   *   prune     <dataRoot> <ageExpr> [--dry-run]          (ref prune.py:41-330)
   *   jobs      <dataRoot> list|status|cleanup [ageExpr]  (ref jobs.py:163-189,519-535)
+  *   metrics   <dataRoot> list|summary|avg|trend|dashboard
   *   gaps      <dataRoot> <start> <end>
   *   demo      <dataRoot> | stream-demo
   */
@@ -59,6 +62,33 @@ object Main {
       if (rest.contains("--csv")) printCsv(df, limit)
       else if (rest.contains("--md")) printMarkdown(df, limit)
       else df.show(limit, truncate = false)
+
+    case "aggregate" :: root :: rest =>
+      // standalone re-aggregation from the existing raw store (ref:
+      // cli/ohlcv_aggregate.py:130-179): all frames, or --frame <f>;
+      // --job SYMBOL_YYYY-MM-DD scopes one ingestion job's partitions
+      val spark = session()
+      def opt(flag: String): Option[String] =
+        rest.dropWhile(_ != flag).drop(1).headOption
+      val (symbols, dates) = opt("--job") match {
+        case Some(jobId) =>
+          val (sym, day) = jobId.splitAt(jobId.lastIndexOf('_'))
+          (sym.split(",").toSeq, Seq(day.drop(1)))
+        case None => (opt("--symbol").map(_.split(",").toSeq).getOrElse(Nil), Nil)
+      }
+      val framesSel = opt("--frame") match {
+        case Some(f) => FrameSpec.defaults.filter(_.name == f) match {
+          case Nil => throw new IllegalArgumentException(s"unknown frame $f")
+          case fs => fs
+        }
+        case None => FrameSpec.defaults
+      }
+      val pipe = new IngestPipeline(spark, s"$root/raw", s"$root/agg",
+        s"$root/reports", framesSel)
+      val n = pipe.reAggregate(symbols, dates, framesSel)
+      println(s"[aggregate] frames=${framesSel.map(_.name).mkString(",")} " +
+        s"symbols=${if (symbols.isEmpty) "*" else symbols.mkString(",")} " +
+        s"rows=$n")
 
     case "validate" :: root :: Nil =>
       validateAll(session(), root)
@@ -131,6 +161,15 @@ object Main {
     case "metrics" :: root :: "trend" :: name :: Nil =>
       new MetricsStore(session(), s"$root/state/metrics")
         .trend(name, System.currentTimeMillis() / 1000).show(48, truncate = false)
+    case "metrics" :: root :: "dashboard" :: Nil =>
+      // one-shot dashboard (ref cli/metrics_dashboard.py data surface,
+      // minus the live HTML/TUI): per-metric summary then the
+      // per-provider/feed rollup
+      val ms = new MetricsStore(session(), s"$root/state/metrics")
+      println("== metrics summary ==")
+      ms.summary().show(100, truncate = false)
+      println("== by provider/feed ==")
+      ms.dashboard().show(100, truncate = false)
 
     case "gaps" :: root :: start :: end :: Nil =>
       val spark = session()

@@ -56,4 +56,21 @@ final class MetricsStore(spark: SparkSession, path: String) {
         max_by(col("value"), col("ts")).as("latest_value"),
         max("ts").as("latest_ts"))
       .orderBy("name")
+
+  /** One-shot dashboard rollup (the data surface of the reference's live
+    * metrics dashboard, ref: cli/metrics_dashboard.py:97-200 — per metric
+    * AND per provider/feed: sample count, avg/min/max, latest value).
+    * Rendering is the CLI's job; this is one grouped-aggregate pass.
+    */
+  def dashboard(): DataFrame =
+    load()
+      .groupBy("name", "provider", "feed")
+      .agg(
+        count(lit(1)).as("n"),
+        avg("value").as("avg_value"),
+        min("value").as("min_value"),
+        max("value").as("max_value"),
+        max_by(col("value"), col("ts")).as("latest_value"),
+        max("ts").as("latest_ts"))
+      .orderBy("name", "provider", "feed")
 }

@@ -63,4 +63,33 @@ final class IngestPipeline(
 
   /** Ad-hoc SQL over the refreshed bars_* views. */
   def query(sql: String): DataFrame = views.query(sql)
+
+  /** Standalone re-aggregation (ref: cli/ohlcv_aggregate.py:130-179): redo
+    * the resample frames from the EXISTING raw store without re-ingesting —
+    * after a frame-config change or a failed aggregation half of a job.
+    * Scope by symbols and/or dates (both partition-pruned at the raw scan);
+    * `framesSel` redoes a subset of frames. Dynamic partition overwrite
+    * keeps it idempotent: exactly the re-derived partitions are replaced.
+    * Returns the number of aggregate rows written.
+    */
+  def reAggregate(symbols: Seq[String] = Nil, dates: Seq[String] = Nil,
+                  framesSel: Seq[FrameSpec] = frames): Long = {
+    import org.apache.spark.sql.functions.{col, lit}
+    var raw = rawStore.load(FrameSpec.F1m, symbols)
+    if (dates.nonEmpty) raw = raw.where(col("date").isin(dates: _*))
+    val bars = raw.select("symbol", "ts_ns", "open", "high", "low", "close", "volume")
+    val cached = bars.cache()
+    try {
+      val allFrames = framesSel.map { f =>
+        val agg = if (f.name == "1d") Resampler.resampleDaily(cached)
+                  else Resampler.resample(cached, f)
+        agg.withColumn("frame", lit(f.name))
+      }.reduce(_ unionByName _).cache()
+      try {
+        aggStore.writeFrames(allFrames, compactPartitions = true)
+        views.refreshViews()
+        allFrames.count()
+      } finally allFrames.unpersist()
+    } finally cached.unpersist()
+  }
 }

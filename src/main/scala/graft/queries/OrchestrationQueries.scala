@@ -33,12 +33,19 @@ object OrchestrationQueries {
 
   /** Deterministic bars; `syms` maps symbol -> k offset. */
   private[queries] def detBars(s: SparkSession, syms: Seq[(String, Int)],
-                               n: Int): DataFrame = {
+                               n: Int): DataFrame =
+    detBarsFrom(s, syms, n, startNs)
+
+  /** As [[detBars]] with an explicit range start (value columns depend only
+    * on (i, k), so shifting the start moves timestamps alone).
+    */
+  private[queries] def detBarsFrom(s: SparkSession, syms: Seq[(String, Int)],
+                                   n: Int, fromNs: Long): DataFrame = {
     import s.implicits._
     val symDf = syms.toDF("symbol", "k")
     s.range(n.toLong).toDF("i").crossJoin(broadcast(symDf))
       .withColumn("j", col("i") + col("k") * 97L)
-      .withColumn("ts_ns", lit(startNs) + col("i") * 60000000000L)
+      .withColumn("ts_ns", lit(fromNs) + col("i") * 60000000000L)
       .withColumn("open",
         (lit(10000L) + ((col("j") + 1L) * 37L) % 5000L).cast("double") / 100.0)
       .withColumn("close",

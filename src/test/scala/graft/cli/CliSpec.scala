@@ -43,6 +43,44 @@ class CliSpec extends SparkSpec {
     assert(sum("bars_ingested").getAs[Double]("latest_value") == 60.0) // 30 bars x 2 symbols
   }
 
+  test("aggregate rebuilds frames from the raw store without re-ingesting") {
+    val root = newRoot()
+    Main.ingest(spark, root, Seq("NVDA"), "2024-01-02", 60)
+    val before = spark.read.option("basePath", s"$root/agg").parquet(s"$root/agg")
+      .groupBy("frame").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // wipe the aggregate store: the standalone command must rebuild it
+    // from raw alone (no new ingestion job, job log untouched)
+    def rmrf(p: java.nio.file.Path): Unit = {
+      if (java.nio.file.Files.isDirectory(p))
+        java.nio.file.Files.list(p).forEach(rmrf)
+      java.nio.file.Files.deleteIfExists(p)
+    }
+    rmrf(java.nio.file.Paths.get(s"$root/agg"))
+    val jobsBefore = new JobRepo(spark, s"$root/state/jobs").load().count()
+    Main.main(Array("aggregate", root))
+    val after = spark.read.option("basePath", s"$root/agg").parquet(s"$root/agg")
+      .groupBy("frame").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(after == before)
+    assert(new JobRepo(spark, s"$root/state/jobs").load().count() == jobsBefore)
+    // frame-scoped re-run is idempotent (dynamic overwrite, same counts)
+    Main.main(Array("aggregate", root, "--frame", "5m"))
+    val after5m = spark.read.option("basePath", s"$root/agg").parquet(s"$root/agg")
+      .where("frame = '5m'").count()
+    assert(after5m == before("5m"))
+    // job-scoped form parses SYMBOL_DATE and prunes to that day
+    Main.main(Array("aggregate", root, "--job", "NVDA_2024-01-02"))
+    assert(spark.read.option("basePath", s"$root/agg").parquet(s"$root/agg")
+      .groupBy("frame").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap == before)
+    // dashboard one-shot prints both rollups (smoke)
+    Main.main(Array("metrics", root, "dashboard"))
+    val dash = new graft.metrics.MetricsStore(spark, s"$root/state/metrics")
+      .dashboard().collect().map(r => r.getAs[String]("name")).toSet
+    assert(dash.contains("bars_ingested"))
+  }
+
   test("backfill executes per-gap jobs and records their state") {
     val root = newRoot()
     // day 1 ingested, day 2 missing -> exactly one gap to fill
