@@ -41,6 +41,13 @@ object Main {
     case "ingest" :: root :: syms :: start :: nBars :: Nil =>
       ingest(session(), root, syms.split(",").toSeq, start, nBars.toInt)
 
+    case "ingest" :: root :: syms :: start :: nBars :: "--provider" :: prov :: Nil =>
+      // provider-driven ingest (ref: cli/ohlcv_ingest.py --provider): the
+      // registry resolves the vendor dialect; endpoint/key come from
+      // GRAFT_PROVIDER_URL / GRAFT_API_KEY (the "fake" provider needs
+      // neither — its dialect client wraps an in-process wire server)
+      ingestVia(session(), root, prov, syms.split(",").toSeq, start, nBars.toInt)
+
     case "ingest" :: "--config" :: path :: Nil =>
       // config-driven ingest (ref: cli/ohlcv_ingest.py --config): one job
       // per day in [start, end], weekdays only
@@ -141,6 +148,12 @@ object Main {
       new graft.storage.ParquetStore(session(), s"$root/raw")
         .listFilesRecent(n).show(n, truncate = false)
 
+    case "providers" :: Nil =>
+      // ref: cli/utils.py:242-256 — list the registered vendor dialects
+      val names = graft.sources.ProviderRegistry.list()
+      names.foreach(n => println(s"  - $n"))
+      println(s"total: ${names.length} providers")
+
     case "health" :: root :: Nil =>
       sys.exit(if (health(session(), root)) 0 else 1)
 
@@ -240,6 +253,48 @@ object Main {
       .record(Seq((now, "bars_ingested", clean.toDouble, "synthetic", "fake")))
     println(s"[ingest] job=$jobId clean=$clean errors=$errs frames=" +
       FrameSpec.defaults.map(_.name).mkString(","))
+  }
+
+  /** Provider-driven ingestion: resolve the vendor dialect from the
+    * registry, drain its paged feed per symbol through the rate-limited
+    * retrying client, then run the normal pipeline job with job-state
+    * tracking (ref: cli/ohlcv_ingest.py provider path).
+    */
+  private[cli] def ingestVia(spark: SparkSession, root: String, provider: String,
+                             symbols: Seq[String], startDate: String, nBars: Int): Unit = {
+    import graft.sources._
+    val factory = ProviderRegistry.get(provider).getOrElse(
+      throw new IllegalArgumentException(
+        s"unknown provider $provider (have: ${ProviderRegistry.list().mkString(",")})"))
+    val cfg = ClientConfig(
+      baseUrl = sys.env.getOrElse("GRAFT_PROVIDER_URL", "http://fake"),
+      apiKey = sys.env.getOrElse("GRAFT_API_KEY", ""))
+    val auth: AuthStrategy =
+      if (cfg.apiKey.isEmpty) AuthStrategy.NoAuth
+      else AuthStrategy.QueryTokenAuth("token", cfg.apiKey)
+    val client = factory(cfg, auth, new JdkHttpClient)
+    val startNs = java.time.LocalDate.parse(startDate)
+      .atStartOfDay(java.time.ZoneOffset.UTC).toEpochSecond * 1000000000L +
+      48600L * 1000000000L
+    val endNs = startNs + nBars.toLong * 60000000000L
+    val bars = symbols.map(sym =>
+        PagedProviderSource.ingest(spark, client, sym, startNs, endNs))
+      .reduce(_ unionByName _)
+    val jobId = s"${symbols.mkString("_")}_${startDate}_$provider"
+    val repo = new JobRepo(spark, s"$root/state/jobs")
+    val now = System.currentTimeMillis() / 1000
+    repo.save(Seq(Job(jobId, symbols.mkString(","), startDate, JobState.Pending, now, now)))
+    repo.transition(jobId, JobState.InProgress, now)
+    val pipe = new IngestPipeline(spark, s"$root/raw", s"$root/agg", s"$root/reports")
+    val (clean, errs) =
+      try pipe.runJob(bars, jobId)
+      catch {
+        case e: Throwable =>
+          repo.transition(jobId, JobState.Failed, System.currentTimeMillis() / 1000)
+          throw e
+      }
+    repo.transition(jobId, JobState.Completed, System.currentTimeMillis() / 1000)
+    println(s"[ingest] provider=$provider job=$jobId clean=$clean errors=$errs")
   }
 
   /** Re-validate everything in the raw store, write a CSV report, print

@@ -62,3 +62,35 @@ object AuthStrategy {
     def apply(h: Map[String, String], p: Map[String, String]) = (h, p)
   }
 }
+
+/** Production [[HttpClient]] over `java.net.http` (JDK 11+) — the one
+  * place a real socket can be opened. Tests and the driver-verified
+  * queries never construct it; they inject deterministic fakes.
+  */
+final class JdkHttpClient extends HttpClient {
+  private lazy val client = java.net.http.HttpClient.newBuilder()
+    .followRedirects(java.net.http.HttpClient.Redirect.NORMAL)
+    .build()
+
+  def get(url: String, params: Map[String, String],
+          headers: Map[String, String], timeoutMs: Long): HttpResponse = {
+    val qs = params.map { case (k, v) =>
+      java.net.URLEncoder.encode(k, "UTF-8") + "=" +
+        java.net.URLEncoder.encode(v, "UTF-8")
+    }.mkString("&")
+    val full = if (qs.isEmpty) url
+               else url + (if (url.contains("?")) "&" else "?") + qs
+    val b = java.net.http.HttpRequest.newBuilder(java.net.URI.create(full))
+      .timeout(java.time.Duration.ofMillis(timeoutMs)).GET()
+    headers.foreach { case (k, v) => b.header(k, v) }
+    val r = client.send(b.build(),
+      java.net.http.HttpResponse.BodyHandlers.ofString())
+    val hdrs = r.headers().map().entrySet().iterator()
+    val m = scala.collection.mutable.Map.empty[String, String]
+    while (hdrs.hasNext) {
+      val e = hdrs.next()
+      if (!e.getValue.isEmpty) m.put(e.getKey, e.getValue.get(0))
+    }
+    HttpResponse(r.statusCode(), m.toMap, r.body())
+  }
+}

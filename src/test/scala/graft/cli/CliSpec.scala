@@ -81,6 +81,22 @@ class CliSpec extends SparkSpec {
     assert(dash.contains("bars_ingested"))
   }
 
+  test("provider-driven ingest resolves the registry and tracks the job") {
+    val root = newRoot()
+    // "fake" wraps the in-process wire server: 390 deterministic bars/symbol
+    Main.ingestVia(spark, root, "fake", Seq("AAPL"), "2024-01-02", 390)
+    val jobs = new JobRepo(spark, s"$root/state/jobs").load().collect()
+      .map(r => r.getAs[String]("job_id") -> r.getAs[String]("state")).toMap
+    assert(jobs("AAPL_2024-01-02_fake") == JobState.Completed)
+    val raw = spark.read.option("basePath", s"$root/raw").parquet(s"$root/raw")
+    assert(raw.where("symbol = 'AAPL'").count() == 390L)
+    Main.main(Array("providers")) // smoke: lists registered dialects
+    assert(graft.sources.ProviderRegistry.list()
+      .toSet.intersect(Set("iex", "finnhub", "polygon", "fake", "barfeed")).size == 5)
+    intercept[IllegalArgumentException](
+      Main.ingestVia(spark, root, "nope", Seq("A"), "2024-01-02", 1))
+  }
+
   test("backfill executes per-gap jobs and records their state") {
     val root = newRoot()
     // day 1 ingested, day 2 missing -> exactly one gap to fill
