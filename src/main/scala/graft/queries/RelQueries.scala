@@ -129,10 +129,13 @@ object RelQueries {
     }),
 
     // W2: dense surrogate-ID assignment by natural key order
-    // (ref symbol_normalizer.sql:46-82) — small-dimension global window
+    // (ref symbol_normalizer.sql:46-82) — through the SCALABLE path
+    // (range-partition + zipWithIndex, no single-partition window); ids
+    // are identical to the global-window variant by construction
     "w2_surrogate_ids" -> ((s, dir) =>
-      t(s, dir, "nation")
-        .withColumn("id", row_number().over(Window.orderBy("n_name")).cast("long"))
+      graft.symbols.Normalizer.assignIdsScalable(
+          t(s, dir, "nation").withColumn("natural_key", col("n_name")),
+          numPartitions = 4)
         .select("id", "n_name", "n_nationkey")
         .orderBy("id")),
 

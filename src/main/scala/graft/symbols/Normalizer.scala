@@ -53,12 +53,37 @@ object Normalizer {
     * (ref: symbol_normalizer.sql:46-82; scd_writer.py:94-112).
     *
     * Scale note (SURVEY §7.4.7): a global row_number is a single-partition
-    * window — fine for dimensions (≤ millions of rows); the fact tables
-    * never pass through here. For an extreme dimension,
-    * `zipWithIndex` over a sorted Dataset is the fallback.
+    * window — acceptable only for small dimensions; [[assignIdsScalable]]
+    * produces identical ids with no single-partition stage.
     */
   def assignIds(deduped: DataFrame, offset: Long = 0L): DataFrame =
     deduped.withColumn(
       "id",
       row_number().over(Window.orderBy("natural_key")).cast("long") + offset)
+
+  /** [[assignIds]] without the single-partition window: range-partition by
+    * natural_key (globally ordered partitions), sort within each, then
+    * `zipWithIndex` — a per-partition count job plus index arithmetic, no
+    * stage ever sees more than one partition's rows. Ids are identical to
+    * [[assignIds]] (global rank of the unique natural_key), whatever
+    * bounds the range sampler picks. The one RDD drop in the library:
+    * assigning a global dense sequence IS per-partition imperative logic.
+    */
+  def assignIdsScalable(deduped: DataFrame, offset: Long = 0L,
+                        numPartitions: Int = 0): DataFrame = {
+    val spark = deduped.sparkSession
+    val parts =
+      if (numPartitions > 0) numPartitions
+      else spark.conf.get("spark.sql.shuffle.partitions", "200").toInt
+    val sorted = deduped
+      .repartitionByRange(parts, col("natural_key"))
+      .sortWithinPartitions("natural_key")
+    val schema = org.apache.spark.sql.types.StructType(
+      sorted.schema.fields :+ org.apache.spark.sql.types.StructField(
+        "id", org.apache.spark.sql.types.LongType, nullable = false))
+    val withIdx = sorted.rdd.zipWithIndex().map { case (r, i) =>
+      org.apache.spark.sql.Row.fromSeq(r.toSeq :+ (i + 1L + offset))
+    }
+    spark.createDataFrame(withIdx, schema)
+  }
 }

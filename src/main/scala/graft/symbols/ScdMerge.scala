@@ -75,9 +75,11 @@ object ScdMerge {
       .drop("u_key")
 
     // new versions: updates keep ids; inserts get max(id)+rank(natural_key)
+    // via the scalable path (no single-partition window even for a huge
+    // first-load snapshot)
     val maxId = master.agg(coalesce(max("id"), lit(0L))).first().getLong(0)
     val masterCols = master.columns
-    val inserts = Normalizer.assignIds(
+    val inserts = Normalizer.assignIdsScalable(
       classified.where(col("action") === "insert").drop("id"), maxId)
     val updates = classified.where(col("action") === "update")
     val newVersions = inserts.unionByName(updates, allowMissingColumns = true)
