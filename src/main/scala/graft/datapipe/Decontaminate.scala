@@ -1,0 +1,100 @@
+package graft.datapipe
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Benchmark decontamination: flag training documents that share any word
+  * n-gram with an evaluation/benchmark set — the published n-gram-overlap
+  * decontamination method (13-grams in the original description; `n` is a
+  * parameter because short benchmark prompts need smaller windows).
+  *
+  * Scale shape: both sides shingle in-row ([[Dedup.shingleArrays]]), then
+  * ONE inner join keyed on the shingle — shuffle cost is the shingle sets,
+  * never |docs| x |benchmark|. The benchmark side is tiny in practice
+  * (eval suites are thousands of rows, not billions), so Spark broadcasts
+  * it and the training corpus never shuffles at all.
+  */
+object Decontaminate {
+
+  /** Contaminated (doc, benchmark-overlap) summary: one row per training
+    * doc sharing >= `minMatches` distinct n-grams with ANY benchmark row —
+    * n_matched_ngrams (distinct shingles hit) and n_benchmarks (distinct
+    * benchmark rows hit).
+    */
+  def contaminated(
+      docs: DataFrame, benchmark: DataFrame, n: Int = 13, minMatches: Int = 1,
+      textCol: String = "text", idCol: String = "doc_id",
+      benchTextCol: String = "text", benchIdCol: String = "bench_id"): DataFrame = {
+    val docSh = Dedup.shingles(docs, n, textCol, idCol)
+    val benchSh = Dedup.shingles(
+        benchmark.withColumnRenamed(benchTextCol, "__btext"),
+        n, "__btext", benchIdCol)
+      .withColumnRenamed("shingle", "__bshingle")
+    docSh
+      .join(broadcast(benchSh), col("shingle") === col("__bshingle"))
+      .groupBy(idCol)
+      .agg(
+        countDistinct(col("shingle")).as("n_matched_ngrams"),
+        countDistinct(col(benchIdCol)).as("n_benchmarks"))
+      .where(col("n_matched_ngrams") >= minMatches)
+  }
+
+  /** Training rows surviving decontamination (left-anti on the flagged set). */
+  def clean(
+      docs: DataFrame, benchmark: DataFrame, n: Int = 13, minMatches: Int = 1,
+      textCol: String = "text", idCol: String = "doc_id",
+      benchTextCol: String = "text", benchIdCol: String = "bench_id"): DataFrame =
+    docs.join(
+      contaminated(docs, benchmark, n, minMatches, textCol, idCol,
+        benchTextCol, benchIdCol).select(idCol),
+      Seq(idCol), "left_anti")
+
+  /** TF-IDF top-k terms per document: tf = in-doc term count, idf =
+    * ln(N / df) over the corpus, top-k by score with term tie-break,
+    * rendered as an ordered comma-joined string.
+    *
+    * Scale shape: two shuffles — (doc, term) counts, then term df — and
+    * the df side joins back keyed on the term. The per-doc top-k is an
+    * in-row sort of that doc's terms (bounded by document length), not a
+    * global window.
+    */
+  def tfIdfTopTerms(docs: DataFrame, k: Int = 5,
+                    textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    tfIdfTopTermsWith(docs, k, textCol, idCol) { (tf, idf) =>
+      tf.cast("double") * idf
+    }
+
+  /** Cross-engine verification twin of [[tfIdfTopTerms]]: idf quantized to
+    * integer micro-units (floor(ln(N/df)*1e6 + 0.5)) so the ranking is
+    * pure integer arithmetic any engine reproduces bit-for-bit — same
+    * portable-variant discipline as the md5 MinHash/SimHash twins. The
+    * double-score variant stays the production path.
+    */
+  def tfIdfTopTermsQuantized(docs: DataFrame, k: Int = 5,
+                             textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    tfIdfTopTermsWith(docs, k, textCol, idCol) { (tf, idf) =>
+      (tf * floor(idf * 1000000.0 + 0.5).cast("long")).cast("double")
+    }
+
+  private def tfIdfTopTermsWith(
+      docs: DataFrame, k: Int, textCol: String, idCol: String)(
+      score: (org.apache.spark.sql.Column, org.apache.spark.sql.Column)
+        => org.apache.spark.sql.Column): DataFrame = {
+    val nDocs = docs.select(col(idCol)).distinct().count()
+    val terms = docs
+      .select(col(idCol), explode(TextAnalysis.tokens(col(textCol))).as("term"))
+      .where(col("term") =!= "")
+    val tf = terms.groupBy(idCol, "term").agg(count(lit(1)).as("tf"))
+    val df = terms.select(col(idCol), col("term")).distinct()
+      .groupBy("term").agg(count(lit(1)).as("df"))
+    tf.join(df, "term")
+      .withColumn("score",
+        score(col("tf"), log(lit(nDocs.toDouble) / col("df").cast("double"))))
+      .groupBy(idCol)
+      .agg(slice(sort_array(collect_list(struct(
+          (-col("score")).as("neg"), col("term"))), asc = true), 1, k)
+        .as("top"))
+      .select(col(idCol),
+        array_join(transform(col("top"), x => x.getField("term")), ",").as("top_terms"))
+  }
+}

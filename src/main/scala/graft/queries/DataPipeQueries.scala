@@ -59,6 +59,25 @@ object DataPipeQueries {
       Dedup.embeddingCosinePairs(embs(s, dir), bucketCol = "label", threshold = 0.3)
         .orderBy("id_a", "id_b")),
 
+    // Benchmark decontamination: every 97th document doubles as an "eval
+    // set" row; training docs sharing any 8-gram with it are flagged with
+    // match counts (the published n-gram decontamination method).
+    "d6_decontaminate" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val bench = d.where(col("doc_id") % 97 === 0)
+        .select(col("doc_id").as("bench_id"), col("text"))
+      Decontaminate.contaminated(d, bench, n = 8)
+        .orderBy("doc_id")
+    }),
+
+    // TF-IDF top-3 terms per doc over a corpus slice — the quantized
+    // portable twin (integer idf micro-units); the double-score variant
+    // is the production path, spec-pinned equal on this data.
+    "t6_tfidf_topterms" -> ((s, dir) =>
+      Decontaminate.tfIdfTopTermsQuantized(
+          docs(s, dir).where(col("doc_id") < 30), k = 3)
+        .orderBy("doc_id")),
+
     "sim1_bruteforce_topk" -> ((s, dir) => {
       val e = embs(s, dir)
       Similarity.bruteForceTopK(e, e.where(col("vec_id") === 0), k = 20)
@@ -285,6 +304,44 @@ object DataPipeQueries {
          |WHERE ${dotD("a.q", "b.q")}
          |         / (sqrt(${dotD("a.q", "a.q")}) * sqrt(${dotD("b.q", "b.q")})) >= 0.3
          |ORDER BY id_a, id_b""".stripMargin,
+    "d6_decontaminate" ->
+      """WITH dsh AS (
+        |  SELECT DISTINCT doc_id,
+        |         concat_ws(' ', t[i], t[i+1], t[i+2], t[i+3],
+        |                   t[i+4], t[i+5], t[i+6], t[i+7]) AS shingle
+        |  FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+        |        FROM documents)
+        |  CROSS JOIN LATERAL (SELECT unnest(generate_series(1, len(t) - 7)) AS i)
+        |  WHERE len(t) >= 8),
+        |bsh AS (
+        |  SELECT DISTINCT doc_id AS bench_id, shingle
+        |  FROM dsh WHERE doc_id % 97 = 0)
+        |SELECT d.doc_id,
+        |       count(DISTINCT d.shingle) AS n_matched_ngrams,
+        |       count(DISTINCT b.bench_id) AS n_benchmarks
+        |FROM dsh d JOIN bsh b ON d.shingle = b.shingle
+        |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin,
+    "t6_tfidf_topterms" ->
+      """WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 30),
+        |terms AS (
+        |  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+        |  FROM d),
+        |t2 AS (SELECT * FROM terms WHERE term <> ''),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM t2 GROUP BY 1, 2),
+        |df AS (SELECT term, count(DISTINCT doc_id) AS df FROM t2 GROUP BY 1),
+        |n AS (SELECT count(DISTINCT doc_id) AS nd FROM d),
+        |scored AS (
+        |  SELECT doc_id, term,
+        |         tf * CAST(floor(ln(CAST(nd AS DOUBLE) / CAST(df AS DOUBLE))
+        |                         * 1000000.0 + 0.5) AS BIGINT) AS score
+        |  FROM tf JOIN df USING (term) CROSS JOIN n),
+        |ranked AS (
+        |  SELECT doc_id, term,
+        |         row_number() OVER (PARTITION BY doc_id
+        |                            ORDER BY score DESC, term ASC) AS rn
+        |  FROM scored)
+        |SELECT doc_id, string_agg(term, ',' ORDER BY rn) AS top_terms
+        |FROM ranked WHERE rn <= 3 GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "sim1_bruteforce_topk" ->
       s"""WITH $quantCte,
          |q AS (SELECT q AS qq FROM qv WHERE vec_id = 0)

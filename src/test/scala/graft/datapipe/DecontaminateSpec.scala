@@ -1,0 +1,56 @@
+package graft.datapipe
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class DecontaminateSpec extends SparkSpec {
+
+  private def docsDf = {
+    val s = spark; import s.implicits._
+    Seq(
+      (1L, "the quick brown fox jumps over the lazy dog tonight"),
+      (2L, "completely unrelated text about spark query planning internals"),
+      (3L, "warm up the quick brown fox jumps over the lazy dog again"),
+      (4L, "short doc")
+    ).toDF("doc_id", "text")
+  }
+
+  private def benchDf = {
+    val s = spark; import s.implicits._
+    Seq((100L, "quick brown fox jumps over the lazy dog")).toDF("bench_id", "text")
+  }
+
+  test("contaminated flags docs sharing benchmark n-grams; clean drops them") {
+    val hits = Decontaminate.contaminated(docsDf, benchDf, n = 8)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_matched_ngrams"), r.getAs[Long]("n_benchmarks"))).toMap
+    // docs 1 and 3 embed the full benchmark 8-gram window; 2 and 4 do not
+    assert(hits.keySet == Set(1L, 3L))
+    assert(hits(1L)._2 == 1L && hits(3L)._2 == 1L)
+    assert(hits(1L)._1 >= 1L)
+    val surviving = Decontaminate.clean(docsDf, benchDf, n = 8)
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(surviving == Set(2L, 4L))
+    // minMatches above the overlap suppresses the flag
+    assert(Decontaminate.contaminated(docsDf, benchDf, n = 8, minMatches = 100)
+      .count() == 0L)
+  }
+
+  test("quantized tf-idf twin ranks identically to the double-score path") {
+    val s = spark; import s.implicits._
+    val corpus = Seq(
+      (1L, "alpha alpha alpha beta gamma"),
+      (2L, "beta beta gamma gamma delta"),
+      (3L, "delta epsilon epsilon alpha zeta"),
+      (4L, "zeta zeta zeta gamma alpha")
+    ).toDF("doc_id", "text")
+    def render(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("top_terms")).toMap
+    val exact = render(Decontaminate.tfIdfTopTerms(corpus, k = 2))
+    val quant = render(Decontaminate.tfIdfTopTermsQuantized(corpus, k = 2))
+    assert(exact == quant)
+    // doc 1: alpha tf=3 (df=3), beta tf=1 (df=2) -> alpha first
+    assert(exact(1L).startsWith("alpha"))
+    assert(exact.keySet == Set(1L, 2L, 3L, 4L))
+  }
+}
