@@ -70,6 +70,24 @@ object VendorQueries {
         baseSec * 1000000000L, (baseSec + 60L * 1000) * 1000000000L))
     }),
 
+    // S13/DSv2: the DISTRIBUTED fetch path — spark.read.format
+    // ("graft-provider") plans one input partition per symbol; each task
+    // drains its symbol's page stream through the registry-resolved
+    // dialect client. Three symbols => three parallel fetches.
+    "s13_dsv2_distributed_scan" -> ((s, dir) =>
+      s.read.format("graft-provider")
+        .option("provider", "fake")
+        .option("symbols", "AAA,BBB,CCC")
+        .option("startNs", "0")
+        .option("endNs", (390L * 60000000000L).toString)
+        .load()
+        .groupBy("symbol")
+        .agg(count(lit(1)).as("n_bars"),
+          sum(col("volume")).as("total_volume"),
+          min(col("ts_ns")).as("first_ts"), max(col("ts_ns")).as("last_ts"),
+          sum(col("close").cast("decimal(18,2)")).cast("double").as("sum_close"))
+        .orderBy("symbol")),
+
     // S15/nasdaq: pipe-delimited daily-list parse — category->MIC map,
     // ETF flag, test-issue skip, footer as-of date.
     "s15_nasdaq_symbols" -> ((s, dir) => {
@@ -102,6 +120,19 @@ object VendorQueries {
     "s13_iex_ingest" -> barOracle(500),
     "s13_finnhub_ingest" -> barOracle(800),
     "s13_polygon_ingest" -> barOracle(1000),
+    "s13_dsv2_distributed_scan" ->
+      """WITH syms(symbol) AS (VALUES ('AAA'), ('BBB'), ('CCC')),
+        |g AS (SELECT unnest(range(0, 390)) AS i),
+        |bars AS (
+        |  SELECT symbol, i * 60000000000 AS ts_ns,
+        |         (10000 + (i * 37) % 5000) / 100.0 AS close,
+        |         (i * 7919) % 997 + 1 AS volume
+        |  FROM g CROSS JOIN syms)
+        |SELECT symbol, count(*) AS n_bars,
+        |       CAST(sum(volume) AS BIGINT) AS total_volume,
+        |       min(ts_ns) AS first_ts, max(ts_ns) AS last_ts,
+        |       CAST(sum(CAST(close AS DECIMAL(18,2))) AS DOUBLE) AS sum_close
+        |FROM bars GROUP BY symbol ORDER BY symbol""".stripMargin,
     "s15_nasdaq_symbols" ->
       """WITH g AS (SELECT unnest(range(0, 600)) AS i),
         |syms AS (
