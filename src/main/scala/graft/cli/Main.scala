@@ -20,6 +20,7 @@ import org.apache.spark.sql.functions._
   *   prune     <dataRoot> <ageExpr> [--dry-run]          (ref prune.py:41-330)
   *   jobs      <dataRoot> list|status|cleanup [ageExpr]  (ref jobs.py:163-189,519-535)
   *   metrics   <dataRoot> list|summary|avg|trend|dashboard
+  *   symbols   <dataRoot> [update --provider p --as-of d [--dry-run]]
   *   gaps      <dataRoot> <start> <end>
   *   demo      <dataRoot> | stream-demo
   */
@@ -123,6 +124,16 @@ object Main {
       val dropped = new JobRepo(session(), s"$root/state/jobs")
         .cleanupTerminal(cutoff)
       println(s"[jobs] cleanup: dropped $dropped terminal jobs older than $age")
+
+    case "symbols" :: root :: "update" :: rest =>
+      // symbol-master pipeline (ref: cli/symbols.py update): provider
+      // fetch -> identifier validation -> normalize -> SCD-2 merge -> write
+      def opt(flag: String): Option[String] =
+        rest.dropWhile(_ != flag).drop(1).headOption
+      symbolsUpdate(session(), root,
+        provider = opt("--provider").getOrElse("fake"),
+        asOf = opt("--as-of").getOrElse(java.time.LocalDate.now().toString),
+        dryRun = rest.contains("--dry-run"))
 
     case "symbols" :: root :: Nil =>
       // distinct symbols with bar counts + date range, most data first
@@ -253,6 +264,77 @@ object Main {
       .record(Seq((now, "bars_ingested", clean.toDouble, "synthetic", "fake")))
     println(s"[ingest] job=$jobId clean=$clean errors=$errs frames=" +
       FrameSpec.defaults.map(_.name).mkString(","))
+  }
+
+  /** Symbol-master update (ref: cli/symbols.py:116-240 and
+    * symbol_pipeline.py): fetch a provider snapshot, null invalid FIGIs
+    * (check-digit), build natural keys, dedup, SCD-2 merge into the
+    * master dimension at `root/state/symbols_master`, write (unless
+    * `--dry-run`, which prints the classify histogram instead).
+    */
+  private[cli] def symbolsUpdate(spark: SparkSession, root: String,
+                                 provider: String, asOf: String,
+                                 dryRun: Boolean): Unit = {
+    import graft.sources._
+    import graft.symbols.{Identifiers, Normalizer, ScdMerge}
+    val cfg = ClientConfig(
+      baseUrl = sys.env.getOrElse("GRAFT_PROVIDER_URL", "http://fake"),
+      apiKey = sys.env.getOrElse("GRAFT_API_KEY", ""))
+    val snapshot0 = provider match {
+      case "fake" =>
+        new SymbolFeedClient(cfg, AuthStrategy.NoAuth,
+            new FakeSymbolServer(nSymbols = 120, pageSize = 50))
+          .fetchSymbols(spark)
+          .select(col("ticker"), col("name").as("company_name"),
+            col("mic").as("exchange_mic"), col("figi"))
+          .withColumn("status", lit("ACTIVE"))
+      case "nasdaq" =>
+        new NasdaqSymbolFeed(cfg, new JdkHttpClient,
+            asOfOverride = Some(asOf)).fetchSymbols(spark)
+          .select(col("ticker"), col("company_name"),
+            col("mic").as("exchange_mic"), col("figi"), col("status"))
+      case "polygon" =>
+        new PolygonSymbolFeed(cfg,
+            AuthStrategy.QueryTokenAuth("apikey", cfg.apiKey),
+            new JdkHttpClient, asOf = asOf).fetchSymbols(spark)
+          .select(col("ticker"), col("company_name"),
+            col("mic").as("exchange_mic"), col("figi"), col("status"))
+      case other => throw new IllegalArgumentException(
+        s"unknown symbol provider $other (have: fake, nasdaq, polygon)")
+    }
+    // invalid check-digit FIGIs are nulled -> natural key falls back to
+    // ticker|mic (columnar validation: one bad row cannot fail the batch)
+    val snapshot = Normalizer.dedup(
+      Normalizer.withNaturalKey(
+          snapshot0.withColumn("figi",
+            when(col("figi").isNotNull && Identifiers.figiValid(col("figi")),
+              col("figi"))))
+        .withColumn("as_of", to_date(lit(asOf)))
+        .withColumn("provider", lit(provider)))
+      .drop("as_of", "provider")
+    val masterPath = s"$root/state/symbols_master"
+    val master =
+      try spark.read.option("basePath", masterPath).parquet(masterPath)
+        .drop("year", "month")
+      catch { case _: org.apache.spark.sql.AnalysisException =>
+        // first run: empty master with the snapshot schema + SCD columns
+        val empty = snapshot.where(lit(false))
+        empty
+          .withColumn("id", lit(null).cast("long"))
+          .withColumn("valid_from", lit(null).cast("date"))
+          .withColumn("valid_to", lit(null).cast("date"))
+      }
+    if (dryRun) {
+      ScdMerge.classify(master, snapshot)
+        .groupBy("action").agg(count(lit(1)).as("n")).orderBy("action")
+        .collect().foreach(r => println(s"  ${r.getString(0)}: ${r.getLong(1)}"))
+      println(s"[symbols] dry-run: no writes (provider=$provider as-of=$asOf)")
+    } else {
+      val merged = ScdMerge.merge(master, snapshot, asOf)
+      ScdMerge.write(spark, merged, masterPath)
+      val n = spark.read.option("basePath", masterPath).parquet(masterPath).count()
+      println(s"[symbols] updated master: $n versions (provider=$provider as-of=$asOf)")
+    }
   }
 
   /** Provider-driven ingestion: resolve the vendor dialect from the

@@ -4,6 +4,7 @@ import graft.SparkSpec
 import graft.jobs.{JobRepo, JobState}
 import graft.validate.CsvReportSink
 import java.nio.file.Files
+import org.apache.spark.sql.functions.col
 
 /** CLI command e2e over a temp data root: ingest with job tracking,
   * re-validate, executing backfill, retention prune (partitions + job
@@ -79,6 +80,28 @@ class CliSpec extends SparkSpec {
     val dash = new graft.metrics.MetricsStore(spark, s"$root/state/metrics")
       .dashboard().collect().map(r => r.getAs[String]("name")).toSet
     assert(dash.contains("bars_ingested"))
+  }
+
+  test("symbols update runs the SCD pipeline; re-run is a no-op; dry-run writes nothing") {
+    val root = newRoot()
+    val masterPath = s"$root/state/symbols_master"
+    Main.symbolsUpdate(spark, root, "fake", "2024-06-01", dryRun = false)
+    val m1 = spark.read.option("basePath", masterPath).parquet(masterPath)
+    assert(m1.count() == 120L) // every fake symbol inserted once
+    // corrupt-check-digit FIGIs (every 7th) were nulled -> ticker|mic keys
+    assert(m1.where(col("figi").isNull).count() ==
+      (0 until 120).count(_ % 7 == 0))
+    assert(m1.where(col("valid_to").isNull).count() == 120L)
+    // identical snapshot re-merge: unchanged everywhere, same version count
+    Main.symbolsUpdate(spark, root, "fake", "2024-06-02", dryRun = false)
+    val m2 = spark.read.option("basePath", masterPath).parquet(masterPath)
+    assert(m2.count() == 120L)
+    // dry-run only prints the histogram
+    Main.symbolsUpdate(spark, root, "fake", "2024-06-03", dryRun = true)
+    assert(spark.read.option("basePath", masterPath).parquet(masterPath)
+      .count() == 120L)
+    intercept[IllegalArgumentException](
+      Main.symbolsUpdate(spark, root, "bogus", "2024-06-01", dryRun = true))
   }
 
   test("provider-driven ingest resolves the registry and tracks the job") {
