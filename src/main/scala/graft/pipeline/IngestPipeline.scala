@@ -51,9 +51,10 @@ final class IngestPipeline(
         agg.withColumn("frame", lit(f.name))
       }.reduce(_ unionByName _)
       aggStore.writeFrames(allFrames, compactPartitions = true)
-      // localCheckpoint not cache: materialized once, GC-cleaned, no
-      // session-long pin (same rationale as ScdMerge)
-      val errMat = errors.localCheckpoint()
+      // frontier (localCheckpoint locally): materialized once, GC-cleaned,
+      // no session-long pin; scale path spills to scratch table/replicated
+      // disk (same rationale as ScdMerge)
+      val errMat = graft.core.Materialize.frontier(errors)
       val nErr = errMat.count()
       CsvReportSink.write(errMat, reportRoot, jobId) // header-only when clean
       views.refreshViews()

@@ -118,9 +118,12 @@ final class ParquetStore(spark: SparkSession, root: String) {
       .withColumn("date", to_date(col("date")))
     val affected = spark.read.option("basePath", root).parquet(root)
       .join(broadcast(keyDf), Seq("frame", "symbol", "date"), "left_semi")
-    // read fully into executor storage BEFORE the overwrite of the same
-    // partitions (cannot stream from files being replaced)
-    val materialized = affected.localCheckpoint()
+    // materialize BEFORE the overwrite of the same partitions (cannot
+    // stream from files being replaced; lineage recompute would read them
+    // too). Materialize.frontier keeps this off unreplicated executor
+    // blocks at scale: block loss during a big compaction must not lose
+    // the partitions being rewritten.
+    val materialized = graft.core.Materialize.frontier(affected)
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     materialized
       .repartition(col("frame"), col("symbol"), col("date"))

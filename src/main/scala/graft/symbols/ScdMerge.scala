@@ -56,10 +56,11 @@ object ScdMerge {
       effectiveDate: String,
       tracked: Seq[String] = defaultTracked): DataFrame = {
     val eff = to_date(lit(effectiveDate))
-    // localCheckpoint (not cache): classify feeds three branches below, and
-    // checkpointed RDDs are GC-cleaned with the DataFrame — no unpersist
-    // bookkeeping leaking across repeated merges in one session
-    val classified = classify(master, snapshot, tracked).localCheckpoint()
+    // frontier (localCheckpoint at dimension scale, not cache): classify
+    // feeds three branches below; checkpointed RDDs are GC-cleaned with
+    // the DataFrame — no unpersist bookkeeping leaking across merges
+    val classified = graft.core.Materialize.frontier(
+      classify(master, snapshot, tracked))
 
     val updatedKeys = classified.where(col("action") === "update")
       .select(col("natural_key").as("u_key"))
