@@ -60,7 +60,8 @@ object Bench {
       "pipeline_year_1sym" -> pipeYear, "pipeline_day_50sym" -> pipeDay)
     // millisecond precision keeps the line short enough that log captures
     // don't truncate the tail (the full per-query map is the artifact)
-    def fmt(v: Double): String = f"$v%.3f"
+    def fmt(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val qs = all.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
     val total = all.map(_._2).filter(_ >= 0).sum
     println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","n_queries":${all.length}}""")

@@ -53,7 +53,10 @@ private[sources] final class ProviderTable(props: Map[String, String])
     java.util.EnumSet.of(TableCapability.BATCH_READ)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
-    val merged = props ++ options.asScala
+    // CaseInsensitiveStringMap lowercases its keys; fold everything to
+    // lowercase so option lookup is reliable whichever path supplied it
+    val merged = (props.map { case (k, v) => k.toLowerCase -> v } ++
+      options.asScala.map { case (k, v) => k.toLowerCase -> v }).toMap
     new ScanBuilder with Scan with Batch {
       override def build(): Scan = this
       override def readSchema(): StructType = Schemas.bars
@@ -70,12 +73,12 @@ private[sources] final class ProviderTable(props: Map[String, String])
       override def createReaderFactory(): PartitionReaderFactory =
         ProviderReaderFactory(
           provider = merged.getOrElse("provider", "barfeed"),
-          baseUrl = merged.getOrElse("baseUrl", "http://localhost"),
-          apiKey = merged.getOrElse("apiKey", ""),
-          authParam = merged.getOrElse("authParam", "token"),
-          pageLimit = merged.getOrElse("pageLimit", "10000").toInt,
-          startNs = merged.getOrElse("startNs", "0").toLong,
-          endNs = merged.getOrElse("endNs", Long.MaxValue.toString).toLong)
+          baseUrl = merged.getOrElse("baseurl", "http://localhost"),
+          apiKey = merged.getOrElse("apikey", ""),
+          authParam = merged.getOrElse("authparam", "token"),
+          pageLimit = merged.getOrElse("pagelimit", "10000").toInt,
+          startNs = merged.getOrElse("startns", "0").toLong,
+          endNs = merged.getOrElse("endns", Long.MaxValue.toString).toLong)
     }
   }
 }

@@ -40,6 +40,21 @@ class ProviderSourceSpec extends SparkSpec {
       r.getString(0) == "AAA" && r.getLong(1) > 500L))
   }
 
+  test("reader options reach the executor-side client config") {
+    // a factory whose bar count IS the configured pageLimit: the only way
+    // this read returns 123 rows is if the option survived the
+    // case-insensitive plumbing into ClientConfig on the reader
+    ProviderRegistry.register("spec-pages", (cfg, auth, _) =>
+      new BarFeedClient(cfg, auth,
+        new FakeBarServer(nBars = cfg.pageLimit, pageSize = 50)))
+    val df = spark.read.format("graft-provider")
+      .option("provider", "spec-pages")
+      .option("symbols", "AAA")
+      .option("pageLimit", "123")
+      .load()
+    assert(df.count() == 123L)
+  }
+
   test("unknown provider name fails with the registry inventory") {
     val e = intercept[Exception] {
       spark.read.format("graft-provider")
