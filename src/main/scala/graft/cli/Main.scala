@@ -185,6 +185,9 @@ object Main {
     case "metrics" :: root :: "trend" :: name :: Nil =>
       new MetricsStore(session(), s"$root/state/metrics")
         .trend(name, System.currentTimeMillis() / 1000).show(48, truncate = false)
+    case "metrics" :: root :: "export" :: Nil =>
+      // Prometheus text exposition (ref metrics_server.py scrape surface)
+      print(new MetricsStore(session(), s"$root/state/metrics").prometheusText())
     case "metrics" :: root :: "dashboard" :: Nil =>
       // one-shot dashboard (ref cli/metrics_dashboard.py data surface,
       // minus the live HTML/TUI): per-metric summary then the

@@ -73,4 +73,28 @@ final class MetricsStore(spark: SparkSession, path: String) {
         max_by(col("value"), col("ts")).as("latest_value"),
         max("ts").as("latest_ts"))
       .orderBy("name", "provider", "feed")
+
+  /** Prometheus text exposition of the latest value per
+    * (name, provider, feed) — the scrape surface of the reference's
+    * metrics server (ref: metrics_server.py:147,286-293), produced from
+    * the store instead of an in-process registry. Metadata-scale driver
+    * formatting; timestamps are emitted in milliseconds per the format.
+    */
+  def prometheusText(prefix: String = "graft_"): String = {
+    val rows = dashboard().collect()
+    val sb = new StringBuilder
+    rows.groupBy(_.getAs[String]("name")).toSeq.sortBy(_._1).foreach {
+      case (name, group) =>
+        val metric = prefix + name.replaceAll("[^a-zA-Z0-9_:]", "_")
+        sb.append(s"# TYPE $metric gauge\n")
+        group.sortBy(r => (r.getAs[String]("provider"), r.getAs[String]("feed")))
+          .foreach { r =>
+            val labels = s"""provider="${r.getAs[String]("provider")}",""" +
+              s"""feed="${r.getAs[String]("feed")}""""
+            sb.append(s"$metric{$labels} ${r.getAs[Double]("latest_value")} " +
+              s"${r.getAs[Long]("latest_ts") * 1000L}\n")
+          }
+    }
+    sb.result()
+  }
 }

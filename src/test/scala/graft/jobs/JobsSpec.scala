@@ -124,6 +124,21 @@ class JobsSpec extends SparkSpec {
     assert(prunable.toSeq == Seq("2024-01-01"))
   }
 
+  test("prometheus export renders latest values with type headers and labels") {
+    val ms = new graft.metrics.MetricsStore(spark, tmpDir("prom") + "/m")
+    ms.record(Seq(
+      (100L, "ingest_rate", 10.0, "alpha", "bars"),
+      (200L, "ingest_rate", 20.0, "alpha", "bars"), // latest wins
+      (150L, "err.count", 3.0, "beta", "bars")))    // name sanitized
+    val text = ms.prometheusText()
+    assert(text.contains("# TYPE graft_ingest_rate gauge"))
+    assert(text.contains(
+      """graft_ingest_rate{provider="alpha",feed="bars"} 20.0 200000"""))
+    assert(text.contains("# TYPE graft_err_count gauge"))
+    assert(text.contains(
+      """graft_err_count{provider="beta",feed="bars"} 3.0 150000"""))
+  }
+
   test("metrics store: windowed avg and bucketed trend") {
     val ms = new graft.metrics.MetricsStore(spark, tmpDir("metrics") + "/m")
     val now = 1000000L
