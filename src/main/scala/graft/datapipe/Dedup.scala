@@ -36,6 +36,34 @@ object Dedup {
       .drop("_rn", "content_hash")
   }
 
+  /** Incremental exact dedup: the production shape for a growing corpus —
+    * new batches dedup against a persisted FINGERPRINT table (content_hash
+    * per already-accepted doc), never against the full corpus text.
+    *
+    * Returns the accepted rows of `incoming`: in-batch exact dedup
+    * (lowest id wins) followed by a left-anti join against the seen-hash
+    * set. Cost is one shuffle of (hash, id) within the batch plus one
+    * hash-keyed anti-join — the 100 TB corpus contributes only its 16-byte
+    * hashes, not its text. Callers append `fingerprints(accepted)` to the
+    * store afterwards to advance the frontier.
+    */
+  def incrementalExactKeep(
+      incoming: DataFrame, seenHashes: DataFrame,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    exactKeep(incoming, textCol, idCol)
+      .withColumn("content_hash", TextAnalysis.fingerprintMd5(col(textCol)))
+      .join(seenHashes.select("content_hash"), Seq("content_hash"), "left_anti")
+      .drop("content_hash")
+
+  /** The fingerprint rows for a batch of accepted docs — what gets
+    * appended to the seen-hash store after [[incrementalExactKeep]].
+    */
+  def fingerprints(docs: DataFrame,
+                   textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    docs.select(
+      TextAnalysis.fingerprintMd5(col(textCol)).as("content_hash"),
+      col(idCol).as("canonical_id"))
+
   /** Distinct word n-gram shingle *array* per document (one row per doc):
     * dedup happens inside the row via array_distinct — no shuffle.
     */

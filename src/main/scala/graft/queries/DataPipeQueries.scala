@@ -59,6 +59,25 @@ object DataPipeQueries {
       Dedup.embeddingCosinePairs(embs(s, dir), bucketCol = "label", threshold = 0.3)
         .orderBy("id_a", "id_b")),
 
+    // Incremental exact dedup: a new batch dedups in-batch (lowest id
+    // wins) then anti-joins the persisted fingerprint frontier — the
+    // growing-corpus shape where the existing 100 TB contributes only its
+    // hashes. Overlap region [250,300) and the planted in-batch copies
+    // must both be dropped.
+    "d7_incremental_dedup" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val existing = Dedup.fingerprints(d.where(col("doc_id") < 300))
+      val incoming0 = d.where(col("doc_id") >= 250 && col("doc_id") < 550)
+        .select("doc_id", "text")
+      val incoming = incoming0.unionByName(
+        incoming0.where(col("doc_id") < 400)
+          .withColumn("doc_id", col("doc_id") + 100000L))
+      Dedup.incrementalExactKeep(incoming, existing)
+        .agg(count(lit(1)).as("n_accepted"),
+          sum(col("doc_id")).as("id_sum"),
+          min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
+    }),
+
     // Benchmark decontamination: every 97th document doubles as an "eval
     // set" row; training docs sharing any 8-gram with it are flagged with
     // match counts (the published n-gram decontamination method).
@@ -304,6 +323,29 @@ object DataPipeQueries {
          |WHERE ${dotD("a.q", "b.q")}
          |         / (sqrt(${dotD("a.q", "a.q")}) * sqrt(${dotD("b.q", "b.q")})) >= 0.3
          |ORDER BY id_a, id_b""".stripMargin,
+    "d7_incremental_dedup" ->
+      """WITH ex AS (
+        |  SELECT DISTINCT md5(lower(trim(text))) AS h
+        |  FROM documents WHERE doc_id < 300),
+        |inc0 AS (
+        |  SELECT doc_id, text FROM documents
+        |  WHERE doc_id >= 250 AND doc_id < 550),
+        |inc AS (
+        |  SELECT * FROM inc0
+        |  UNION ALL
+        |  SELECT doc_id + 100000 AS doc_id, text FROM inc0 WHERE doc_id < 400),
+        |keep AS (
+        |  SELECT doc_id FROM (
+        |    SELECT doc_id, text,
+        |           row_number() OVER (PARTITION BY md5(lower(trim(text)))
+        |                              ORDER BY doc_id) AS rn
+        |    FROM inc)
+        |  WHERE rn = 1
+        |    AND md5(lower(trim(text))) NOT IN (SELECT h FROM ex))
+        |SELECT count(*) AS n_accepted,
+        |       CAST(sum(doc_id) AS BIGINT) AS id_sum,
+        |       min(doc_id) AS min_id, max(doc_id) AS max_id
+        |FROM keep""".stripMargin,
     "d6_decontaminate" ->
       """WITH dsh AS (
         |  SELECT DISTINCT doc_id,

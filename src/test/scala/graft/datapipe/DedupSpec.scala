@@ -68,6 +68,25 @@ class DedupSpec extends SparkSpec {
     assert(ham(sig(1L), sig(3L)) < ham(sig(1L), sig(4L)))
   }
 
+  test("incremental dedup drops seen hashes and in-batch copies") {
+    val s = spark; import s.implicits._
+    val existing = Dedup.fingerprints(
+      Seq((1L, "seen before"), (2L, "also seen")).toDF("doc_id", "text"))
+    val incoming = Seq(
+      (10L, "seen before"),   // hash already in the store -> dropped
+      (11L, "brand new"),     // accepted
+      (12L, "brand new"),     // in-batch copy of 11 -> dropped
+      (13L, "another new")    // accepted
+    ).toDF("doc_id", "text")
+    val accepted = Dedup.incrementalExactKeep(incoming, existing)
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(accepted == Set(11L, 13L))
+    // advancing the frontier with the accepted batch makes a re-run a no-op
+    val advanced = existing.unionByName(
+      Dedup.fingerprints(incoming.where(col("doc_id").isin(11L, 13L))))
+    assert(Dedup.incrementalExactKeep(incoming, advanced).count() == 0L)
+  }
+
   test("nearDupKeep drops non-canonical members of dup clusters") {
     val pairs = Dedup.ngramJaccardPairs(docs, n = 3, threshold = 0.5)
     val kept = Dedup.nearDupKeep(docs, pairs).collect()
