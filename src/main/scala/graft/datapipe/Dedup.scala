@@ -158,22 +158,44 @@ object Dedup {
   def minhashLshCandidates(docs: DataFrame, k: Int = 16, bands: Int = 4,
                            n: Int = 3,
                            textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
-    require(k % bands == 0, "bands must divide k")
-    val rows = k / bands
-    val sig = minhashSignatures(docs, k, n, textCol, idCol)
-    val banded = sig.select(
-      col(idCol),
-      posexplode(transform(sequence(lit(0), lit(bands - 1)),
-        b => xxhash64(slice(col("signature"), b * rows + 1, lit(rows))
-          .cast("array<string>").cast("string"), b))))
-      .withColumnRenamed("pos", "band")
-      .withColumnRenamed("col", "bucket")
+    val banded = minhashBands(docs, k, bands, n, textCol, idCol)
     val a = banded.select(col(idCol).as("id_a"), col("band"), col("bucket"))
     val b = banded.select(col(idCol).as("id_b"), col("band"), col("bucket"))
     a.join(b, Seq("band", "bucket"))
       .where(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
   }
+
+  /** The LSH band INDEX for a corpus: (id, band, bucket) rows. Persist
+    * this (partitioned/bucketed by (band, bucket)) and incremental dedup
+    * of a new batch never touches the old corpus text or signatures —
+    * only this index ([[incrementalLshCandidates]]).
+    */
+  def minhashBands(docs: DataFrame, k: Int = 16, bands: Int = 4,
+                   n: Int = 3,
+                   textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(k % bands == 0, "bands must divide k")
+    val rows = k / bands
+    minhashSignatures(docs, k, n, textCol, idCol).select(
+      col(idCol),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        b => xxhash64(slice(col("signature"), b * rows + 1, lit(rows))
+          .cast("array<string>").cast("string"), b))))
+      .withColumnRenamed("pos", "band")
+      .withColumnRenamed("col", "bucket")
+  }
+
+  /** Incremental LSH near-dup candidates: a new batch's band rows joined
+    * against the persisted corpus band index — shuffle key (band, bucket),
+    * corpus contributes index rows only. Output one (stored_id,
+    * incoming_id) per candidate pair.
+    */
+  def incrementalLshCandidates(incomingBands: DataFrame, storedBands: DataFrame,
+                               idCol: String = "doc_id"): DataFrame =
+    storedBands.select(col(idCol).as("stored_id"), col("band"), col("bucket"))
+      .join(incomingBands.select(col(idCol).as("incoming_id"), col("band"), col("bucket")),
+        Seq("band", "bucket"))
+      .select("stored_id", "incoming_id").distinct()
 
   /** Portable MinHash signature: h_i(shingle) = md5(i + "|" + shingle) and
     * the signature element is the lexicographic MIN of those hex strings —
@@ -198,20 +220,26 @@ object Dedup {
   def minhashLshCandidatesPortable(docs: DataFrame, k: Int = 16, bands: Int = 4,
                                    n: Int = 3,
                                    textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
-    require(k % bands == 0, "bands must divide k")
-    val rows = k / bands
-    val sig = minhashSignaturesPortable(docs, k, n, textCol, idCol)
-    val banded = sig.select(
-      col(idCol),
-      posexplode(transform(sequence(lit(0), lit(bands - 1)),
-        b => md5(concat_ws(",", slice(col("signature"), b * rows + 1, lit(rows)))))))
-      .withColumnRenamed("pos", "band")
-      .withColumnRenamed("col", "bucket")
+    val banded = minhashBandsPortable(docs, k, bands, n, textCol, idCol)
     val a = banded.select(col(idCol).as("id_a"), col("band"), col("bucket"))
     val b = banded.select(col(idCol).as("id_b"), col("band"), col("bucket"))
     a.join(b, Seq("band", "bucket"))
       .where(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
+  }
+
+  /** Portable twin of [[minhashBands]] (md5-string buckets). */
+  def minhashBandsPortable(docs: DataFrame, k: Int = 16, bands: Int = 4,
+                           n: Int = 3,
+                           textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(k % bands == 0, "bands must divide k")
+    val rows = k / bands
+    minhashSignaturesPortable(docs, k, n, textCol, idCol).select(
+      col(idCol),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        b => md5(concat_ws(",", slice(col("signature"), b * rows + 1, lit(rows)))))))
+      .withColumnRenamed("pos", "band")
+      .withColumnRenamed("col", "bucket")
   }
 
   /** SimHash (64-bit): per token bit-vote on xxhash64(token); weightless

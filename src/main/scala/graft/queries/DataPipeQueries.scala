@@ -78,6 +78,21 @@ object DataPipeQueries {
           min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
     }),
 
+    // Incremental LSH: the mutated near-copies arrive as a NEW batch and
+    // join the stored corpus's persisted band index — (stored, incoming)
+    // candidate pairs without touching corpus text (portable md5 twin).
+    "d8_incremental_lsh" -> ((s, dir) => {
+      val stored = docs(s, dir).select("doc_id", "text")
+      val t = TextAnalysis.tokens(col("text"))
+      val incoming = stored.where(col("doc_id") < 50)
+        .select((col("doc_id") + 100000L).as("doc_id"),
+          array_join(slice(t, lit(1), greatest(size(t) - 5, lit(1))), " ").as("text"))
+      Dedup.incrementalLshCandidates(
+          Dedup.minhashBandsPortable(incoming, k = 16, bands = 4),
+          Dedup.minhashBandsPortable(stored, k = 16, bands = 4))
+        .orderBy("stored_id", "incoming_id")
+    }),
+
     // Benchmark decontamination: every 97th document doubles as an "eval
     // set" row; training docs sharing any 8-gram with it are flagged with
     // match counts (the published n-gram decontamination method).
@@ -301,6 +316,28 @@ object DataPipeQueries {
          |FROM banded x JOIN banded y
          |  ON x.b = y.b AND x.bucket = y.bucket AND x.doc_id < y.doc_id
          |ORDER BY id_a, id_b""".stripMargin,
+    "d8_incremental_lsh" ->
+      s"""$nearDupCte,
+         |sh AS (
+         |  SELECT DISTINCT doc_id,
+         |         concat_ws(' ', t[i], t[i+1], t[i+2]) AS shingle
+         |  FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t
+         |        FROM base)
+         |  CROSS JOIN LATERAL (SELECT unnest(generate_series(1, len(t) - 2)) AS i)
+         |  WHERE len(t) >= 3),
+         |idx AS (SELECT unnest(range(0, 16)) AS i),
+         |mh AS (
+         |  SELECT doc_id, i, min(md5(concat(i, '|', shingle))) AS h
+         |  FROM sh CROSS JOIN idx GROUP BY doc_id, i),
+         |sig AS (SELECT doc_id, list(h ORDER BY i) AS s FROM mh GROUP BY doc_id),
+         |bandidx AS (SELECT unnest(range(0, 4)) AS b),
+         |banded AS (
+         |  SELECT doc_id, b, md5(array_to_string(s[b*4+1 : b*4+4], ',')) AS bucket
+         |  FROM sig CROSS JOIN bandidx)
+         |SELECT DISTINCT x.doc_id AS stored_id, y.doc_id AS incoming_id
+         |FROM banded x JOIN banded y ON x.b = y.b AND x.bucket = y.bucket
+         |WHERE x.doc_id < 100000 AND y.doc_id >= 100000
+         |ORDER BY stored_id, incoming_id""".stripMargin,
     "d5_simhash" ->
       s"""$nearDupCte,
          |tok AS (SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS token FROM base),

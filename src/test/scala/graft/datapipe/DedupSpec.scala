@@ -87,6 +87,29 @@ class DedupSpec extends SparkSpec {
     assert(Dedup.incrementalExactKeep(incoming, advanced).count() == 0L)
   }
 
+  test("incremental LSH via the band index agrees with the batch variant") {
+    val s = spark; import s.implicits._
+    val base = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (2L, "totally different words with no shared shingles anywhere at all ok"),
+      (3L, "lorem ipsum dolor sit amet consectetur adipiscing elit sed do")
+    ).toDF("doc_id", "text")
+    // the incoming batch repeats doc 1 nearly verbatim
+    val incoming = Seq(
+      (101L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (102L, "unrelated incoming content that matches nothing in the corpus x y")
+    ).toDF("doc_id", "text")
+    val inc = Dedup.incrementalLshCandidates(
+        Dedup.minhashBands(incoming), Dedup.minhashBands(base))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(inc.contains((1L, 101L)))
+    assert(!inc.exists(_._2 == 102L))
+    // batch variant over the union finds the same cross pairs
+    val batch = Dedup.minhashLshCandidates(base.unionByName(incoming))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(inc.forall(batch.contains))
+  }
+
   test("nearDupKeep drops non-canonical members of dup clusters") {
     val pairs = Dedup.ngramJaccardPairs(docs, n = 3, threshold = 0.5)
     val kept = Dedup.nearDupKeep(docs, pairs).collect()
