@@ -157,7 +157,9 @@ object Main {
     case "files" :: root :: rest =>
       val n = rest.headOption.map(_.toInt).getOrElse(20)
       new graft.storage.ParquetStore(session(), s"$root/raw")
-        .listFilesRecent(n).show(n, truncate = false)
+        .listFilesRecent(n)
+        .withColumn("size", graft.functions.Humanize.bytes(col("bytes")))
+        .show(n, truncate = false)
 
     case "providers" :: Nil =>
       // ref: cli/utils.py:242-256 — list the registered vendor dialects

@@ -130,6 +130,23 @@ object SurfaceQueries {
         .orderBy("kind")
     }),
 
+    // F13: humanized sizes/durations — integer-arithmetic rendering, so
+    // the exact strings are engine-reproducible.
+    "f13_humanize" -> ((s, _) => {
+      import s.implicits._
+      Seq(
+        (1L, 512L, 45L),
+        (2L, 1536L, 200L),
+        (3L, 2097152L, 7500L),
+        (4L, 5368709120L, 93600L),
+        (5L, 1649267441664L, 59L))
+        .toDF("id", "bytes", "seconds")
+        .select(col("id"),
+          graft.functions.Humanize.bytes(col("bytes")).as("size"),
+          graft.functions.Humanize.duration(col("seconds")).as("elapsed"))
+        .orderBy("id")
+    }),
+
     // Standalone re-aggregation: ingest once, wipe the aggregate store,
     // rebuild it from raw alone; the 5m view must match the original run.
     "agg_reaggregate" -> ((s, _) => {
@@ -200,6 +217,14 @@ object SurfaceQueries {
         |  ('none', CAST(NULL AS DATE)),
         |  ('ymd', DATE '2024-03-05'))
         |  AS t(kind, d) ORDER BY kind""".stripMargin,
+    "f13_humanize" ->
+      """SELECT * FROM (VALUES
+        |  (CAST(1 AS BIGINT), '512 B', '45s'),
+        |  (CAST(2 AS BIGINT), '1.5 KiB', '3m 20s'),
+        |  (CAST(3 AS BIGINT), '2.0 MiB', '2h 05m'),
+        |  (CAST(4 AS BIGINT), '5.0 GiB', '1d 02h'),
+        |  (CAST(5 AS BIGINT), '1.5 TiB', '59s'))
+        |  AS t(id, size, elapsed) ORDER BY id""".stripMargin,
     "agg_reaggregate" ->
       s"""WITH ks(symbol, k) AS (VALUES ('AAA', 0), ('BBB', 1)),
          |g AS (SELECT unnest(range(0, 600)) AS i),
