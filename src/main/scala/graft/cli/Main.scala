@@ -80,8 +80,15 @@ object Main {
         rest.dropWhile(_ != flag).drop(1).headOption
       val (symbols, dates) = opt("--job") match {
         case Some(jobId) =>
-          val (sym, day) = jobId.splitAt(jobId.lastIndexOf('_'))
-          (sym.split(",").toSeq, Seq(day.drop(1)))
+          // ids are SYMS_YYYY-MM-DD or SYMS_YYYY-MM-DD_provider — find the
+          // date by shape, not position, and validate it (a positional
+          // split silently treats a provider suffix as the date)
+          val day = "\\d{4}-\\d{2}-\\d{2}".r.findFirstIn(jobId).getOrElse(
+            throw new IllegalArgumentException(
+              s"--job id '$jobId' has no YYYY-MM-DD date component"))
+          java.time.LocalDate.parse(day) // hard-fail on 2024-13-99 shapes
+          val sym = jobId.substring(0, jobId.indexOf(day)).stripSuffix("_")
+          (sym.split("[_,]").filter(_.nonEmpty).toSeq, Seq(day))
         case None => (opt("--symbol").map(_.split(",").toSeq).getOrElse(Nil), Nil)
       }
       val framesSel = opt("--frame") match {
@@ -190,6 +197,17 @@ object Main {
     case "metrics" :: root :: "export" :: Nil =>
       // Prometheus text exposition (ref metrics_server.py scrape surface)
       print(new MetricsStore(session(), s"$root/state/metrics").prometheusText())
+    case "metrics" :: root :: "serve" :: rest =>
+      // live Prometheus scrape endpoint (ref metrics_server.py:37-200):
+      // GET /metrics serves the text exposition built from the store
+      val port = rest.headOption.map(_.toInt)
+        .orElse(sys.env.get("GRAFT_METRICS_PORT").map(_.toInt))
+        .getOrElse(8000)
+      val srv = new graft.metrics.MetricsServer(
+        new MetricsStore(session(), s"$root/state/metrics"), port)
+      val bound = srv.start()
+      println(s"[metrics] serving http://localhost:$bound/metrics (ctrl-c to stop)")
+      Thread.currentThread().join()
     case "metrics" :: root :: "dashboard" :: Nil =>
       // one-shot dashboard (ref cli/metrics_dashboard.py data surface,
       // minus the live HTML/TUI): per-metric summary then the
@@ -547,22 +565,33 @@ object Main {
     }
   }
 
-  /** CSV to stdout with header (ref: query.py --csv). */
-  private[cli] def printCsv(df: DataFrame, limit: Int): Unit = {
+  /** CSV rendering with header (ref: query.py --csv), as a string so the
+    * S10 golden test can assert byte-exact output. Streams via
+    * toLocalIterator in [[printCsv]]'s large path is unnecessary here:
+    * rendering is a presentation surface, bounded by `limit`.
+    */
+  private[cli] def renderCsv(df: DataFrame, limit: Int): String = {
     def esc(s: String): String =
       if (s == null) ""
       else if (s.exists(c => c == ',' || c == '"' || c == '\n'))
         "\"" + s.replace("\"", "\"\"") + "\""
       else s
-    println(df.columns.map(esc).mkString(","))
+    val sb = new StringBuilder
+    sb.append(df.columns.map(esc).mkString(",")).append('\n')
     df.limit(limit).toLocalIterator().forEachRemaining { row =>
-      println((0 until row.length).map(i =>
+      sb.append((0 until row.length).map(i =>
         esc(if (row.isNullAt(i)) null else row.get(i).toString)).mkString(","))
+        .append('\n')
     }
+    sb.result()
   }
 
-  /** Markdown table to stdout (ref: query.py to_markdown fallback; F13). */
-  private[cli] def printMarkdown(df: DataFrame, limit: Int): Unit = {
+  /** CSV to stdout with header (ref: query.py --csv). */
+  private[cli] def printCsv(df: DataFrame, limit: Int): Unit =
+    print(renderCsv(df, limit))
+
+  /** Markdown table rendering (ref: query.py to_markdown fallback; F13). */
+  private[cli] def renderMarkdown(df: DataFrame, limit: Int): String = {
     val rows = df.limit(limit).collect()
     val cols = df.columns.toSeq
     val cells = rows.map(r => (0 until r.length).map(i =>
@@ -572,8 +601,14 @@ object Main {
     def line(vals: Seq[String]): String =
       vals.zipWithIndex.map { case (v, i) => v.padTo(widths(i), ' ') }
         .mkString("| ", " | ", " |")
-    println(line(cols))
-    println(widths.map("-" * _).mkString("| ", " | ", " |"))
-    cells.foreach(c => println(line(c)))
+    val sb = new StringBuilder
+    sb.append(line(cols)).append('\n')
+    sb.append(widths.map("-" * _).mkString("| ", " | ", " |")).append('\n')
+    cells.foreach(c => sb.append(line(c)).append('\n'))
+    sb.result()
   }
+
+  /** Markdown table to stdout (ref: query.py to_markdown fallback; F13). */
+  private[cli] def printMarkdown(df: DataFrame, limit: Int): Unit =
+    print(renderMarkdown(df, limit))
 }

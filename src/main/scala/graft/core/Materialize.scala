@@ -22,6 +22,15 @@ import org.apache.spark.storage.StorageLevel
   *     blocks replicated twice AND lineage retained, so a single lost
   *     executor recovers from the replica (or recomputes from lineage)
   *     instead of failing the job.
+  *
+  * Scratch hygiene: frontier tables are written under a per-application
+  * subdirectory `<scratchDir>/<applicationId>_<uuid>/frontier_N`, so two
+  * concurrent applications (or a restarted driver reusing a counter)
+  * sharing one scratch dir can never clobber each other's live frontier.
+  * Every subdir this JVM creates is tracked and deleted on JVM shutdown;
+  * call [[cleanupScratch]] to reclaim the space earlier (only after all
+  * frames read from it have been fully consumed — the returned DataFrame
+  * lazily re-reads those files).
   */
 object Materialize {
 
@@ -30,10 +39,42 @@ object Materialize {
   val DefaultLocalMaxBytes: Long = 8L << 30
 
   private val scratchSeq = new java.util.concurrent.atomic.AtomicLong(0L)
+  // one collision-free namespace per JVM even if applicationId repeats
+  // across driver restarts (local mode reuses "local-<ts>" shapes)
+  private val jvmTag = java.util.UUID.randomUUID().toString.take(8)
+
+  // (scratch subdir path, hadoop conf) pairs created by this JVM — the
+  // hadoop conf is captured at write time so the shutdown hook can build
+  // a FileSystem without a live SparkContext
+  private val createdDirs =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[
+      (String, org.apache.hadoop.conf.Configuration)]()
+  private val hookRegistered = new java.util.concurrent.atomic.AtomicBoolean(false)
 
   /** Optimizer size estimate in bytes (may be a loose upper bound). */
   def estimateBytes(df: DataFrame): BigInt =
     df.queryExecution.optimizedPlan.stats.sizeInBytes
+
+  /** Delete every scratch subdirectory this JVM has written. Safe to call
+    * repeatedly; only call once frames returned by [[frontier]] are fully
+    * consumed (they lazily re-read the scratch files).
+    */
+  def cleanupScratch(): Unit = {
+    val it = createdDirs.iterator()
+    while (it.hasNext) {
+      val (dir, conf) = it.next()
+      try {
+        val p = new org.apache.hadoop.fs.Path(dir)
+        p.getFileSystem(conf).delete(p, true)
+      } catch { case _: java.io.IOException => () } // best-effort
+      it.remove()
+    }
+  }
+
+  private def ensureShutdownHook(): Unit =
+    if (hookRegistered.compareAndSet(false, true)) {
+      Runtime.getRuntime.addShutdownHook(new Thread(() => cleanupScratch()))
+    }
 
   def frontier(df: DataFrame): DataFrame = {
     val conf = df.sparkSession.conf
@@ -42,8 +83,12 @@ object Materialize {
     if (estimateBytes(df) <= threshold) df.localCheckpoint()
     else conf.getOption(ScratchDirConf).filter(_.nonEmpty) match {
       case Some(dir) =>
-        val path = s"$dir/frontier_${scratchSeq.incrementAndGet()}"
+        val sc = df.sparkSession.sparkContext
+        val appDir = s"$dir/${sc.applicationId}_$jvmTag"
+        val path = s"$appDir/frontier_${scratchSeq.incrementAndGet()}"
         df.write.mode("overwrite").option("compression", "zstd").parquet(path)
+        createdDirs.add((appDir, sc.hadoopConfiguration))
+        ensureShutdownHook()
         df.sparkSession.read.parquet(path)
       case None =>
         val p = df.persist(StorageLevel.DISK_ONLY_2)

@@ -20,6 +20,13 @@ object Decontaminate {
     * doc sharing >= `minMatches` distinct n-grams with ANY benchmark row —
     * n_matched_ngrams (distinct shingles hit) and n_benchmarks (distinct
     * benchmark rows hit).
+    *
+    * Two `countDistinct`s in one agg would plan an Expand that doubles
+    * every matched row before the exchange — on a heavily contaminated
+    * corpus that is the big frame. Instead each count pre-`distinct`s its
+    * own (id, key) projection and the two plain aggs join on id; the
+    * shared contamination join is broadcast-map-side (no shuffle), so
+    * evaluating it once per branch costs a rescan but never an exchange.
     */
   def contaminated(
       docs: DataFrame, benchmark: DataFrame, n: Int = 13, minMatches: Int = 1,
@@ -30,12 +37,14 @@ object Decontaminate {
         benchmark.withColumnRenamed(benchTextCol, "__btext"),
         n, "__btext", benchIdCol)
       .withColumnRenamed("shingle", "__bshingle")
-    docSh
+    val matched = docSh
       .join(broadcast(benchSh), col("shingle") === col("__bshingle"))
-      .groupBy(idCol)
-      .agg(
-        countDistinct(col("shingle")).as("n_matched_ngrams"),
-        countDistinct(col(benchIdCol)).as("n_benchmarks"))
+    val ngramHits = matched.select(col(idCol), col("shingle")).distinct()
+      .groupBy(idCol).agg(count(lit(1)).as("n_matched_ngrams"))
+    val benchHits = matched.select(col(idCol), col(benchIdCol)).distinct()
+      .groupBy(idCol).agg(count(lit(1)).as("n_benchmarks"))
+    // inner join: any matched doc has >=1 distinct shingle AND bench hit
+    ngramHits.join(benchHits, Seq(idCol))
       .where(col("n_matched_ngrams") >= minMatches)
   }
 
@@ -80,7 +89,10 @@ object Decontaminate {
       docs: DataFrame, k: Int, textCol: String, idCol: String)(
       score: (org.apache.spark.sql.Column, org.apache.spark.sql.Column)
         => org.apache.spark.sql.Column): DataFrame = {
-    val nDocs = docs.select(col(idCol)).distinct().count()
+    // corpus size as a broadcast 1-row frame, not a driver-side count():
+    // keeps the operator fully lazy (one job, no extra eager pass)
+    val nDocs = docs.select(col(idCol)).distinct()
+      .agg(count(lit(1)).cast("double").as("__n_docs"))
     val terms = docs
       .select(col(idCol), explode(TextAnalysis.tokens(col(textCol))).as("term"))
       .where(col("term") =!= "")
@@ -88,8 +100,9 @@ object Decontaminate {
     val df = terms.select(col(idCol), col("term")).distinct()
       .groupBy("term").agg(count(lit(1)).as("df"))
     tf.join(df, "term")
+      .crossJoin(broadcast(nDocs))
       .withColumn("score",
-        score(col("tf"), log(lit(nDocs.toDouble) / col("df").cast("double"))))
+        score(col("tf"), log(col("__n_docs") / col("df").cast("double"))))
       .groupBy(idCol)
       .agg(slice(sort_array(collect_list(struct(
           (-col("score")).as("neg"), col("term"))), asc = true), 1, k)

@@ -43,7 +43,10 @@ final case class Job(
   * No read-modify-write of the whole table — concurrent jobs appending
   * their own updates cannot lose each other's writes, and a transition is
   * O(1 append + 1 point lookup) instead of O(all jobs). `compact()`
-  * rewrites the log to its latest view (single-writer maintenance op).
+  * folds the log down to its latest view via append-snapshot-then-delete,
+  * so a crash or a concurrent appender never loses records (see its
+  * scaladoc); only retention (`keep`) semantics assume a single
+  * maintenance writer.
   */
 final class JobRepo(spark: SparkSession, path: String,
                     autoCompactFiles: Int = 64) {
@@ -67,19 +70,32 @@ final class JobRepo(spark: SparkSession, path: String,
   /** Latest-wins view of the log (one row per job_id). */
   def load(): DataFrame = latest(raw())
 
-  private def logFileCount(): Int = {
+  private def fs(): org.apache.hadoop.fs.FileSystem =
+    new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def logFiles(): Seq[org.apache.hadoop.fs.Path] = {
     val p = new org.apache.hadoop.fs.Path(path)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) 0
-    else fs.listStatus(p).count(_.getPath.getName.endsWith(".parquet"))
+    val f = fs()
+    if (!f.exists(p)) Seq.empty
+    else f.listStatus(p).toSeq.map(_.getPath)
+      .filter(_.getName.endsWith(".parquet"))
   }
+
+  // cached log-file count so routine appends don't issue a listStatus RPC
+  // per transition; seeded lazily by ONE listing, then maintained
+  // incrementally (appends +1, compact re-seeds). -1 = not yet seeded.
+  private var fileCountCache: Int = -1
 
   private def append(jobs: Seq[Job]): Unit = {
     jobs.toDF().withColumn("seq", lit(JobRepo.nextSeq()))
       .repartition(1).write.mode(SaveMode.Append).parquet(path)
     // each append adds one file; fold the log back to one when it crowds
     // so per-read cost stays bounded between explicit compact() calls
-    if (autoCompactFiles > 0 && logFileCount() > autoCompactFiles) compact()
+    if (autoCompactFiles > 0) {
+      fileCountCache = if (fileCountCache < 0) logFiles().size else fileCountCache + 1
+      if (fileCountCache > autoCompactFiles) compact()
+    }
   }
 
   def save(jobs: Seq[Job]): Unit = append(jobs)
@@ -106,14 +122,28 @@ final class JobRepo(spark: SparkSession, path: String,
 
   /** Rewrite the append log as its latest-wins view, keeping only jobs
     * matching `keep` — the metadata half of retention pruning (ref:
-    * cli/prune.py:228-330). Single-writer maintenance operation.
-    * Returns rows dropped.
+    * cli/prune.py:228-330). Returns rows dropped.
+    *
+    * Crash/concurrency shape: APPEND a latest-wins snapshot (newest seq),
+    * THEN delete the pre-snapshot files — never a read-then-overwrite.
+    * The old files are listed BEFORE the snapshot read, so a file a
+    * concurrent writer lands mid-compaction is either (a) read into the
+    * snapshot and also deleted (its rows survive in the snapshot), or
+    * (b) not in the delete list and survives as-is. A crash between the
+    * snapshot append and the deletes leaves duplicate rows, which
+    * latest-wins folding already resolves. Retention semantics (`keep`)
+    * still assume a single maintenance writer: a concurrent append can
+    * legitimately resurrect a job this call is pruning.
     */
   def compact(keep: Job => Boolean = _ => true): Long = {
+    val before = logFiles() // list FIRST — see scaladoc
     val latest = load().as[Job].collect()
     val kept = latest.filter(keep)
     kept.toSeq.toDF().withColumn("seq", lit(JobRepo.nextSeq()))
-      .repartition(1).write.mode(SaveMode.Overwrite).parquet(path)
+      .repartition(1).write.mode(SaveMode.Append).parquet(path)
+    val f = fs()
+    before.foreach(p => f.delete(p, false))
+    fileCountCache = logFiles().size
     latest.length - kept.length
   }
 

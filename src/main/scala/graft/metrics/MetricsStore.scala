@@ -83,18 +83,35 @@ final class MetricsStore(spark: SparkSession, path: String) {
   def prometheusText(prefix: String = "graft_"): String = {
     val rows = dashboard().collect()
     val sb = new StringBuilder
-    rows.groupBy(_.getAs[String]("name")).toSeq.sortBy(_._1).foreach {
-      case (name, group) =>
-        val metric = prefix + name.replaceAll("[^a-zA-Z0-9_:]", "_")
+    // group by the SANITIZED metric name: distinct raw names that sanitize
+    // to one identifier must share a single # TYPE block (scrapers reject
+    // duplicate TYPE lines for the same metric)
+    rows.groupBy(r =>
+        prefix + MetricsStore.sanitizeName(r.getAs[String]("name")))
+      .toSeq.sortBy(_._1).foreach { case (metric, group) =>
         sb.append(s"# TYPE $metric gauge\n")
         group.sortBy(r => (r.getAs[String]("provider"), r.getAs[String]("feed")))
           .foreach { r =>
-            val labels = s"""provider="${r.getAs[String]("provider")}",""" +
-              s"""feed="${r.getAs[String]("feed")}""""
+            val prov = MetricsStore.escapeLabel(r.getAs[String]("provider"))
+            val feed = MetricsStore.escapeLabel(r.getAs[String]("feed"))
+            val labels = s"""provider="$prov",feed="$feed""""
             sb.append(s"$metric{$labels} ${r.getAs[Double]("latest_value")} " +
               s"${r.getAs[Long]("latest_ts") * 1000L}\n")
           }
     }
     sb.result()
   }
+}
+
+object MetricsStore {
+  /** Prometheus metric-name sanitization: [a-zA-Z0-9_:] only. */
+  def sanitizeName(name: String): String =
+    name.replaceAll("[^a-zA-Z0-9_:]", "_")
+
+  /** Label-value escaping per the text exposition format: backslash,
+    * double-quote, and line-feed must be escaped or the exposition is
+    * invalid (ref: metrics_server.py exposition surface).
+    */
+  def escapeLabel(v: String): String =
+    v.replace("\\", "\\\\").replace("\"", "\\\"").replace("\n", "\\n")
 }

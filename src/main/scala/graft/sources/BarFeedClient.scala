@@ -83,17 +83,27 @@ final class BarFeedClient(
 object ProviderRegistry {
   type Factory = (ClientConfig, AuthStrategy, HttpClient) => PagedApiClient
 
-  private val registry = scala.collection.concurrent.TrieMap.empty[String, Factory]
+  private val registry =
+    scala.collection.concurrent.TrieMap.empty[String, (Factory, Boolean)]
 
   register("barfeed", (cfg, auth, http) => new BarFeedClient(cfg, auth, http))
   register("iex", (cfg, auth, http) => new IexBarFeed(cfg, auth, http))
   register("finnhub", (cfg, auth, http) => new FinnhubBarFeed(cfg, auth, http))
   register("polygon", (cfg, auth, http) => new PolygonBarFeed(cfg, auth, http))
   register("fake", (cfg, auth, _) =>
-    new BarFeedClient(cfg, auth, new FakeBarServer(nBars = 390, pageSize = 100)))
+    new BarFeedClient(cfg, auth, new FakeBarServer(nBars = 390, pageSize = 100)),
+    needsEndpoint = false)
 
-  def register(name: String, factory: Factory): Unit = registry.put(name, factory)
-  def get(name: String): Option[Factory] = registry.get(name)
+  /** `needsEndpoint = false` marks dialects that wrap an in-process wire
+    * server (the fake/test seams) and therefore need no `baseUrl`; real
+    * HTTP dialects keep the default so a read that forgot its endpoint
+    * fails at planning time instead of on every executor.
+    */
+  def register(name: String, factory: Factory,
+               needsEndpoint: Boolean = true): Unit =
+    registry.put(name, (factory, needsEndpoint))
+  def get(name: String): Option[Factory] = registry.get(name).map(_._1)
+  def needsEndpoint(name: String): Boolean = registry.get(name).exists(_._2)
   def list(): Seq[String] = registry.keys.toSeq.sorted
 }
 

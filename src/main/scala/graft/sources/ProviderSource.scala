@@ -63,22 +63,38 @@ private[sources] final class ProviderTable(props: Map[String, String])
       override def toBatch: Batch = this
       override def description(): String = name()
 
+      // fail a misconfigured read (typo'd key, unknown provider, missing
+      // endpoint) at PLANNING time on the driver — not per-task on every
+      // executor after the job has launched
+      private def required(key: String): String =
+        merged.get(key).filter(_.nonEmpty).getOrElse(throw
+          new IllegalArgumentException(s"graft-provider requires option '$key'"))
+
       override def planInputPartitions(): Array[InputPartition] = {
         val symbols = merged.getOrElse("symbols", "")
           .split(",").map(_.trim).filter(_.nonEmpty)
         require(symbols.nonEmpty, "graft-provider requires option 'symbols'")
+        val provider = required("provider")
+        require(ProviderRegistry.get(provider).nonEmpty,
+          s"unknown provider '$provider' " +
+            s"(registered: ${ProviderRegistry.list().mkString(",")})")
+        if (ProviderRegistry.needsEndpoint(provider)) required("baseurl")
         symbols.map(s => ProviderSymbolPartition(s): InputPartition).toArray
       }
 
-      override def createReaderFactory(): PartitionReaderFactory =
+      override def createReaderFactory(): PartitionReaderFactory = {
+        val provider = required("provider")
         ProviderReaderFactory(
-          provider = merged.getOrElse("provider", "barfeed"),
-          baseUrl = merged.getOrElse("baseurl", "http://localhost"),
+          provider = provider,
+          baseUrl =
+            if (ProviderRegistry.needsEndpoint(provider)) required("baseurl")
+            else merged.getOrElse("baseurl", "http://fake"),
           apiKey = merged.getOrElse("apikey", ""),
           authParam = merged.getOrElse("authparam", "token"),
           pageLimit = merged.getOrElse("pagelimit", "10000").toInt,
           startNs = merged.getOrElse("startns", "0").toLong,
           endNs = merged.getOrElse("endns", Long.MaxValue.toString).toLong)
+      }
     }
   }
 }

@@ -75,11 +75,33 @@ class CliSpec extends SparkSpec {
     assert(spark.read.option("basePath", s"$root/agg").parquet(s"$root/agg")
       .groupBy("frame").count().collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap == before)
+    // provider-suffixed ids (SYMS_DATE_provider, the ingestVia shape) find
+    // the date by pattern — the provider name must NOT be taken as the date
+    Main.main(Array("aggregate", root, "--job", "NVDA_2024-01-02_fake"))
+    assert(spark.read.option("basePath", s"$root/agg").parquet(s"$root/agg")
+      .groupBy("frame").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap == before)
+    // and a dateless id fails loudly instead of aggregating zero partitions
+    intercept[IllegalArgumentException](
+      Main.main(Array("aggregate", root, "--job", "NVDA")))
     // dashboard one-shot prints both rollups (smoke)
     Main.main(Array("metrics", root, "dashboard"))
     val dash = new graft.metrics.MetricsStore(spark, s"$root/state/metrics")
       .dashboard().collect().map(r => r.getAs[String]("name")).toSet
     assert(dash.contains("bars_ingested"))
+  }
+
+  test("S10: --csv and --md rendering match the golden files byte-exact") {
+    val df = spark.sql(
+      "SELECT * FROM VALUES (1, 'x,y', 1.5), (2, 'q\"t', CAST(NULL AS DOUBLE)), " +
+        "(3, 'plain', 2.0) AS t(a, b, c) ORDER BY a")
+    def golden(name: String): String = {
+      val in = getClass.getResourceAsStream(s"/golden/$name")
+      try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
+      finally in.close()
+    }
+    assert(Main.renderCsv(df, 10) == golden("query.csv"))
+    assert(Main.renderMarkdown(df, 10) == golden("query.md"))
   }
 
   test("symbols update runs the SCD pipeline; re-run is a no-op; dry-run writes nothing") {

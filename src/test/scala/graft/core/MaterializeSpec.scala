@@ -46,6 +46,26 @@ class MaterializeSpec extends SparkSpec {
       assert(m.queryExecution.optimizedPlan.toString.toLowerCase.contains("parquet") ||
         m.inputFiles.nonEmpty)
       assert(m.inputFiles.forall(_.contains("frontier_")))
+      // concurrent-app safety: the path is namespaced per application
+      assert(m.inputFiles.forall(_.contains(spark.sparkContext.applicationId)))
+    } finally {
+      spark.conf.unset(Materialize.LocalMaxBytesConf)
+      spark.conf.unset(Materialize.ScratchDirConf)
+    }
+  }
+
+  test("cleanupScratch removes every scratch table this JVM wrote") {
+    val dir = java.nio.file.Files.createTempDirectory("mat_scratch_gc").toString
+    spark.conf.set(Materialize.LocalMaxBytesConf, "0")
+    spark.conf.set(Materialize.ScratchDirConf, dir)
+    try {
+      val m = Materialize.frontier(df)
+      assert(rows(m) == rows(df)) // fully consume before reclaiming
+      assert(new java.io.File(dir).listFiles().nonEmpty)
+      Materialize.cleanupScratch()
+      val left = Option(new java.io.File(dir).listFiles()).map(_.toSeq).getOrElse(Nil)
+      assert(left.isEmpty, s"scratch not reclaimed: $left")
+      Materialize.cleanupScratch() // idempotent
     } finally {
       spark.conf.unset(Materialize.LocalMaxBytesConf)
       spark.conf.unset(Materialize.ScratchDirConf)

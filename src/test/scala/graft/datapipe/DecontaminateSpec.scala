@@ -36,6 +36,14 @@ class DecontaminateSpec extends SparkSpec {
       .count() == 0L)
   }
 
+  test("contaminated plans NO Expand (pre-distinct counts, not multi-countDistinct)") {
+    val plan = Decontaminate.contaminated(docsDf, benchDf, n = 8)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Expand"), s"Expand in plan:\n$plan")
+    // and the benchmark side still broadcasts (corpus never shuffles for the join)
+    assert(plan.contains("BroadcastHashJoin"))
+  }
+
   test("quantized tf-idf twin ranks identically to the double-score path") {
     val s = spark; import s.implicits._
     val corpus = Seq(

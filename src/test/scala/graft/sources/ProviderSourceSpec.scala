@@ -46,13 +46,30 @@ class ProviderSourceSpec extends SparkSpec {
     // case-insensitive plumbing into ClientConfig on the reader
     ProviderRegistry.register("spec-pages", (cfg, auth, _) =>
       new BarFeedClient(cfg, auth,
-        new FakeBarServer(nBars = cfg.pageLimit, pageSize = 50)))
+        new FakeBarServer(nBars = cfg.pageLimit, pageSize = 50)),
+      needsEndpoint = false)
     val df = spark.read.format("graft-provider")
       .option("provider", "spec-pages")
       .option("symbols", "AAA")
       .option("pageLimit", "123")
       .load()
     assert(df.count() == 123L)
+  }
+
+  test("misconfigured reads fail at planning time on the driver") {
+    // no provider option at all — must not silently default to 'barfeed'
+    val noProv = intercept[Exception] {
+      spark.read.format("graft-provider").option("symbols", "A").load().count()
+    }
+    assert(noProv.getMessage.contains("provider") ||
+      Option(noProv.getCause).exists(_.getMessage.contains("provider")))
+    // real HTTP dialect without an endpoint — must fail before any task runs
+    val noUrl = intercept[Exception] {
+      spark.read.format("graft-provider")
+        .option("provider", "polygon").option("symbols", "A").load().count()
+    }
+    assert(noUrl.getMessage.contains("baseurl") ||
+      Option(noUrl.getCause).exists(_.getMessage.contains("baseurl")))
   }
 
   test("unknown provider name fails with the registry inventory") {
