@@ -64,7 +64,18 @@ object Bench {
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val qs = all.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
     val total = all.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","n_queries":${all.length}}""")
+    val json =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","n_queries":${all.length}}"""
+    println(json)
+    // ALSO write the full JSON to a committed artifact: log captures have
+    // truncated the stdout tail two rounds running, making the per-query
+    // numbers unverifiable — the file is the durable record
+    val outDir = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out")
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outDir))
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(outDir,
+        new java.io.File(sfDir).getName + ".json"),
+      (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     spark.stop()
   }
 }
