@@ -135,4 +135,62 @@ object Similarity {
       .orderBy(desc("cosine"), col(idCol))
       .limit(k)
   }
+
+  /** Deterministic IVF centroid seeding: `nlist` vectors in hashed-id
+    * order — a seeded pseudo-random sample with no RNG state (same input,
+    * same centroids, any partitioning). `nlist <= 0` sizes the list as
+    * ceil(sqrt(n)), the standard inverted-file rule: assignment work stays
+    * n*sqrt(n) instead of the n² a data-proportional centroid rule
+    * produces (the sf1 rehearsal measured the sim3 query's "every 50th
+    * vector" rule at 31x for 10x data for exactly that reason — see
+    * SCALE.md). The count for auto-sizing is one eager metadata-scale job,
+    * the normal shape for a training step.
+    */
+  def ivfCentroids(
+      vecs: DataFrame, nlist: Int = 0,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      centroidIdCol: String = "centroid_id"): DataFrame = {
+    val n =
+      if (nlist > 0) nlist
+      else math.ceil(math.sqrt(vecs.count().toDouble)).toInt
+    vecs
+      .select(col(idCol).as(centroidIdCol), col(vecCol))
+      .orderBy(xxhash64(col(centroidIdCol)), col(centroidIdCol))
+      .limit(n) // TakeOrderedAndProject: never materializes a full sort
+  }
+
+  /** Reshape one [[kmeansIter]] mean matrix (centroid_id, pos, mean_q in
+    * integer micro-units) back into a centroids frame with a float-array
+    * `vecCol` — the glue that lets iterations chain. In-row sort of each
+    * centroid's dimension list; one exchange on centroid_id.
+    */
+  def centroidsFromMeans(
+      means: DataFrame, vecCol: String = "embedding",
+      centroidIdCol: String = "centroid_id"): DataFrame =
+    means
+      .groupBy(centroidIdCol)
+      .agg(sort_array(collect_list(struct(col("pos"), col("mean_q")))).as("dims"))
+      .select(col(centroidIdCol),
+        transform(col("dims"), d =>
+          (d.getField("mean_q") / 1000000.0).cast("float")).as(vecCol))
+
+  /** Lloyd's k-means over the embedding column: deterministic hashed-id
+    * seeding, `iters` assign+mean refinement rounds. Each round is the two
+    * partial-aggregating exchanges of [[kmeansIter]]; centroid frames are
+    * dimension-scale (nlist rows), so the loop materializes only tiny
+    * frames between rounds. Returns the final centroids — feed to
+    * [[ivfAssign]]/[[ivfTopK]] as the trained index.
+    */
+  def ivfTrain(
+      vecs: DataFrame, nlist: Int = 0, iters: Int = 2,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      centroidIdCol: String = "centroid_id"): DataFrame = {
+    var c = ivfCentroids(vecs, nlist, idCol, vecCol, centroidIdCol)
+    for (_ <- 0 until iters) {
+      c = graft.core.Materialize.frontier(centroidsFromMeans(
+        kmeansIter(vecs, c, idCol, vecCol, centroidIdCol),
+        vecCol, centroidIdCol))
+    }
+    c
+  }
 }

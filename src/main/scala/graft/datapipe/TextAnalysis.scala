@@ -66,11 +66,18 @@ object TextAnalysis {
   /** Quality metrics: char/token counts, mean token length, unique-token
     * ratio, stopword ratio, short-token ratio. All exact-integer ratios
     * (deterministic doubles).
+    *
+    * Tokenization lands in ONE intermediate column first: the same
+    * per-reference re-evaluation that bit `langId` (split is non-cheap and
+    * the filter HOFs are interpreted, so referencing the expression in six
+    * derived columns would tokenize six times per row; CollapseProject
+    * does not inline a non-cheap alias with multiple references).
     */
   def withQuality(docs: DataFrame, textCol: String = "text"): DataFrame = {
-    val t = tokens(col(textCol))
-    val n = size(t).cast("double")
+    val t = col("__toks")
+    val n = col("n_tokens").cast("double")
     docs
+      .withColumn("__toks", tokens(col(textCol)))
       .withColumn("n_tokens", size(t).cast("long"))
       .withColumn("n_unique_tokens", size(array_distinct(t)).cast("long"))
       .withColumn("unique_ratio", col("n_unique_tokens").cast("double") / n)
@@ -79,7 +86,8 @@ object TextAnalysis {
       .withColumn("short_token_ratio",
         size(filter(t, x => length(x) <= 2)).cast("double") / n)
       .withColumn("mean_token_len",
-        (length(trim(col(textCol))) - (size(t) - 1)).cast("double") / n)
+        (length(trim(col(textCol))) - (col("n_tokens") - 1)).cast("double") / n)
+      .drop("__toks")
   }
 
   /** Composite quality score in [0,1]: penalize degenerate repetition and
@@ -121,15 +129,17 @@ object TextAnalysis {
     * duplicated-line ratio — degenerate-document detectors. Per-row
     * arithmetic only: deterministic doubles, no cross-row FP.
     */
-  def withRepetition(docs: DataFrame, textCol: String = "text"): DataFrame = {
-    val t = tokens(col(textCol))
-    val lines = split(col(textCol), "\\n")
+  def withRepetition(docs: DataFrame, textCol: String = "text"): DataFrame =
     docs
+      .withColumn("__toks", tokens(col(textCol)))
+      .withColumn("__lines", split(col(textCol), "\\n"))
       .withColumn("dup_token_ratio",
-        lit(1.0) - size(array_distinct(t)).cast("double") / size(t).cast("double"))
+        lit(1.0) - size(array_distinct(col("__toks"))).cast("double") /
+          size(col("__toks")).cast("double"))
       .withColumn("dup_line_ratio",
-        lit(1.0) - size(array_distinct(lines)).cast("double") / size(lines).cast("double"))
-  }
+        lit(1.0) - size(array_distinct(col("__lines"))).cast("double") /
+          size(col("__lines")).cast("double"))
+      .drop("__toks", "__lines")
 
   /** Stable content fingerprint (md5 of normalized text) for exact dedup
     * and change detection.

@@ -72,6 +72,38 @@ class SimilaritySpec extends SparkSpec {
     assert(ivf.head == 7L)
   }
 
+  test("ivfCentroids: deterministic sqrt-sized seeding; trained index answers queries") {
+    val c1 = Similarity.ivfCentroids(embs).collect()
+      .map(_.getAs[Long]("centroid_id")).toSeq
+    val c2 = Similarity.ivfCentroids(embs).collect()
+      .map(_.getAs[Long]("centroid_id")).toSeq
+    assert(c1 == c2, "seeding must be deterministic (hashed-id order)")
+    val n = embs.count()
+    assert(c1.length == math.ceil(math.sqrt(n.toDouble)).toInt)
+    assert(Similarity.ivfCentroids(embs, nlist = 5).count() == 5L)
+    // full training loop: centroids refine, then serve as the IVF index
+    val trained = Similarity.ivfTrain(embs, nlist = 4, iters = 2)
+    assert(trained.count() <= 4L && trained.count() > 0L)
+    val hits = Similarity.ivfTopK(embs, trained,
+        query = embs.where(col("vec_id") === 7), k = 5, nProbe = 4)
+      .collect().map(_.getAs[Long]("vec_id"))
+    assert(hits.head == 7L) // full probing of the trained index is exact
+  }
+
+  test("centroidsFromMeans round-trips a kmeans mean matrix to float vectors") {
+    val s = spark; import s.implicits._
+    val vecs = Seq(
+      (0L, Seq(1.0f, 0.0f, 0.0f)),
+      (1L, Seq(0.0f, 1.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val cents = vecs.select(col("vec_id").as("centroid_id"), col("embedding"))
+    val back = Similarity.centroidsFromMeans(Similarity.kmeansIter(vecs, cents))
+      .collect().map(r => r.getAs[Long]("centroid_id") ->
+        r.getSeq[Float](r.fieldIndex("embedding")).toList).toMap
+    assert(back(0L) == List(1.0f, 0.0f, 0.0f))
+    assert(back(1L) == List(0.0f, 1.0f, 0.0f))
+  }
+
   test("vector quantization: cosineQ of a vector with itself is ~1") {
     val s = spark; import s.implicits._
     val df = Seq((1L, Seq(0.3f, -0.2f, 0.9f))).toDF("vec_id", "embedding")
