@@ -53,6 +53,21 @@ class ResamplerSpec extends SparkSpec {
     assert(out(0).getAs[Double]("close") == 109.5)
   }
 
+  test("plan shape: resample is ONE shuffle with map-side partial aggregation") {
+    val plan = Resampler.resample(bars10, FrameSpec.F5m)
+      .queryExecution.executedPlan.toString
+    // the SCALE.md contract: one exchange on (symbol, bucket); the
+    // min_by/max_by/sum aggregates combine map-side, so the exchange
+    // carries partial rows, never raw bars
+    assert(plan.split("Exchange hashpartitioning").length - 1 == 1,
+      s"expected exactly one shuffle:\n$plan")
+    assert(!plan.contains("Exchange rangepartitioning"))
+    assert(plan.contains("partial_min_by") || plan.contains("partial_minby") ||
+      plan.split("HashAggregate").length - 1 >= 2, // partial + final pair
+      s"expected partial aggregation below the exchange:\n$plan")
+    assert(!plan.contains("Window"), "resample must not plan a window")
+  }
+
   test("resample invariants: volume conserved, high is max, low is min") {
     val src = bars10
     Seq(FrameSpec.F5m, FrameSpec.F15m, FrameSpec.F1h).foreach { f =>

@@ -75,4 +75,15 @@ class RuleSetSpec extends SparkSpec {
     assert(clean.count() == 2)
     assert(errors.count() == 1)
   }
+
+  test("plan shape: all window rules share ONE symbol exchange") {
+    val s = spark; import s.implicits._
+    val plan = RuleSet.validate(Seq(ok(0), ok(1), ok(2)).toDF())
+      .queryExecution.executedPlan.toString
+    // lag-context and duplicate-count windows are both keyed on symbol —
+    // they must reuse a single hashpartitioning exchange (SCALE.md's
+    // validation contract), not shuffle once per rule
+    assert(plan.split("Exchange hashpartitioning").length - 1 == 1,
+      s"expected exactly one shuffle:\n$plan")
+  }
 }
