@@ -1,0 +1,153 @@
+package graft.datapipe
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling / mixing / sharding for training-data curation —
+  * the selection stages that sit between dedup/quality filtering and
+  * training export.
+  *
+  * Everything here derives per-row randomness from `md5(seed|id)` instead
+  * of an RNG: Spark's `sample`/`sampleBy` draw from per-partition RNG
+  * streams, so their output changes with partition layout, AQE decisions,
+  * and task retries — unacceptable for reproducible corpus builds (and
+  * unverifiable across engines). A hash of the row's id is a pure
+  * function: same corpus + same seed = same sample on any cluster, any
+  * engine (the DuckDB oracle recomputes every operator here exactly).
+  *
+  * Scale shape: inclusion tests and shard assignment are pure map
+  * expressions (no shuffle, codegen'd md5); [[mixture]] adds one
+  * dimension-scale aggregate (per-source counts) broadcast back; only
+  * [[tokenBudget]] sorts, and only within each source (see its scaladoc).
+  */
+object Sampling {
+
+  /** Inclusion-hash space: first 6 md5 hex digits = 24 bits. */
+  val HashSpace: Long = 1L << 24
+
+  /** Deterministic uniform hash in [0, 2^24): the first 6 hex digits of
+    * md5("seed|id"). 24 bits keeps the value exactly convertible in any
+    * engine (and far below double's 2^53 if arithmetic routes through FP).
+    */
+  def inclusionHash(id: Column, seed: Long): Column =
+    conv(substring(md5(concat_ws("|", lit(seed), id.cast("string"))), 1, 6),
+      16, 10).cast("long")
+
+  /** The integer inclusion threshold for a fraction in [0, 1]. */
+  def thresholdFor(fraction: Double): Long = {
+    require(fraction >= 0.0 && fraction <= 1.0, s"fraction $fraction not in [0,1]")
+    math.floor(fraction * HashSpace).toLong
+  }
+
+  /** Uniform deterministic sample: keep iff hash(seed|id) < fraction·2^24.
+    * Expected |out| = fraction·|docs|; exact membership is reproducible
+    * anywhere.
+    */
+  def sample(docs: DataFrame, fraction: Double, seed: Long = 42L,
+             idCol: String = "doc_id"): DataFrame =
+    docs.where(inclusionHash(col(idCol), seed) < lit(thresholdFor(fraction)))
+
+  /** Stratified deterministic sample: per-stratum fractions; strata absent
+    * from the map are dropped (threshold 0).
+    */
+  def stratified(docs: DataFrame, fractions: Map[String, Double],
+                 stratumCol: String = "source", seed: Long = 42L,
+                 idCol: String = "doc_id"): DataFrame = {
+    val thresholds = map(fractions.toSeq.flatMap { case (k, f) =>
+      Seq(lit(k), lit(thresholdFor(f)))
+    }: _*)
+    docs.where(inclusionHash(col(idCol), seed) <
+      coalesce(element_at(thresholds, col(stratumCol)), lit(0L)))
+  }
+
+  /** Deterministic shard assignment for training export: shard =
+    * hash(seed|id) mod nShards — uniform, stable, and independent of
+    * partition layout, so a re-run (or another engine) produces the same
+    * shard for every document. Write with `partitionBy("shard")` for one
+    * directory per shard.
+    */
+  def assignShards(docs: DataFrame, nShards: Int, seed: Long = 0L,
+                   idCol: String = "doc_id"): DataFrame = {
+    require(nShards > 0, "nShards must be positive")
+    docs.withColumn("shard", inclusionHash(col(idCol), seed) % nShards)
+  }
+
+  /** Source mixing toward target weights: the LARGEST deterministic
+    * sub-corpus whose expected composition matches `weights` — the
+    * binding source (smallest n_s/w_s) is kept whole and every other
+    * source is down-sampled to match:
+    *
+    *   C = min_s n_s / w_s,   keep fraction f_s = C * w_s / n_s  (<= 1)
+    *
+    * Sources not in `weights` are dropped. One dimension-scale aggregate
+    * (per-source counts) and a broadcast join carry the fractions back;
+    * the corpus itself only streams through the final map-side filter —
+    * no driver-side collect, no shuffle of the data.
+    */
+  def mixture(docs: DataFrame, weights: Map[String, Double],
+              stratumCol: String = "source", seed: Long = 42L,
+              idCol: String = "doc_id"): DataFrame = {
+    require(weights.nonEmpty && weights.values.forall(_ > 0.0),
+      "weights must be positive")
+    val wmap = map(weights.toSeq.flatMap { case (k, w) =>
+      Seq(lit(k), lit(w))
+    }: _*)
+    val perSource = docs
+      .groupBy(stratumCol).agg(count(lit(1)).cast("double").as("__n"))
+      .withColumn("__w", element_at(wmap, col(stratumCol)))
+      .where(col("__w").isNotNull)
+    val c = perSource.agg(min(col("__n") / col("__w")).as("__c"))
+    val fractions = perSource.crossJoin(broadcast(c))
+      // *2^24 is exact in doubles (power-of-two scale), so the only
+      // roundings are the two divisions and one product — identical IEEE
+      // ops in any engine
+      .select(col(stratumCol),
+        floor(col("__c") * col("__w") / col("__n") * HashSpace.toDouble)
+          .cast("long").as("__thr"))
+    docs.join(broadcast(fractions), Seq(stratumCol))
+      .where(inclusionHash(col(idCol), seed) < col("__thr"))
+      .drop("__thr")
+  }
+
+  /** Token-budget selection: per stratum, keep documents in ascending
+    * `orderCol` order while the running token total stays within
+    * `budget`. Exact prefix semantics require an ordered scan per
+    * stratum — that is a per-source sort (Window), fine when strata fit a
+    * partition's sort spill budget. For a 100 TB corpus use
+    * [[tokenBudgetApprox]]: no sort, no window, expected-mass semantics.
+    */
+  def tokenBudget(docs: DataFrame, budget: Long,
+                  stratumCol: String = "source", orderCol: String = "doc_id",
+                  textCol: String = "text"): DataFrame = {
+    val w = Window.partitionBy(stratumCol).orderBy(orderCol)
+    docs
+      .withColumn("__tok", TextAnalysis.tokenCount(col(textCol)).cast("long"))
+      .withColumn("__cum", sum(col("__tok")).over(w))
+      .where(col("__cum") <= budget)
+      .drop("__tok", "__cum")
+  }
+
+  /** Scalable twin of [[tokenBudget]]: keep a deterministic hash-sample of
+    * each stratum sized so its EXPECTED token mass equals the budget
+    * (fraction = budget / total stratum tokens) — one aggregate plus a
+    * map filter, no per-stratum sort. The trade: membership is exact and
+    * reproducible, the token total is within sampling error of the
+    * budget rather than an exact prefix.
+    */
+  def tokenBudgetApprox(docs: DataFrame, budget: Long,
+                        stratumCol: String = "source", seed: Long = 42L,
+                        idCol: String = "doc_id",
+                        textCol: String = "text"): DataFrame = {
+    val totals = docs
+      .groupBy(stratumCol)
+      .agg(sum(TextAnalysis.tokenCount(col(textCol)).cast("long"))
+        .cast("double").as("__total"))
+      .select(col(stratumCol),
+        floor(least(lit(1.0), lit(budget.toDouble) / col("__total"))
+          * HashSpace.toDouble).cast("long").as("__thr"))
+    docs.join(broadcast(totals), Seq(stratumCol))
+      .where(inclusionHash(col(idCol), seed) < col("__thr"))
+      .drop("__thr")
+  }
+}

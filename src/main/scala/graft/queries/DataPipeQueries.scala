@@ -241,7 +241,40 @@ object DataPipeQueries {
       // char/length-arithmetic stub features: fully oracle-expressible
       Multimodal.featuresStub(Multimodal.fromText(docs(s, dir)))
         .select(col("media_id"), col("features")(0).as("f0"), col("features")(7).as("f7"))
-        .orderBy("media_id"))
+        .orderBy("media_id")),
+
+    // Deterministic hash-membership sampling (md5-derived, partition- and
+    // engine-independent — Spark's RNG sample() is neither): per-source
+    // counts + id sums pin the exact membership, not just sizes.
+    "smp1_stratified_sample" -> ((s, dir) =>
+      Sampling.stratified(docs(s, dir),
+          Map("src0" -> 0.5, "src1" -> 0.25, "src2" -> 0.125, "src3" -> 1.0),
+          seed = 7)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum(col("doc_id")).as("id_sum"))
+        .orderBy("source")),
+
+    "smp2_shard_assign" -> ((s, dir) =>
+      Sampling.assignShards(docs(s, dir), nShards = 8, seed = 0)
+        .groupBy("shard")
+        .agg(count(lit(1)).as("n_docs"), sum(col("doc_id")).as("id_sum"))
+        .orderBy("shard")),
+
+    // Source mixing toward 3:1:2 target weights — the binding source is
+    // kept whole, the others down-sample deterministically.
+    "smp3_source_mixture" -> ((s, dir) =>
+      Sampling.mixture(docs(s, dir),
+          Map("src0" -> 3.0, "src1" -> 1.0, "src2" -> 2.0), seed = 7)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum(col("doc_id")).as("id_sum"))
+        .orderBy("source")),
+
+    // Exact per-source token-budget prefix (ordered by doc_id).
+    "smp4_token_budget" -> ((s, dir) =>
+      Sampling.tokenBudget(docs(s, dir), budget = 300L)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum(col("doc_id")).as("id_sum"))
+        .orderBy("source"))
   )
 
   private val tokCte =
@@ -266,6 +299,14 @@ object DataPipeQueries {
 
   private def dotD(a: String, b: String): String =
     s"CAST(list_sum(list_transform(list_zip($a, $b), s -> s[1] * s[2])) AS DOUBLE)"
+
+  /** First 6 md5 hex digits of column `h` as a 24-bit integer — the DuckDB
+    * twin of `Sampling.inclusionHash`'s `conv(substring(md5,1,6),16,10)`.
+    */
+  private def hex6(h: String): String =
+    (0 until 6).map(i =>
+      s"(strpos('0123456789abcdef', substr($h, ${i + 1}, 1)) - 1) * ${1L << (4 * (5 - i))}")
+      .mkString("(", " + ", ")")
 
   def oracles: Map[String, String] = Map(
     "d1_dedup_exact" ->
@@ -682,6 +723,52 @@ object DataPipeQueries {
         |SELECT media_id,
         |  ((CAST(ascii(substr(text, 1, 1)) AS BIGINT) * 1 + nb * 13 + 0) % 1000) / 1000.0 AS f0,
         |  ((CAST(ascii(substr(text, CAST(1 + (49 % nc) AS INT), 1)) AS BIGINT) * 8 + nb * 13 + 49) % 1000) / 1000.0 AS f7
-        |FROM f ORDER BY media_id""".stripMargin
+        |FROM f ORDER BY media_id""".stripMargin,
+
+    "smp1_stratified_sample" ->
+      s"""WITH m AS (
+         |  SELECT source, doc_id, md5('7|' || CAST(doc_id AS VARCHAR)) AS h
+         |  FROM documents),
+         |hv AS (SELECT source, doc_id, ${hex6("h")} AS hv FROM m)
+         |SELECT source, count(*) AS n_docs, CAST(sum(doc_id) AS BIGINT) AS id_sum
+         |FROM hv
+         |WHERE hv < (CASE source WHEN 'src0' THEN 8388608 WHEN 'src1' THEN 4194304
+         |            WHEN 'src2' THEN 2097152 WHEN 'src3' THEN 16777216 ELSE 0 END)
+         |GROUP BY source ORDER BY source""".stripMargin,
+
+    "smp2_shard_assign" ->
+      s"""WITH m AS (
+         |  SELECT doc_id, md5('0|' || CAST(doc_id AS VARCHAR)) AS h FROM documents),
+         |sh AS (SELECT doc_id, ${hex6("h")} % 8 AS shard FROM m)
+         |SELECT shard, count(*) AS n_docs, CAST(sum(doc_id) AS BIGINT) AS id_sum
+         |FROM sh GROUP BY shard ORDER BY shard""".stripMargin,
+
+    "smp3_source_mixture" ->
+      s"""WITH w AS (
+         |  SELECT source, doc_id,
+         |    CASE source WHEN 'src0' THEN 3.0 WHEN 'src1' THEN 1.0
+         |                WHEN 'src2' THEN 2.0 END AS w,
+         |    md5('7|' || CAST(doc_id AS VARCHAR)) AS h
+         |  FROM documents WHERE source IN ('src0','src1','src2')),
+         |per AS (SELECT source, CAST(count(*) AS DOUBLE) AS n, max(w) AS w
+         |        FROM w GROUP BY source),
+         |c AS (SELECT min(n / w) AS c FROM per),
+         |thr AS (SELECT source, CAST(floor(c * w / n * 16777216.0) AS BIGINT) AS thr
+         |        FROM per CROSS JOIN c)
+         |SELECT source, count(*) AS n_docs, CAST(sum(doc_id) AS BIGINT) AS id_sum
+         |FROM w JOIN thr USING(source)
+         |WHERE ${hex6("h")} < thr
+         |GROUP BY source ORDER BY source""".stripMargin,
+
+    "smp4_token_budget" ->
+      """WITH tk AS (
+        |  SELECT source, doc_id,
+        |         len(string_split_regex(lower(trim(text)), '\s+')) AS tok
+        |  FROM documents),
+        |cum AS (SELECT source, doc_id,
+        |          sum(tok) OVER (PARTITION BY source ORDER BY doc_id) AS cum
+        |        FROM tk)
+        |SELECT source, count(*) AS n_docs, CAST(sum(doc_id) AS BIGINT) AS id_sum
+        |FROM cum WHERE cum <= 300 GROUP BY source ORDER BY source""".stripMargin
   )
 }

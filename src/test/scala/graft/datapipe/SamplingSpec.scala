@@ -1,0 +1,96 @@
+package graft.datapipe
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling/mixing/sharding: membership must be a pure
+  * function of (seed, id) — identical across runs AND partition layouts —
+  * with expected sizes tracking the requested fractions.
+  */
+class SamplingSpec extends SparkSpec {
+
+  private def docs = {
+    val s = spark; import s.implicits._
+    (0 until 2000).map(i =>
+      (i.toLong, s"src${i % 4}", s"word${i % 7} " * (1 + i % 5)))
+      .toDF("doc_id", "source", "text")
+  }
+
+  private def ids(df: org.apache.spark.sql.DataFrame): Set[Long] =
+    df.select("doc_id").collect().map(_.getLong(0)).toSet
+
+  test("sample: deterministic, partition-independent, ~fraction sized") {
+    val a = ids(Sampling.sample(docs, 0.5, seed = 7))
+    val b = ids(Sampling.sample(docs, 0.5, seed = 7))
+    val c = ids(Sampling.sample(docs.repartition(13), 0.5, seed = 7))
+    assert(a == b && a == c, "membership must not depend on run or layout")
+    assert(math.abs(a.size - 1000) < 100, s"got ${a.size} of 2000 at 0.5")
+    // a different seed draws a genuinely different sample
+    assert(ids(Sampling.sample(docs, 0.5, seed = 8)) != a)
+    // nested property: fraction 0.25 with the same seed is a subset of 0.5
+    // (thresholding one hash, not re-drawing)
+    val q = ids(Sampling.sample(docs, 0.25, seed = 7))
+    assert(q.subsetOf(a))
+  }
+
+  test("stratified: per-stratum fractions; unlisted strata drop") {
+    val out = Sampling.stratified(docs,
+      Map("src0" -> 1.0, "src1" -> 0.5, "src2" -> 0.0), seed = 7)
+    val bySrc = out.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySrc("src0") == 500L) // fraction 1.0 keeps everything
+    assert(!bySrc.contains("src2") && !bySrc.contains("src3"))
+    assert(math.abs(bySrc("src1") - 250L) < 60)
+  }
+
+  test("shards: stable, uniform-ish, in range, layout-independent") {
+    val sh = Sampling.assignShards(docs, nShards = 8)
+    val again = Sampling.assignShards(docs.repartition(17), nShards = 8)
+    val m1 = sh.select("doc_id", "shard").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val m2 = again.select("doc_id", "shard").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(m1 == m2)
+    assert(m1.values.forall(s => s >= 0 && s < 8))
+    val sizes = m1.values.groupBy(identity).values.map(_.size)
+    assert(sizes.size == 8 && sizes.forall(n => n > 150 && n < 350))
+  }
+
+  test("mixture: binding source kept whole, others scaled to the weights") {
+    val s = spark; import s.implicits._
+    // src0: 100 docs, src1: 1000 docs, equal target weights -> src0 binds
+    // (kept whole) and src1 samples down to ~100
+    val skewed = ((0 until 100).map(i => (i.toLong, "src0")) ++
+      (1000 until 2000).map(i => (i.toLong, "src1")))
+      .toDF("doc_id", "source")
+    val out = Sampling.mixture(skewed, Map("src0" -> 1.0, "src1" -> 1.0))
+    val bySrc = out.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySrc("src0") == 100L, "binding source must be kept whole")
+    assert(math.abs(bySrc("src1") - 100L) < 40, s"src1=${bySrc("src1")}")
+    // unlisted sources are dropped entirely
+    val extra = skewed.unionByName(Seq((5000L, "src9")).toDF("doc_id", "source"))
+    assert(!Sampling.mixture(extra, Map("src0" -> 1.0, "src1" -> 1.0))
+      .select("source").collect().map(_.getString(0)).contains("src9"))
+  }
+
+  test("tokenBudget: exact ordered prefix per stratum; approx twin tracks mass") {
+    val s = spark; import s.implicits._
+    // doc i has exactly i+1 tokens; budget 10 per source keeps the prefix
+    // 1+2+3+4 = 10 -> docs 0..3 for srcA; srcB all small, all kept
+    val d = ((0 until 6).map(i => (i.toLong, "srcA", ("w " * (i + 1)).trim)) ++
+      (10 until 13).map(i => (i.toLong, "srcB", "w w"))).toDF("doc_id", "source", "text")
+    val kept = Sampling.tokenBudget(d, budget = 10L)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(0L, 1L, 2L, 3L, 10L, 11L, 12L))
+    // approx: expected token mass ~= budget, membership deterministic
+    val big = docs
+    val approx1 = ids(Sampling.tokenBudgetApprox(big, budget = 1000L, seed = 3))
+    val approx2 = ids(Sampling.tokenBudgetApprox(big.repartition(5), budget = 1000L, seed = 3))
+    assert(approx1 == approx2)
+    // budget is PER STRATUM: 4 sources x 1000 expected mass each
+    val mass = Sampling.tokenBudgetApprox(big, budget = 1000L, seed = 3)
+      .agg(sum(TextAnalysis.tokenCount(col("text")))).first().getLong(0)
+    assert(mass > 2800L && mass < 5200L, s"token mass $mass vs 4x1000 budget")
+  }
+}
