@@ -199,14 +199,19 @@ object Main {
       print(new MetricsStore(session(), s"$root/state/metrics").prometheusText())
     case "metrics" :: root :: "serve" :: rest =>
       // live Prometheus scrape endpoint (ref metrics_server.py:37-200):
-      // GET /metrics serves the text exposition built from the store
+      // GET /metrics serves the text exposition built from the store.
+      // Default bind is localhost (safe); pass a host (or set
+      // GRAFT_METRICS_HOST=0.0.0.0) so an EXTERNAL Prometheus can scrape.
       val port = rest.headOption.map(_.toInt)
         .orElse(sys.env.get("GRAFT_METRICS_PORT").map(_.toInt))
         .getOrElse(8000)
+      val host = rest.drop(1).headOption
+        .orElse(sys.env.get("GRAFT_METRICS_HOST"))
+        .getOrElse("localhost")
       val srv = new graft.metrics.MetricsServer(
-        new MetricsStore(session(), s"$root/state/metrics"), port)
+        new MetricsStore(session(), s"$root/state/metrics"), port, host)
       val bound = srv.start()
-      println(s"[metrics] serving http://localhost:$bound/metrics (ctrl-c to stop)")
+      println(s"[metrics] serving http://$host:$bound/metrics (ctrl-c to stop)")
       Thread.currentThread().join()
     case "metrics" :: root :: "dashboard" :: Nil =>
       // one-shot dashboard (ref cli/metrics_dashboard.py data surface,
@@ -565,30 +570,37 @@ object Main {
     }
   }
 
-  /** CSV rendering with header (ref: query.py --csv), as a string so the
-    * S10 golden test can assert byte-exact output. Streams via
-    * toLocalIterator in [[printCsv]]'s large path is unnecessary here:
-    * rendering is a presentation surface, bounded by `limit`.
+  private def csvEsc(s: String): String =
+    if (s == null) ""
+    else if (s.exists(c => c == ',' || c == '"' || c == '\n'))
+      "\"" + s.replace("\"", "\"\"") + "\""
+    else s
+
+  private def csvLine(row: org.apache.spark.sql.Row): String =
+    (0 until row.length).map(i =>
+      csvEsc(if (row.isNullAt(i)) null else row.get(i).toString)).mkString(",")
+
+  /** CSV rendering with header (ref: query.py --csv), as a string — the
+    * S10 golden test's byte-exact surface. Only for bounded output:
+    * [[printCsv]] keeps the streaming path because `validate --show`
+    * passes limit = Int.MaxValue (a report can dwarf driver memory).
     */
   private[cli] def renderCsv(df: DataFrame, limit: Int): String = {
-    def esc(s: String): String =
-      if (s == null) ""
-      else if (s.exists(c => c == ',' || c == '"' || c == '\n'))
-        "\"" + s.replace("\"", "\"\"") + "\""
-      else s
     val sb = new StringBuilder
-    sb.append(df.columns.map(esc).mkString(",")).append('\n')
-    df.limit(limit).toLocalIterator().forEachRemaining { row =>
-      sb.append((0 until row.length).map(i =>
-        esc(if (row.isNullAt(i)) null else row.get(i).toString)).mkString(","))
-        .append('\n')
-    }
+    sb.append(df.columns.map(csvEsc).mkString(",")).append('\n')
+    df.limit(limit).toLocalIterator().forEachRemaining(row =>
+      sb.append(csvLine(row)).append('\n'))
     sb.result()
   }
 
-  /** CSV to stdout with header (ref: query.py --csv). */
-  private[cli] def printCsv(df: DataFrame, limit: Int): Unit =
-    print(renderCsv(df, limit))
+  /** CSV to stdout with header, one row at a time — constant driver
+    * memory at any limit (ref: query.py --csv).
+    */
+  private[cli] def printCsv(df: DataFrame, limit: Int): Unit = {
+    println(df.columns.map(csvEsc).mkString(","))
+    df.limit(limit).toLocalIterator().forEachRemaining(row =>
+      println(csvLine(row)))
+  }
 
   /** Markdown table rendering (ref: query.py to_markdown fallback; F13). */
   private[cli] def renderMarkdown(df: DataFrame, limit: Int): String = {

@@ -101,10 +101,16 @@ object Sampling {
     val fractions = perSource.crossJoin(broadcast(c))
       // *2^24 is exact in doubles (power-of-two scale), so the only
       // roundings are the two divisions and one product — identical IEEE
-      // ops in any engine
+      // ops in any engine. The binding source (n/w == C) gets the full
+      // hash space EXPLICITLY: the (n/w)*w/n round-trip can land 1 ulp
+      // below 1.0 and floor to 2^24 - 1, silently dropping ~2^-24 of the
+      // one source the contract says is kept whole.
       .select(col(stratumCol),
-        floor(col("__c") * col("__w") / col("__n") * HashSpace.toDouble)
-          .cast("long").as("__thr"))
+        when(col("__n") / col("__w") === col("__c"), lit(HashSpace))
+          .otherwise(
+            floor(col("__c") * col("__w") / col("__n") * HashSpace.toDouble)
+              .cast("long"))
+          .as("__thr"))
     docs.join(broadcast(fractions), Seq(stratumCol))
       .where(inclusionHash(col(idCol), seed) < col("__thr"))
       .drop("__thr")

@@ -83,9 +83,14 @@ final class JobRepo(spark: SparkSession, path: String,
   }
 
   // cached log-file count so routine appends don't issue a listStatus RPC
-  // per transition; seeded lazily by ONE listing, then maintained
-  // incrementally (appends +1, compact re-seeds). -1 = not yet seeded.
+  // per transition; seeded lazily, then maintained incrementally (appends
+  // +1, compact re-seeds) and re-synced from a real listing every 16th
+  // append — the cache only sees THIS instance's appends, so under
+  // concurrent writers it drifts in both directions; the periodic re-list
+  // bounds that drift to 16 files while keeping the steady-state RPC cost
+  // at 1/16 per transition. -1 = not yet seeded.
   private var fileCountCache: Int = -1
+  private var appendsSinceList: Int = 0
 
   private def append(jobs: Seq[Job]): Unit = {
     jobs.toDF().withColumn("seq", lit(JobRepo.nextSeq()))
@@ -93,7 +98,11 @@ final class JobRepo(spark: SparkSession, path: String,
     // each append adds one file; fold the log back to one when it crowds
     // so per-read cost stays bounded between explicit compact() calls
     if (autoCompactFiles > 0) {
-      fileCountCache = if (fileCountCache < 0) logFiles().size else fileCountCache + 1
+      appendsSinceList += 1
+      if (fileCountCache < 0 || appendsSinceList >= 16) {
+        fileCountCache = logFiles().size
+        appendsSinceList = 0
+      } else fileCountCache += 1
       if (fileCountCache > autoCompactFiles) compact()
     }
   }
@@ -124,27 +133,40 @@ final class JobRepo(spark: SparkSession, path: String,
     * matching `keep` — the metadata half of retention pruning (ref:
     * cli/prune.py:228-330). Returns rows dropped.
     *
-    * Crash/concurrency shape: APPEND a latest-wins snapshot (newest seq),
-    * THEN delete the pre-snapshot files — never a read-then-overwrite.
-    * The old files are listed BEFORE the snapshot read, so a file a
-    * concurrent writer lands mid-compaction is either (a) read into the
-    * snapshot and also deleted (its rows survive in the snapshot), or
-    * (b) not in the delete list and survives as-is. A crash between the
-    * snapshot append and the deletes leaves duplicate rows, which
-    * latest-wins folding already resolves. Retention semantics (`keep`)
-    * still assume a single maintenance writer: a concurrent append can
-    * legitimately resurrect a job this call is pruning.
+    * Crash/concurrency shape: APPEND a latest-wins snapshot, THEN delete
+    * the pre-snapshot files — never a read-then-overwrite. Each snapshot
+    * row carries its ORIGINAL seq, so compaction is invisible to
+    * latest-wins folding: a snapshot row ties only with the identical row
+    * it copied, and any concurrent append necessarily carries a newer seq
+    * for its job and outranks the snapshot (a fresh snapshot seq would
+    * shadow appends that landed during the read-write window). The old
+    * files are listed BEFORE the read, so a file landing mid-compaction
+    * is either read into the snapshot and deleted (rows survive in the
+    * snapshot) or not in the delete list and survives as-is. A crash
+    * between snapshot append and deletes leaves duplicate identical rows,
+    * which folding resolves. Retention semantics (`keep`) still assume a
+    * single maintenance writer: a concurrent append can legitimately
+    * resurrect a job this call is pruning.
     */
   def compact(keep: Job => Boolean = _ => true): Long = {
     val before = logFiles() // list FIRST — see scaladoc
-    val latest = load().as[Job].collect()
-    val kept = latest.filter(keep)
-    kept.toSeq.toDF().withColumn("seq", lit(JobRepo.nextSeq()))
+    val r = raw()
+    val others = r.columns.filterNot(_ == "job_id")
+    val latestDf = r.groupBy("job_id")
+      .agg(max_by(struct(others.map(col).toSeq: _*), col("seq")).as("j"))
+      .select(col("job_id") +: others.map(c => col(s"j.$c")).toSeq: _*)
+    val rows = latestDf.collect()
+    def toJob(row: org.apache.spark.sql.Row) = Job(
+      row.getAs[String]("job_id"), row.getAs[String]("symbol"),
+      row.getAs[String]("day"), row.getAs[String]("state"),
+      row.getAs[Long]("created_at"), row.getAs[Long]("updated_at"))
+    val kept = rows.filter(row => keep(toJob(row)))
+    spark.createDataFrame(java.util.Arrays.asList(kept: _*), latestDf.schema)
       .repartition(1).write.mode(SaveMode.Append).parquet(path)
     val f = fs()
     before.foreach(p => f.delete(p, false))
     fileCountCache = logFiles().size
-    latest.length - kept.length
+    rows.length - kept.length
   }
 
   /** Drop terminal jobs not updated since `cutoffEpochSec` (jobs cleanup). */

@@ -90,7 +90,15 @@ final class MetricsStore(spark: SparkSession, path: String) {
         prefix + MetricsStore.sanitizeName(r.getAs[String]("name")))
       .toSeq.sortBy(_._1).foreach { case (metric, group) =>
         sb.append(s"# TYPE $metric gauge\n")
-        group.sortBy(r => (r.getAs[String]("provider"), r.getAs[String]("feed")))
+        // raw names that merged into one sanitized metric can collide on
+        // (provider, feed) — emitting both would be two samples with
+        // identical name+labels, which fails the WHOLE scrape. Keep the
+        // freshest (latest_ts, then value for a total order) per label set.
+        group.groupBy(r => (r.getAs[String]("provider"), r.getAs[String]("feed")))
+          .values.map(_.maxBy(r =>
+            (r.getAs[Long]("latest_ts"), r.getAs[Double]("latest_value"))))
+          .toSeq
+          .sortBy(r => (r.getAs[String]("provider"), r.getAs[String]("feed")))
           .foreach { r =>
             val prov = MetricsStore.escapeLabel(r.getAs[String]("provider"))
             val feed = MetricsStore.escapeLabel(r.getAs[String]("feed"))

@@ -753,7 +753,9 @@ object DataPipeQueries {
          |per AS (SELECT source, CAST(count(*) AS DOUBLE) AS n, max(w) AS w
          |        FROM w GROUP BY source),
          |c AS (SELECT min(n / w) AS c FROM per),
-         |thr AS (SELECT source, CAST(floor(c * w / n * 16777216.0) AS BIGINT) AS thr
+         |thr AS (SELECT source,
+         |          CASE WHEN n / w = c THEN 16777216
+         |               ELSE CAST(floor(c * w / n * 16777216.0) AS BIGINT) END AS thr
          |        FROM per CROSS JOIN c)
          |SELECT source, count(*) AS n_docs, CAST(sum(doc_id) AS BIGINT) AS id_sum
          |FROM w JOIN thr USING(source)

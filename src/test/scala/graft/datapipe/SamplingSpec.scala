@@ -58,16 +58,18 @@ class SamplingSpec extends SparkSpec {
 
   test("mixture: binding source kept whole, others scaled to the weights") {
     val s = spark; import s.implicits._
-    // src0: 100 docs, src1: 1000 docs, equal target weights -> src0 binds
-    // (kept whole) and src1 samples down to ~100
+    // src0: 100 docs at weight 3 binds (n/w = 33.3); src1: 1000 docs at
+    // weight 7 scales to C*w/n = 7/30 ≈ 233 docs. Weight 3.0 makes the
+    // binding source's n/w INEXACT in doubles, exercising the explicit
+    // full-hash-space clamp (a bare floor could land at 2^24 - 1).
     val skewed = ((0 until 100).map(i => (i.toLong, "src0")) ++
       (1000 until 2000).map(i => (i.toLong, "src1")))
       .toDF("doc_id", "source")
-    val out = Sampling.mixture(skewed, Map("src0" -> 1.0, "src1" -> 1.0))
+    val out = Sampling.mixture(skewed, Map("src0" -> 3.0, "src1" -> 7.0))
     val bySrc = out.groupBy("source").count().collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(bySrc("src0") == 100L, "binding source must be kept whole")
-    assert(math.abs(bySrc("src1") - 100L) < 40, s"src1=${bySrc("src1")}")
+    assert(math.abs(bySrc("src1") - 233L) < 60, s"src1=${bySrc("src1")}")
     // unlisted sources are dropped entirely
     val extra = skewed.unionByName(Seq((5000L, "src9")).toDF("doc_id", "source"))
     assert(!Sampling.mixture(extra, Map("src0" -> 1.0, "src1" -> 1.0))

@@ -71,6 +71,28 @@ class JobsSpec extends SparkSpec {
     assert(repo.get("j3").map(_.state).contains(JobState.InProgress))
   }
 
+  test("compact preserves original seqs — the snapshot cannot shadow a racer") {
+    import org.apache.spark.sql.functions.{col, max}
+    val dir = tmpDir("jobsseq") + "/jobs"
+    val repo = new JobRepo(spark, dir, autoCompactFiles = 0)
+    repo.save(Seq(Job("a", "S", "2024-01-02", JobState.Pending, 1L, 1L)))
+    repo.transition("a", JobState.InProgress, 2L)
+    val maxSeqBefore = spark.read.parquet(dir).agg(max("seq")).first().getLong(0)
+    repo.compact()
+    // the folded log carries the ORIGINAL newest seq, not a fresh one: an
+    // append whose seq was drawn during the compact window therefore
+    // always outranks the snapshot copy of its job in latest-wins folding
+    val snap = spark.read.parquet(dir).select("seq", "state").collect()
+    assert(snap.length == 1)
+    assert(snap.head.getLong(0) == maxSeqBefore,
+      s"snapshot re-stamped seq: ${snap.head.getLong(0)} != $maxSeqBefore")
+    assert(repo.get("a").map(_.state).contains(JobState.InProgress))
+    // and a post-compact transition still wins normally
+    repo.transition("a", JobState.Completed, 3L)
+    assert(repo.get("a").map(_.state).contains(JobState.Completed))
+    assert(spark.read.parquet(dir).where(col("seq") > maxSeqBefore).count() == 1L)
+  }
+
   test("point lookup pushes the job_id filter below the latest-wins fold") {
     val dir = tmpDir("jobspl") + "/jobs"
     val repo = new JobRepo(spark, dir)

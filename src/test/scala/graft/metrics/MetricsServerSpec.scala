@@ -54,4 +54,18 @@ class MetricsServerSpec extends SparkSpec {
       .findAllIn(text).length == 1)
     assert(text.linesIterator.count(_.startsWith("graft_weird_metric{")) == 2)
   }
+
+  test("merged names colliding on identical labels emit ONE sample (freshest)") {
+    val dir = java.nio.file.Files.createTempDirectory("metrics_dup").toString
+    val store = new MetricsStore(spark, dir)
+    // two RAW names, same sanitized metric, SAME (provider, feed): two
+    // samples with identical name+labels would fail the whole scrape
+    store.record(Seq(
+      (1000L, "bars.ingested", 1.0, "p", "f"),
+      (2000L, "bars-ingested", 2.0, "p", "f")))
+    val text = store.prometheusText()
+    val lines = text.linesIterator.filter(_.startsWith("graft_bars_ingested{")).toSeq
+    assert(lines.size == 1, s"expected one deduped sample, got:\n$text")
+    assert(lines.head.contains(" 2.0 2000000")) // the freshest wins
+  }
 }
