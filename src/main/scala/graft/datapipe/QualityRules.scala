@@ -1,0 +1,123 @@
+package graft.datapipe
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Document-quality filter ruleset for training-data curation — the
+  * heuristic keep/drop stage every published corpus pipeline runs before
+  * dedup (C4's length/symbol filters, Gopher's token-length and
+  * repetition bounds). Same shape as the bar-data `validate.RuleSet`:
+  * named column predicates over precomputed metrics, assembled into a
+  * reasons array, so one scan annotates, splits, or summarizes.
+  *
+  * Scale shape: [[withMetrics]] tokenizes ONCE into an intermediate
+  * column and derives every metric from it (higher-order functions are
+  * interpreted and re-evaluated per reference — the langId lesson), so
+  * annotation is a pure map over the documents table; [[summary]] adds a
+  * single all-partial aggregate. No shuffle of document text, ever.
+  */
+object QualityRules {
+
+  /** Thresholds, defaulted to the published heuristic ranges (Gopher
+    * token-count and mean-word-length bounds, C4-style symbol and
+    * repetition caps) scaled to short synthetic fixtures.
+    */
+  case class Config(
+      minTokens: Long = 20L,
+      maxTokens: Long = 100000L,
+      meanTokenLenMin: Double = 3.0,
+      meanTokenLenMax: Double = 10.0,
+      minStopwordRatio: Double = 0.02,
+      maxSymbolRatio: Double = 0.10,
+      maxDupTokenRatio: Double = 0.55,
+      maxDupLineRatio: Double = 0.30,
+      minAlphaTokenRatio: Double = 0.80)
+
+  /** Attach the per-document metric columns the rules test. One
+    * tokenization pass (`__toks` intermediate — CollapseProject does not
+    * inline a non-cheap alias with multiple references, which is exactly
+    * what keeps this single-evaluation); every ratio is an exact-integer
+    * count divided once, so any engine reproduces the doubles bit-for-bit.
+    */
+  def withMetrics(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = col("__toks")
+    val n = col("n_tokens").cast("double")
+    docs
+      .withColumn("__toks", TextAnalysis.tokens(col(textCol)))
+      .withColumn("__lines",
+        org.apache.spark.sql.functions.split(col(textCol), "\n"))
+      .withColumn("n_tokens", size(t).cast("long"))
+      .withColumn("mean_token_len",
+        (length(trim(col(textCol))) - (col("n_tokens") - 1L)).cast("double") / n)
+      .withColumn("stopword_ratio",
+        size(filter(t, x => x.isin(TextAnalysis.markers("en").map(lit): _*)))
+          .cast("double") / n)
+      .withColumn("symbol_ratio",
+        size(regexp_extract_all(col(textCol), lit("[^A-Za-z0-9\\s]"), lit(0)))
+          .cast("double") / length(col(textCol)).cast("double"))
+      .withColumn("alpha_token_ratio",
+        size(filter(t, x => x.rlike("[a-z]"))).cast("double") / n)
+      .withColumn("dup_token_ratio",
+        lit(1.0) - size(array_distinct(t)).cast("double") / n)
+      .withColumn("dup_line_ratio",
+        lit(1.0) - size(array_distinct(col("__lines"))).cast("double") /
+          size(col("__lines")).cast("double"))
+      .drop("__toks", "__lines")
+  }
+
+  /** reason -> predicate over a [[withMetrics]]-annotated row. */
+  def rules(cfg: Config = Config()): Seq[(String, Column)] = Seq(
+    "too_few_tokens" -> (col("n_tokens") < cfg.minTokens),
+    "too_many_tokens" -> (col("n_tokens") > cfg.maxTokens),
+    "mean_token_len_out_of_range" ->
+      !col("mean_token_len").between(cfg.meanTokenLenMin, cfg.meanTokenLenMax),
+    "low_stopword_ratio" -> (col("stopword_ratio") < cfg.minStopwordRatio),
+    "high_symbol_ratio" -> (col("symbol_ratio") > cfg.maxSymbolRatio),
+    "high_dup_token_ratio" -> (col("dup_token_ratio") > cfg.maxDupTokenRatio),
+    "high_dup_line_ratio" -> (col("dup_line_ratio") > cfg.maxDupLineRatio),
+    "low_alpha_token_ratio" ->
+      (col("alpha_token_ratio") < cfg.minAlphaTokenRatio)
+  )
+
+  /** Annotate each document with the array of failed rule names (empty =
+    * keep). Pure map; the metrics columns stay attached for inspection.
+    */
+  def annotate(docs: DataFrame, cfg: Config = Config(),
+               textCol: String = "text"): DataFrame = {
+    val reasons = array(rules(cfg).map { case (name, pred) =>
+      when(pred, lit(name)).otherwise(lit(null).cast("string"))
+    }: _*)
+    withMetrics(docs, textCol)
+      .withColumn("failed_rules", filter(reasons, _.isNotNull))
+  }
+
+  /** Split into (kept, dropped): dropped rows carry `failed_rules`. Both
+    * sides derive from one annotated plan — Spark scans twice but each
+    * side stays a pure filter (cache/frontier the annotated frame if both
+    * sides feed expensive downstreams).
+    */
+  def split(docs: DataFrame, cfg: Config = Config(),
+            textCol: String = "text"): (DataFrame, DataFrame) = {
+    val annotated = annotate(docs, cfg, textCol)
+    (annotated.where(size(col("failed_rules")) === 0)
+       .drop("failed_rules"),
+     annotated.where(size(col("failed_rules")) > 0))
+  }
+
+  /** One-row corpus summary: per-rule failure counts plus kept/total —
+    * the monitoring surface for a filter sweep. Single all-partial
+    * aggregate (map-side combine; one row crosses the exchange).
+    */
+  def summary(docs: DataFrame, cfg: Config = Config(),
+              textCol: String = "text"): DataFrame = {
+    val rs = rules(cfg)
+    val anyFail = rs.map(_._2).reduce(_ || _)
+    val perRule = rs.map { case (name, pred) =>
+      sum(when(pred, 1L).otherwise(0L)).as(name)
+    }
+    val totals = Seq(
+      sum(when(!coalesce(anyFail, lit(false)), 1L).otherwise(0L)).as("n_kept"),
+      count(lit(1)).as("n_total"))
+    withMetrics(docs, textCol).agg(perRule.head, (perRule.tail ++ totals): _*)
+  }
+}

@@ -205,6 +205,13 @@ object DataPipeQueries {
           "stopword_ratio", "short_token_ratio", "mean_token_len", "quality")
         .orderBy("doc_id")),
 
+    // Heuristic quality-filter ruleset (C4/Gopher-style): one-row corpus
+    // summary of per-rule failure counts + kept/total — every count is an
+    // exact integer, the ratios behind the predicates are single-division
+    // doubles reproduced identically by the oracle.
+    "t8_doc_quality_rules" -> ((s, dir) =>
+      QualityRules.summary(docs(s, dir))),
+
     "t5_bpeish_tokens" -> ((s, dir) =>
       docs(s, dir)
         .groupBy("lang")
@@ -655,6 +662,43 @@ object DataPipeQueries {
          |SELECT centroid_id, CAST(pos AS BIGINT) AS pos,
          |       CAST(sum(v) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mean_q
          |FROM pe GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "t8_doc_quality_rules" ->
+      """WITH m AS (
+        |  SELECT text,
+        |    string_split_regex(lower(trim(text)), '\s+') AS t,
+        |    string_split(text, chr(10)) AS ln
+        |  FROM documents),
+        |x AS (
+        |  SELECT
+        |    len(t) AS n_tokens,
+        |    CAST(length(trim(text)) - (len(t) - 1) AS DOUBLE) / CAST(len(t) AS DOUBLE) AS mean_token_len,
+        |    CAST(len(list_filter(t, x -> list_contains(['the','a','of','and','to'], x))) AS DOUBLE)
+        |      / CAST(len(t) AS DOUBLE) AS stopword_ratio,
+        |    CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS DOUBLE)
+        |      / CAST(length(text) AS DOUBLE) AS symbol_ratio,
+        |    CAST(len(list_filter(t, x -> regexp_matches(x, '[a-z]'))) AS DOUBLE)
+        |      / CAST(len(t) AS DOUBLE) AS alpha_token_ratio,
+        |    1.0 - CAST(len(list_distinct(t)) AS DOUBLE) / CAST(len(t) AS DOUBLE) AS dup_token_ratio,
+        |    1.0 - CAST(len(list_distinct(ln)) AS DOUBLE) / CAST(len(ln) AS DOUBLE) AS dup_line_ratio
+        |  FROM m)
+        |SELECT
+        |  CAST(sum(CASE WHEN n_tokens < 20 THEN 1 ELSE 0 END) AS BIGINT) AS too_few_tokens,
+        |  CAST(sum(CASE WHEN n_tokens > 100000 THEN 1 ELSE 0 END) AS BIGINT) AS too_many_tokens,
+        |  CAST(sum(CASE WHEN NOT (mean_token_len BETWEEN 3.0 AND 10.0) THEN 1 ELSE 0 END) AS BIGINT) AS mean_token_len_out_of_range,
+        |  CAST(sum(CASE WHEN stopword_ratio < 0.02 THEN 1 ELSE 0 END) AS BIGINT) AS low_stopword_ratio,
+        |  CAST(sum(CASE WHEN symbol_ratio > 0.10 THEN 1 ELSE 0 END) AS BIGINT) AS high_symbol_ratio,
+        |  CAST(sum(CASE WHEN dup_token_ratio > 0.55 THEN 1 ELSE 0 END) AS BIGINT) AS high_dup_token_ratio,
+        |  CAST(sum(CASE WHEN dup_line_ratio > 0.30 THEN 1 ELSE 0 END) AS BIGINT) AS high_dup_line_ratio,
+        |  CAST(sum(CASE WHEN alpha_token_ratio < 0.80 THEN 1 ELSE 0 END) AS BIGINT) AS low_alpha_token_ratio,
+        |  CAST(sum(CASE WHEN NOT coalesce(
+        |         n_tokens < 20 OR n_tokens > 100000
+        |         OR NOT (mean_token_len BETWEEN 3.0 AND 10.0)
+        |         OR stopword_ratio < 0.02 OR symbol_ratio > 0.10
+        |         OR dup_token_ratio > 0.55 OR dup_line_ratio > 0.30
+        |         OR alpha_token_ratio < 0.80, false)
+        |       THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |  count(*) AS n_total
+        |FROM x""".stripMargin,
     "t1_text_quality" ->
       s"""$tokCte,
          |q AS (
