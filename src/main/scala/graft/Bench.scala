@@ -35,20 +35,27 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
-    val queryTimes = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      name -> time { fn(spark, sfDir).count() }
+    // Pipeline workloads run FIRST (before the ~100-query sweep) and 3x
+    // each with a fresh temp dir per run, reporting the MEDIAN: the
+    // round-5 pipeline_day_50sym numbers drifted 2x across rounds purely
+    // from sweep position (dead last in one shared JVM, after accumulated
+    // GC/temp-FS state) — isolated repeated runs make the headline
+    // BASELINE.md comparison robust to that. Individual runs are kept in
+    // the artifact as _runN keys for drift diagnosis.
+    def median3(f: => Unit): (Double, Seq[Double]) = {
+      val runs = Seq.fill(3)(time(f))
+      (runs.sorted.apply(1), runs)
     }
-
     // BASELINE.md: ingest+aggregate 1 symbol x full trading year (<60s)
     val yearBars = 252 * 390
-    val pipeYear = time {
+    val (pipeYear, pipeYearRuns) = median3 {
       val base = java.nio.file.Files.createTempDirectory("bench_year").toString
       val pipe = new IngestPipeline(spark, s"$base/raw", s"$base/agg", s"$base/rep")
       pipe.runJob(SyntheticSource.bars(spark, Seq("AAPL"),
         1704202200000000000L, yearBars), "bench-year")
     }
     // BASELINE.md: 50 symbols x 390-bar day (<30s)
-    val pipeDay = time {
+    val (pipeDay, pipeDayRuns) = median3 {
       val base = java.nio.file.Files.createTempDirectory("bench_day").toString
       val pipe = new IngestPipeline(spark, s"$base/raw", s"$base/agg", s"$base/rep")
       val syms = (1 to 50).map(i => f"SYM$i%02d")
@@ -56,13 +63,22 @@ object Bench {
         1704202200000000000L, 390), "bench-day")
     }
 
+    val queryTimes = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      name -> time { fn(spark, sfDir).count() }
+    }
+
+    // total counts each workload once (medians), keeping the headline
+    // number comparable across rounds; the _runN keys are extra detail
     val all = queryTimes ++ Seq(
       "pipeline_year_1sym" -> pipeYear, "pipeline_day_50sym" -> pipeDay)
+    val runDetail =
+      pipeYearRuns.zipWithIndex.map { case (v, i) => s"pipeline_year_1sym_run${i + 1}" -> v } ++
+      pipeDayRuns.zipWithIndex.map { case (v, i) => s"pipeline_day_50sym_run${i + 1}" -> v }
     // millisecond precision keeps the line short enough that log captures
     // don't truncate the tail (the full per-query map is the artifact)
     def fmt(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
-    val qs = all.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
+    val qs = (all ++ runDetail).map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
     val total = all.map(_._2).filter(_ >= 0).sum
     val json =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","n_queries":${all.length}}"""

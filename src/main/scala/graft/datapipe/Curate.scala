@@ -1,7 +1,7 @@
 package graft.datapipe
 
 import graft.core.Materialize
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** End-to-end corpus curation — the composition a training-data pipeline
@@ -10,7 +10,9 @@ import org.apache.spark.sql.functions._
   *   1. exact dedup (keep lowest id per normalized content)
   *   2. near-dup removal (n-gram Jaccard pairs -> survivor selection)
   *   3. language filter (marker-based langid ∈ allowed set)
-  *   4. quality floor (composite quality score >= minQuality)
+  *   4. quality stage — either the composite quality-score floor
+  *      (default) or the C4/Gopher-style [[QualityRules]] ruleset
+  *      (set `qualityRuleset`)
   *   5. repetition cap (duplicated-token ratio <= maxDupTokenRatio)
   *   6. PII redaction (transform, not filter)
   *
@@ -27,9 +29,18 @@ object Curate {
       jaccardThreshold: Double = 0.5,
       allowedLangs: Seq[String] = Seq("en"),
       minQuality: Double = 0.3,
-      maxDupTokenRatio: Double = 0.6)
+      maxDupTokenRatio: Double = 0.6,
+      qualityRuleset: Option[QualityRules.Config] = None)
 
-  /** Returns (curated documents with redacted text, stage counts). */
+  /** Returns (curated documents with redacted text, stage counts).
+    *
+    * Stage counts cost THREE jobs total: input, the exact-dedup frontier,
+    * and ONE aggregate over the (frontiered) near-dedup survivors that
+    * computes the cumulative lang/quality/repetition counts — and, on the
+    * ruleset path, every per-rule drop count (`rule:<name>` rows, counted
+    * among language-passing docs) — as conditional sums in a single pass.
+    * The map stages themselves are never re-executed per count.
+    */
   def run(docs: DataFrame, cfg: Config = Config(),
           textCol: String = "text", idCol: String = "doc_id")
       : (DataFrame, DataFrame) = {
@@ -39,31 +50,57 @@ object Curate {
     val input = docs
     // materialize the two frontiers that everything downstream re-reads:
     // exactKeep feeds BOTH the pair generation and the survivor join, and
-    // afterNear feeds four filter stages plus the final redaction — without
-    // this, each stage count() re-executes the (expensive) pairwise stage
+    // afterNear feeds the annotation pass (counts) plus the final
+    // redaction — without this, each action re-executes the (expensive)
+    // pairwise stage
     val afterExact = Materialize.frontier(Dedup.exactKeep(input, textCol, idCol))
     val pairs = Dedup.ngramJaccardPairs(afterExact, cfg.ngramN,
       cfg.jaccardThreshold, textCol = textCol, idCol = idCol)
     val afterNear = Materialize.frontier(Dedup.nearDupKeep(afterExact, pairs, idCol))
-    val afterLang = afterNear.where(
-      TextAnalysis.langId(col(textCol)).isin(cfg.allowedLangs.map(lit): _*))
-    val afterQuality = TextAnalysis.withQuality(afterLang, textCol)
-      .withColumn("quality", TextAnalysis.qualityScore)
-      .where(col("quality") >= cfg.minQuality)
-    val afterRep = TextAnalysis.withRepetition(afterQuality, textCol)
-      .where(col("dup_token_ratio") <= cfg.maxDupTokenRatio)
-    val curated = afterRep
-      .withColumn(textCol, TextAnalysis.redactPii(col(textCol)))
 
-    // one count per stage: each is a cheap agg over an already-built frame
-    val counts = Seq(
+    // annotate every remaining stage as a boolean column (pure map over the
+    // frontier) so counts and the curated filter share one plan
+    val withQuality = cfg.qualityRuleset match {
+      case Some(qcfg) =>
+        QualityRules.annotate(afterNear, qcfg, textCol)
+          .withColumn("__quality_ok", size(col("failed_rules")) === 0)
+      case None =>
+        TextAnalysis.withRepetition(
+            TextAnalysis.withQuality(afterNear, textCol), textCol)
+          .withColumn("quality", TextAnalysis.qualityScore)
+          .withColumn("__quality_ok", col("quality") >= cfg.minQuality)
+    }
+    val annotated = withQuality
+      .withColumn("__lang_ok",
+        TextAnalysis.langId(col(textCol)).isin(cfg.allowedLangs.map(lit): _*))
+      .withColumn("__rep_ok", col("dup_token_ratio") <= cfg.maxDupTokenRatio)
+
+    val keepAll = col("__lang_ok") && col("__quality_ok") && col("__rep_ok")
+    val curated = annotated.where(keepAll)
+      .withColumn(textCol, TextAnalysis.redactPii(col(textCol)))
+      .drop("__lang_ok", "__quality_ok", "__rep_ok", "failed_rules")
+
+    def cnt(pred: Column): Column = sum(when(pred, 1L).otherwise(0L))
+    val ruleNames = cfg.qualityRuleset.toSeq
+      .flatMap(q => QualityRules.rules(q).map(_._1))
+    val stageAggs = Seq(
+      count(lit(1)).as("__near"),
+      cnt(col("__lang_ok")).as("__lang"),
+      cnt(col("__lang_ok") && col("__quality_ok")).as("__quality"),
+      cnt(keepAll).as("__rep")) ++
+      ruleNames.map(r =>
+        cnt(col("__lang_ok") && array_contains(col("failed_rules"), r)).as(r))
+    val row = annotated.agg(stageAggs.head, stageAggs.tail: _*).first()
+
+    val counts = (Seq(
       ("0_input", input.count()),
       ("1_exact_dedup", afterExact.count()),
-      ("2_near_dedup", afterNear.count()),
-      ("3_lang_filter", afterLang.count()),
-      ("4_quality_floor", afterQuality.count()),
-      ("5_repetition_cap", afterRep.count())
-    ).toDF("stage", "n_docs")
+      ("2_near_dedup", row.getAs[Long]("__near")),
+      ("3_lang_filter", row.getAs[Long]("__lang")),
+      ("4_quality_floor", row.getAs[Long]("__quality")),
+      ("5_repetition_cap", row.getAs[Long]("__rep"))
+    ) ++ ruleNames.map(r => (s"rule:$r", row.getAs[Long](r))))
+      .toDF("stage", "n_docs")
     (curated, counts)
   }
 }

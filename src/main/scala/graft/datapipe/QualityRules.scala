@@ -47,14 +47,21 @@ object QualityRules {
       .withColumn("__lines",
         org.apache.spark.sql.functions.split(col(textCol), "\n"))
       .withColumn("n_tokens", size(t).cast("long"))
+      // true mean of token lengths (sum of lengths / n), not the
+      // separator-count approximation — runs of spaces/tabs/CRLF between
+      // tokens don't inflate it
       .withColumn("mean_token_len",
-        (length(trim(col(textCol))) - (col("n_tokens") - 1L)).cast("double") / n)
+        aggregate(t, lit(0L), (acc, x) => acc + length(x).cast("long"))
+          .cast("double") / n)
       .withColumn("stopword_ratio",
         size(filter(t, x => x.isin(TextAnalysis.markers("en").map(lit): _*)))
           .cast("double") / n)
+      // greatest(len,1) guards the empty-document 0/0 (NaN vs
+      // engine-dependent in SQL); an empty doc scores 0.0 deterministically
       .withColumn("symbol_ratio",
-        size(regexp_extract_all(col(textCol), lit("[^A-Za-z0-9\\s]"), lit(0)))
-          .cast("double") / length(col(textCol)).cast("double"))
+        size(regexp_extract_all(col(textCol),
+            lit(s"[^A-Za-z0-9${TextAnalysis.wsClass}]"), lit(0)))
+          .cast("double") / greatest(length(col(textCol)), lit(1)).cast("double"))
       .withColumn("alpha_token_ratio",
         size(filter(t, x => x.rlike("[a-z]"))).cast("double") / n)
       .withColumn("dup_token_ratio",
@@ -92,13 +99,17 @@ object QualityRules {
   }
 
   /** Split into (kept, dropped): dropped rows carry `failed_rules`. Both
-    * sides derive from one annotated plan — Spark scans twice but each
-    * side stays a pure filter (cache/frontier the annotated frame if both
-    * sides feed expensive downstreams).
+    * sides derive from one annotated plan — with `frontier = true` the
+    * annotated frame is materialized once (parquet scratch) so the two
+    * sides don't re-scan/re-tokenize the input; leave it false when only
+    * one side is consumed or the input is cheap to recompute.
     */
   def split(docs: DataFrame, cfg: Config = Config(),
-            textCol: String = "text"): (DataFrame, DataFrame) = {
-    val annotated = annotate(docs, cfg, textCol)
+            textCol: String = "text",
+            frontier: Boolean = false): (DataFrame, DataFrame) = {
+    val annotated0 = annotate(docs, cfg, textCol)
+    val annotated =
+      if (frontier) graft.core.Materialize.frontier(annotated0) else annotated0
     (annotated.where(size(col("failed_rules")) === 0)
        .drop("failed_rules"),
      annotated.where(size(col("failed_rules")) > 0))

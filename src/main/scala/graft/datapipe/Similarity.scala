@@ -1,6 +1,6 @@
 package graft.datapipe
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -149,13 +149,19 @@ object Similarity {
   def ivfCentroids(
       vecs: DataFrame, nlist: Int = 0,
       idCol: String = "vec_id", vecCol: String = "embedding",
-      centroidIdCol: String = "centroid_id"): DataFrame = {
+      centroidIdCol: String = "centroid_id",
+      portable: Boolean = false): DataFrame = {
     val n =
       if (nlist > 0) nlist
       else math.ceil(math.sqrt(vecs.count().toDouble)).toInt
+    // portable = md5-of-id ordering any SQL engine reproduces (oracle
+    // twin); default xxhash64 is the cheaper production hash
+    val h: Column =
+      if (portable) md5(col(centroidIdCol).cast("string").cast("binary"))
+      else xxhash64(col(centroidIdCol))
     vecs
       .select(col(idCol).as(centroidIdCol), col(vecCol))
-      .orderBy(xxhash64(col(centroidIdCol)), col(centroidIdCol))
+      .orderBy(h, col(centroidIdCol))
       .limit(n) // TakeOrderedAndProject: never materializes a full sort
   }
 

@@ -13,8 +13,15 @@ import org.apache.spark.sql.functions._
   */
 object TextAnalysis {
 
+  /** Whitespace class used by every tokenizing regex, written out
+    * explicitly instead of `\s`: Java's `\s` includes vertical tab \x0B,
+    * RE2-family engines' (the DuckDB oracle's) does not — the explicit
+    * class pins identical semantics in both.
+    */
+  val wsClass = " \\t\\n\\r\\f"
+
   /** Whitespace tokenization of normalized text. */
-  def tokens(text: Column): Column = split(lower(trim(text)), "\\s+")
+  def tokens(text: Column): Column = split(lower(trim(text)), s"[$wsClass]+")
 
   /** Token count: whitespace tokens. */
   def tokenCount(text: Column): Column = size(tokens(text))
@@ -24,7 +31,7 @@ object TextAnalysis {
     * subword-model token counts (budgeting, not exact tokenization).
     */
   def tokenCountBpeish(text: Column): Column =
-    size(regexp_extract_all(lower(text), lit("[a-z]{1,4}|[0-9]+|[^a-z0-9\\s]"), lit(0)))
+    size(regexp_extract_all(lower(text), lit(s"[a-z]{1,4}|[0-9]+|[^a-z0-9$wsClass]"), lit(0)))
 
   /** Marker stopwords per language for the n-gram/stopword langid
     * heuristic. Tiny on purpose: broadcast as literals into codegen.
@@ -104,7 +111,7 @@ object TextAnalysis {
     * international phone (+digits form).
     */
   val emailRe = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
-  val urlRe = "https?://[^\\s]+"
+  val urlRe = s"https?://[^$wsClass]+"
   val phoneRe = "\\+[0-9]{7,15}"
 
   /** Per-document PII hit counts — pure map, codegen'd. */

@@ -133,6 +133,17 @@ object DataPipeQueries {
       Similarity.ivfTopK(e, centroids, e.where(col("vec_id") === 0), k = 20, nProbe = 3)
     }),
 
+    // The PRODUCTION IVF path: sqrt(n) centroids via deterministic
+    // hashed-id seeding (portable md5 twin so the oracle reproduces the
+    // seed). Unlike sim3_ivf_topk's every-50th-vector rule (k grows with
+    // n -> n*k assignment work), nlist = ceil(sqrt(n)) keeps assignment
+    // at n*sqrt(n) — the linear-per-query scale shape SCALE.md documents.
+    "sim3_ivf_trained" -> ((s, dir) => {
+      val e = embs(s, dir)
+      val centroids = Similarity.ivfCentroids(e, nlist = 0, portable = true)
+      Similarity.ivfTopK(e, centroids, e.where(col("vec_id") === 0), k = 20, nProbe = 3)
+    }),
+
     // PII scrub: documents ∪ injected PII rows (ids +200000, crafted
     // email/url/phone suffix) -> per-source hit counts + redaction delta.
     "pii_scrub" -> ((s, dir) => {
@@ -212,6 +223,16 @@ object DataPipeQueries {
     "t8_doc_quality_rules" -> ((s, dir) =>
       QualityRules.summary(docs(s, dir))),
 
+    // Row-level keep/drop classification: every document's failed-rule
+    // list (rule order, comma-joined) — hash-checks the split itself, not
+    // just its counts.
+    "t8_doc_quality_split" -> ((s, dir) =>
+      QualityRules.annotate(docs(s, dir))
+        .select(col("doc_id"),
+          array_join(col("failed_rules"), ",").as("failed_rules"),
+          (size(col("failed_rules")) === 0).cast("long").as("kept"))
+        .orderBy("doc_id")),
+
     "t5_bpeish_tokens" -> ((s, dir) =>
       docs(s, dir)
         .groupBy("lang")
@@ -281,7 +302,37 @@ object DataPipeQueries {
       Sampling.tokenBudget(docs(s, dir), budget = 300L)
         .groupBy("source")
         .agg(count(lit(1)).as("n_docs"), sum(col("doc_id")).as("id_sum"))
-        .orderBy("source"))
+        .orderBy("source")),
+
+    // Salted two-phase aggregation over hot keys (3 return flags carry
+    // ~20k rows each at sf0.01): groupBy (key, salt-of-row-hash) splits
+    // every hot key 16 ways before the by-key final — salting is
+    // semantically invisible, so the oracle is the plain GROUP BY.
+    "skew_salted_agg" -> ((s, dir) => {
+      val li = Tables.load(s, dir, "lineitem")
+      Skew.saltedAgg(li, "l_returnflag", salts = 16,
+        partialAggs = Seq(
+          sum(col("l_quantity").cast("decimal(18,4)")).as("p_qty"),
+          count(lit(1)).as("p_n")),
+        finalAggs = Seq(
+          sum(col("p_qty")).cast("double").as("sum_qty"),
+          sum(col("p_n")).as("n_rows")))
+        .orderBy("l_returnflag")
+    }),
+
+    // Salted equi-join: lineitem's suppkey fan-in joins the (small,
+    // replicated-per-salt) supplier dim on (key, salt) — again invariant,
+    // so the oracle is the plain join + GROUP BY.
+    "skew_salted_join" -> ((s, dir) => {
+      val li = Tables.load(s, dir, "lineitem")
+        .select(col("l_suppkey").as("s_suppkey"), col("l_quantity"))
+      val supp = Tables.load(s, dir, "supplier").select("s_suppkey", "s_name")
+      Skew.saltedJoin(li, supp, "s_suppkey", salts = 8)
+        .groupBy("s_name")
+        .agg(count(lit(1)).as("n_items"),
+          sum(col("l_quantity").cast("decimal(18,4)")).cast("double").as("sum_qty"))
+        .orderBy("s_name")
+    })
   )
 
   private val tokCte =
@@ -314,6 +365,50 @@ object DataPipeQueries {
     (0 until 6).map(i =>
       s"(strpos('0123456789abcdef', substr($h, ${i + 1}, 1)) - 1) * ${1L << (4 * (5 - i))}")
       .mkString("(", " + ", ")")
+
+  /** Doc-quality oracle pieces interpolated from the SAME sources of truth
+    * the engine reads — `QualityRules.Config()` thresholds and
+    * `TextAnalysis.markers("en")` — so a config change cannot silently
+    * desync the two sides. (The SQL `\s` is RE2 semantics = the engine's
+    * pinned `TextAnalysis.wsClass`.)
+    */
+  private val qrCfg = QualityRules.Config()
+  private val enStopsSql =
+    TextAnalysis.markers("en").map(w => s"'$w'").mkString("[", ", ", "]")
+  private val qualityMetricsCte =
+    s"""WITH m AS (
+       |  SELECT doc_id, text,
+       |    string_split_regex(lower(trim(text)), '\\s+') AS t,
+       |    string_split(text, chr(10)) AS ln
+       |  FROM documents),
+       |x AS (
+       |  SELECT doc_id,
+       |    len(t) AS n_tokens,
+       |    CAST(list_sum(list_transform(t, x -> length(x))) AS DOUBLE)
+       |      / CAST(len(t) AS DOUBLE) AS mean_token_len,
+       |    CAST(len(list_filter(t, x -> list_contains($enStopsSql, x))) AS DOUBLE)
+       |      / CAST(len(t) AS DOUBLE) AS stopword_ratio,
+       |    CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS DOUBLE)
+       |      / CAST(greatest(length(text), 1) AS DOUBLE) AS symbol_ratio,
+       |    CAST(len(list_filter(t, x -> regexp_matches(x, '[a-z]'))) AS DOUBLE)
+       |      / CAST(len(t) AS DOUBLE) AS alpha_token_ratio,
+       |    1.0 - CAST(len(list_distinct(t)) AS DOUBLE) / CAST(len(t) AS DOUBLE) AS dup_token_ratio,
+       |    1.0 - CAST(len(list_distinct(ln)) AS DOUBLE) / CAST(len(ln) AS DOUBLE) AS dup_line_ratio
+       |  FROM m)""".stripMargin
+
+  /** rule name -> SQL predicate, mirroring `QualityRules.rules()` row for
+    * row (same names, same order, thresholds interpolated).
+    */
+  private val qualityRuleSql: Seq[(String, String)] = Seq(
+    "too_few_tokens" -> s"n_tokens < ${qrCfg.minTokens}",
+    "too_many_tokens" -> s"n_tokens > ${qrCfg.maxTokens}",
+    "mean_token_len_out_of_range" ->
+      s"NOT (mean_token_len BETWEEN ${qrCfg.meanTokenLenMin} AND ${qrCfg.meanTokenLenMax})",
+    "low_stopword_ratio" -> s"stopword_ratio < ${qrCfg.minStopwordRatio}",
+    "high_symbol_ratio" -> s"symbol_ratio > ${qrCfg.maxSymbolRatio}",
+    "high_dup_token_ratio" -> s"dup_token_ratio > ${qrCfg.maxDupTokenRatio}",
+    "high_dup_line_ratio" -> s"dup_line_ratio > ${qrCfg.maxDupLineRatio}",
+    "low_alpha_token_ratio" -> s"alpha_token_ratio < ${qrCfg.minAlphaTokenRatio}")
 
   def oracles: Map[String, String] = Map(
     "d1_dedup_exact" ->
@@ -520,6 +615,46 @@ object DataPipeQueries {
          |         / (sqrt(${dotD("a.q", "a.q")}) * sqrt(${dotD("qy", "qy")})) AS cosine
          |FROM assigned a JOIN probes USING (centroid_id) CROSS JOIN qq
          |ORDER BY cosine DESC, a.vec_id LIMIT 20""".stripMargin,
+    "sim3_ivf_trained" ->
+      s"""WITH $quantCte,
+         |cents AS (
+         |  SELECT vec_id AS centroid_id, q AS qc FROM (
+         |    SELECT vec_id, q,
+         |           row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn,
+         |           count(*) OVER () AS nv
+         |    FROM qv)
+         |  WHERE rn <= CAST(ceil(sqrt(CAST(nv AS DOUBLE))) AS BIGINT)),
+         |qq AS (SELECT q AS qy FROM qv WHERE vec_id = 0),
+         |ac AS (
+         |  SELECT v.vec_id, c.centroid_id, v.q,
+         |         ${dotD("v.q", "c.qc")}
+         |           / (sqrt(${dotD("v.q", "v.q")}) * sqrt(${dotD("c.qc", "c.qc")})) AS cosine
+         |  FROM qv v CROSS JOIN cents c),
+         |assigned AS (
+         |  SELECT vec_id, centroid_id, q FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cosine DESC, centroid_id) AS rn
+         |    FROM ac)
+         |  WHERE rn = 1),
+         |probes AS (
+         |  SELECT centroid_id FROM cents CROSS JOIN qq
+         |  ORDER BY ${dotD("qc", "qy")} / (sqrt(${dotD("qc", "qc")}) * sqrt(${dotD("qy", "qy")})) DESC,
+         |           centroid_id
+         |  LIMIT 3)
+         |SELECT a.vec_id, a.centroid_id,
+         |       ${dotD("a.q", "qy")}
+         |         / (sqrt(${dotD("a.q", "a.q")}) * sqrt(${dotD("qy", "qy")})) AS cosine
+         |FROM assigned a JOIN probes USING (centroid_id) CROSS JOIN qq
+         |ORDER BY cosine DESC, a.vec_id LIMIT 20""".stripMargin,
+    "skew_salted_agg" ->
+      """SELECT l_returnflag,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+        |  count(*) AS n_rows
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "skew_salted_join" ->
+      """SELECT s_name, count(*) AS n_items,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+        |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |GROUP BY s_name ORDER BY s_name""".stripMargin,
     "pii_scrub" ->
       """WITH base AS (
         |  SELECT doc_id, source, text FROM documents
@@ -662,43 +797,33 @@ object DataPipeQueries {
          |SELECT centroid_id, CAST(pos AS BIGINT) AS pos,
          |       CAST(sum(v) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mean_q
          |FROM pe GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
-    "t8_doc_quality_rules" ->
-      """WITH m AS (
-        |  SELECT text,
-        |    string_split_regex(lower(trim(text)), '\s+') AS t,
-        |    string_split(text, chr(10)) AS ln
-        |  FROM documents),
-        |x AS (
-        |  SELECT
-        |    len(t) AS n_tokens,
-        |    CAST(length(trim(text)) - (len(t) - 1) AS DOUBLE) / CAST(len(t) AS DOUBLE) AS mean_token_len,
-        |    CAST(len(list_filter(t, x -> list_contains(['the','a','of','and','to'], x))) AS DOUBLE)
-        |      / CAST(len(t) AS DOUBLE) AS stopword_ratio,
-        |    CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS DOUBLE)
-        |      / CAST(length(text) AS DOUBLE) AS symbol_ratio,
-        |    CAST(len(list_filter(t, x -> regexp_matches(x, '[a-z]'))) AS DOUBLE)
-        |      / CAST(len(t) AS DOUBLE) AS alpha_token_ratio,
-        |    1.0 - CAST(len(list_distinct(t)) AS DOUBLE) / CAST(len(t) AS DOUBLE) AS dup_token_ratio,
-        |    1.0 - CAST(len(list_distinct(ln)) AS DOUBLE) / CAST(len(ln) AS DOUBLE) AS dup_line_ratio
-        |  FROM m)
-        |SELECT
-        |  CAST(sum(CASE WHEN n_tokens < 20 THEN 1 ELSE 0 END) AS BIGINT) AS too_few_tokens,
-        |  CAST(sum(CASE WHEN n_tokens > 100000 THEN 1 ELSE 0 END) AS BIGINT) AS too_many_tokens,
-        |  CAST(sum(CASE WHEN NOT (mean_token_len BETWEEN 3.0 AND 10.0) THEN 1 ELSE 0 END) AS BIGINT) AS mean_token_len_out_of_range,
-        |  CAST(sum(CASE WHEN stopword_ratio < 0.02 THEN 1 ELSE 0 END) AS BIGINT) AS low_stopword_ratio,
-        |  CAST(sum(CASE WHEN symbol_ratio > 0.10 THEN 1 ELSE 0 END) AS BIGINT) AS high_symbol_ratio,
-        |  CAST(sum(CASE WHEN dup_token_ratio > 0.55 THEN 1 ELSE 0 END) AS BIGINT) AS high_dup_token_ratio,
-        |  CAST(sum(CASE WHEN dup_line_ratio > 0.30 THEN 1 ELSE 0 END) AS BIGINT) AS high_dup_line_ratio,
-        |  CAST(sum(CASE WHEN alpha_token_ratio < 0.80 THEN 1 ELSE 0 END) AS BIGINT) AS low_alpha_token_ratio,
-        |  CAST(sum(CASE WHEN NOT coalesce(
-        |         n_tokens < 20 OR n_tokens > 100000
-        |         OR NOT (mean_token_len BETWEEN 3.0 AND 10.0)
-        |         OR stopword_ratio < 0.02 OR symbol_ratio > 0.10
-        |         OR dup_token_ratio > 0.55 OR dup_line_ratio > 0.30
-        |         OR alpha_token_ratio < 0.80, false)
-        |       THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
-        |  count(*) AS n_total
-        |FROM x""".stripMargin,
+    "t8_doc_quality_rules" -> {
+      val perRule = qualityRuleSql.map { case (name, pred) =>
+        s"  CAST(sum(CASE WHEN $pred THEN 1 ELSE 0 END) AS BIGINT) AS $name"
+      }.mkString(",\n")
+      val anyFail = qualityRuleSql.map(_._2).mkString("(", ") OR (", ")")
+      s"""$qualityMetricsCte
+         |SELECT
+         |$perRule,
+         |  CAST(sum(CASE WHEN NOT coalesce($anyFail, false)
+         |       THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         |  count(*) AS n_total
+         |FROM x""".stripMargin
+    },
+    "t8_doc_quality_split" -> {
+      val reasonArgs = qualityRuleSql.map { case (name, pred) =>
+        s"CASE WHEN $pred THEN '$name' END"
+      }.mkString(",\n           ")
+      s"""$qualityMetricsCte
+         |SELECT doc_id, failed_rules,
+         |       CAST(CASE WHEN failed_rules = '' THEN 1 ELSE 0 END AS BIGINT) AS kept
+         |FROM (
+         |  SELECT doc_id,
+         |         concat_ws(',',
+         |           $reasonArgs) AS failed_rules
+         |  FROM x)
+         |ORDER BY doc_id""".stripMargin
+    },
     "t1_text_quality" ->
       s"""$tokCte,
          |q AS (

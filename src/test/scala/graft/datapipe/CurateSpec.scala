@@ -30,4 +30,32 @@ class CurateSpec extends SparkSpec {
       .select("text").first().getString(0)
     assert(redacted.contains("<EMAIL>") && !redacted.contains("jane@corp.com"))
   }
+
+  test("ruleset quality stage: config-selectable, per-rule drop counts") {
+    val s = spark; import s.implicits._
+    // 24 tokens, prose-shaped: passes every QualityRules default threshold
+    val clean = "the quick brown fox jumps over a lazy dog and runs " +
+      "of to the big field where many other animals play games all day long"
+    val docs = Seq(
+      (1L, clean),                                          // keeps
+      (2L, clean),                                          // exact dup of 1
+      (3L, "der hund und die katze und das haus und der garten und nicht mehr"), // german
+      (4L, "the " + ("spam " * 30).trim),                   // en, degenerate repetition
+      (5L, "the cat sat on a mat")                          // en, too few tokens
+    ).toDF("doc_id", "text")
+    val cfg = Curate.Config(qualityRuleset = Some(QualityRules.Config()))
+    val (curated, counts) = Curate.run(docs, cfg)
+    val c = counts.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(c("0_input") == 5L)
+    assert(c("1_exact_dedup") == 4L)   // doc 2 dropped
+    assert(c("2_near_dedup") == 4L)
+    assert(c("3_lang_filter") == 3L)   // doc 3 dropped
+    assert(c("4_quality_floor") == 1L) // docs 4 and 5 fail the ruleset
+    assert(c("5_repetition_cap") == 1L)
+    // per-rule drop counts (among language-passing docs) are in the report
+    assert(c("rule:high_dup_token_ratio") == 1L) // doc 4
+    assert(c("rule:too_few_tokens") == 1L)       // doc 5
+    assert(c("rule:too_many_tokens") == 0L)
+    assert(curated.collect().map(_.getAs[Long]("doc_id")).toSet == Set(1L))
+  }
 }

@@ -76,6 +76,37 @@ class SamplingSpec extends SparkSpec {
       .select("source").collect().map(_.getString(0)).contains("src9"))
   }
 
+  test("property: sample/mixture/shards identical under repartition(1) vs (64)") {
+    // the core determinism claim the sampling design rests on: membership
+    // is a pure function of (seed, id) — NEVER of partition layout.
+    // ScalaCheck draws (seed, fraction, weight) combos; each is checked at
+    // the two extreme layouts.
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val comboGen = for {
+      seed <- Gen.choose(0L, 1000000L)
+      frac <- Gen.choose(0.05, 0.95)
+      w0 <- Gen.choose(0.5, 8.0)
+      w1 <- Gen.choose(0.5, 8.0)
+      shards <- Gen.choose(2, 32)
+    } yield (seed, frac, w0, w1, shards)
+    val d1 = docs.repartition(1)
+    val d64 = docs.repartition(64)
+    (1 to 6).foreach { trial =>
+      val (seed, frac, w0, w1, shards) =
+        comboGen(Gen.Parameters.default, Seed(trial.toLong)).get
+      assert(ids(Sampling.sample(d1, frac, seed)) ==
+        ids(Sampling.sample(d64, frac, seed)), s"sample trial $trial")
+      val weights = Map("src0" -> w0, "src1" -> w1, "src2" -> 1.0)
+      assert(ids(Sampling.mixture(d1, weights, seed = seed)) ==
+        ids(Sampling.mixture(d64, weights, seed = seed)), s"mixture trial $trial")
+      def shardMap(df: org.apache.spark.sql.DataFrame) =
+        Sampling.assignShards(df, shards, seed).select("doc_id", "shard")
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(shardMap(d1) == shardMap(d64), s"shards trial $trial")
+    }
+  }
+
   test("tokenBudget: exact ordered prefix per stratum; approx twin tracks mass") {
     val s = spark; import s.implicits._
     // doc i has exactly i+1 tokens; budget 10 per source keeps the prefix
