@@ -42,9 +42,13 @@ object Bench {
     // GC/temp-FS state) — isolated repeated runs make the headline
     // BASELINE.md comparison robust to that. Individual runs are kept in
     // the artifact as _runN keys for drift diagnosis.
+    // median over the SUCCESSFUL runs only (time() marks a failed run
+    // -1.0): a failure must not drag the "median" down to the fastest
+    // success. No successes -> -1.0; failures stay visible in the runs map.
     def median3(f: => Unit): (Double, Seq[Double]) = {
       val runs = Seq.fill(3)(time(f))
-      (runs.sorted.apply(1), runs)
+      val ok = runs.filter(_ >= 0).sorted
+      (if (ok.isEmpty) -1.0 else ok(ok.size / 2), runs)
     }
     // BASELINE.md: ingest+aggregate 1 symbol x full trading year (<60s)
     val yearBars = 252 * 390
@@ -78,10 +82,14 @@ object Bench {
     // don't truncate the tail (the full per-query map is the artifact)
     def fmt(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
-    val qs = (all ++ runDetail).map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
+    // per-query map holds ONLY real workload keys (round-over-round diffs
+    // iterate it); the individual pipeline repetitions live in a sibling
+    // "runs" object
+    def obj(kvs: Seq[(String, Double)]): String =
+      kvs.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
     val total = all.map(_._2).filter(_ >= 0).sum
     val json =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","n_queries":${all.length}}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${obj(all)},"runs":${obj(runDetail)},"sf":"$sfDir","n_queries":${all.length}}"""
     println(json)
     // ALSO write the full JSON to a committed artifact: log captures have
     // truncated the stdout tail two rounds running, making the per-query

@@ -60,7 +60,20 @@ object Curate {
 
     // annotate every remaining stage as a boolean column (pure map over the
     // frontier) so counts and the curated filter share one plan
-    val withQuality = cfg.qualityRuleset match {
+    val ruleset = cfg.qualityRuleset.map { qcfg0 =>
+      // the ruleset's stopword rule is language-specific: if the caller
+      // widened allowedLangs but left the default English stopword list,
+      // widen the list to the allowed languages' markers — otherwise every
+      // non-English doc that passed the lang filter fails
+      // low_stopword_ratio and the multilingual corpus silently collapses
+      // to English
+      if (qcfg0.stopwords == TextAnalysis.markers("en") &&
+          cfg.allowedLangs != Seq("en"))
+        qcfg0.copy(stopwords = cfg.allowedLangs
+          .flatMap(l => TextAnalysis.markers.getOrElse(l, Nil)).distinct)
+      else qcfg0
+    }
+    val withQuality = ruleset match {
       case Some(qcfg) =>
         QualityRules.annotate(afterNear, qcfg, textCol)
           .withColumn("__quality_ok", size(col("failed_rules")) === 0)
@@ -70,10 +83,15 @@ object Curate {
           .withColumn("quality", TextAnalysis.qualityScore)
           .withColumn("__quality_ok", col("quality") >= cfg.minQuality)
     }
+    // on the ruleset path the repetition cap follows the ruleset's own
+    // dup-token threshold (the rule already enforces it inside
+    // __quality_ok, so stage 5 never drops below stage 4 there) — using
+    // cfg.maxDupTokenRatio would silently re-tighten a loosened ruleset
+    val repCap = ruleset.map(_.maxDupTokenRatio).getOrElse(cfg.maxDupTokenRatio)
     val annotated = withQuality
       .withColumn("__lang_ok",
         TextAnalysis.langId(col(textCol)).isin(cfg.allowedLangs.map(lit): _*))
-      .withColumn("__rep_ok", col("dup_token_ratio") <= cfg.maxDupTokenRatio)
+      .withColumn("__rep_ok", col("dup_token_ratio") <= repCap)
 
     val keepAll = col("__lang_ok") && col("__quality_ok") && col("__rep_ok")
     val curated = annotated.where(keepAll)

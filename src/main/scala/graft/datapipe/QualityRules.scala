@@ -21,6 +21,11 @@ object QualityRules {
   /** Thresholds, defaulted to the published heuristic ranges (Gopher
     * token-count and mean-word-length bounds, C4-style symbol and
     * repetition caps) scaled to short synthetic fixtures.
+    *
+    * `stopwords` backs the prose-likeness rule and is LANGUAGE-SPECIFIC
+    * (default: the English marker list) — a multilingual corpus must
+    * supply the union of its languages' lists or nearly every non-English
+    * document fails `low_stopword_ratio`.
     */
   case class Config(
       minTokens: Long = 20L,
@@ -31,7 +36,8 @@ object QualityRules {
       maxSymbolRatio: Double = 0.10,
       maxDupTokenRatio: Double = 0.55,
       maxDupLineRatio: Double = 0.30,
-      minAlphaTokenRatio: Double = 0.80)
+      minAlphaTokenRatio: Double = 0.80,
+      stopwords: Seq[String] = TextAnalysis.markers("en"))
 
   /** Attach the per-document metric columns the rules test. One
     * tokenization pass (`__toks` intermediate — CollapseProject does not
@@ -39,7 +45,8 @@ object QualityRules {
     * what keeps this single-evaluation); every ratio is an exact-integer
     * count divided once, so any engine reproduces the doubles bit-for-bit.
     */
-  def withMetrics(docs: DataFrame, textCol: String = "text"): DataFrame = {
+  def withMetrics(docs: DataFrame, textCol: String = "text",
+                  stopwords: Seq[String] = TextAnalysis.markers("en")): DataFrame = {
     val t = col("__toks")
     val n = col("n_tokens").cast("double")
     docs
@@ -54,7 +61,7 @@ object QualityRules {
         aggregate(t, lit(0L), (acc, x) => acc + length(x).cast("long"))
           .cast("double") / n)
       .withColumn("stopword_ratio",
-        size(filter(t, x => x.isin(TextAnalysis.markers("en").map(lit): _*)))
+        size(filter(t, x => x.isin(stopwords.map(lit): _*)))
           .cast("double") / n)
       // greatest(len,1) guards the empty-document 0/0 (NaN vs
       // engine-dependent in SQL); an empty doc scores 0.0 deterministically
@@ -94,7 +101,7 @@ object QualityRules {
     val reasons = array(rules(cfg).map { case (name, pred) =>
       when(pred, lit(name)).otherwise(lit(null).cast("string"))
     }: _*)
-    withMetrics(docs, textCol)
+    withMetrics(docs, textCol, cfg.stopwords)
       .withColumn("failed_rules", filter(reasons, _.isNotNull))
   }
 
@@ -129,6 +136,7 @@ object QualityRules {
     val totals = Seq(
       sum(when(!coalesce(anyFail, lit(false)), 1L).otherwise(0L)).as("n_kept"),
       count(lit(1)).as("n_total"))
-    withMetrics(docs, textCol).agg(perRule.head, (perRule.tail ++ totals): _*)
+    withMetrics(docs, textCol, cfg.stopwords)
+      .agg(perRule.head, (perRule.tail ++ totals): _*)
   }
 }

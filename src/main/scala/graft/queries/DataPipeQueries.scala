@@ -374,7 +374,7 @@ object DataPipeQueries {
     */
   private val qrCfg = QualityRules.Config()
   private val enStopsSql =
-    TextAnalysis.markers("en").map(w => s"'$w'").mkString("[", ", ", "]")
+    qrCfg.stopwords.map(w => s"'$w'").mkString("[", ", ", "]")
   private val qualityMetricsCte =
     s"""WITH m AS (
        |  SELECT doc_id, text,

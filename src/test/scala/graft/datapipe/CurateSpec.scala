@@ -58,4 +58,24 @@ class CurateSpec extends SparkSpec {
     assert(c("rule:too_many_tokens") == 0L)
     assert(curated.collect().map(_.getAs[Long]("doc_id")).toSet == Set(1L))
   }
+
+  test("multilingual ruleset: widened allowedLangs widens the stopword rule") {
+    val s = spark; import s.implicits._
+    val en = "the quick brown fox jumps over a lazy dog and runs " +
+      "of to the big field where many other animals play games all day long"
+    val de = "der hund und die katze gehen nicht in das haus weil der garten " +
+      "und die sonne so warm sind und alle sich dort gerne lange treffen"
+    val docs = Seq((1L, en), (2L, de)).toDF("doc_id", "text")
+    val cfg = Curate.Config(allowedLangs = Seq("en", "de"),
+      qualityRuleset = Some(QualityRules.Config()))
+    val (curated, _) = Curate.run(docs, cfg)
+    // the German doc passes the lang filter AND the (auto-widened)
+    // stopword rule — with the English-only default list it would fail
+    // low_stopword_ratio and silently vanish
+    assert(curated.collect().map(_.getAs[Long]("doc_id")).toSet == Set(1L, 2L))
+    // an explicit custom stopword list is respected, not overridden
+    val strict = Curate.Config(allowedLangs = Seq("en", "de"),
+      qualityRuleset = Some(QualityRules.Config(stopwords = Seq("zzz"))))
+    assert(Curate.run(docs, strict)._1.count() == 0L)
+  }
 }

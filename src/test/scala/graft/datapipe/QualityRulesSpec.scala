@@ -62,6 +62,18 @@ class QualityRulesSpec extends SparkSpec {
     assert(!plan.contains("Exchange"), s"annotate must not shuffle:\n$plan")
   }
 
+  test("split with frontier=true materializes once and matches the lazy split") {
+    val (k1, d1) = QualityRules.split(fixture)
+    val (k2, d2) = QualityRules.split(fixture, frontier = true)
+    assert(k2.select("doc_id").collect().map(_.getLong(0)).toSet ==
+      k1.select("doc_id").collect().map(_.getLong(0)).toSet)
+    assert(d2.count() == d1.count())
+    // the frontiered sides read a materialized scan, not the original plan
+    val plan = k2.queryExecution.executedPlan.toString
+    assert(!plan.contains("regexp_extract_all"),
+      s"frontiered side must not re-tokenize:\n$plan")
+  }
+
   test("thresholds are configurable") {
     val strict = QualityRules.Config(minTokens = 1000L)
     val (kept, _) = QualityRules.split(fixture, strict)
