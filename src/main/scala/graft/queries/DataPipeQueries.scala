@@ -183,6 +183,21 @@ object DataPipeQueries {
         .orderBy("stage")
     }),
 
+    // The same composition with the C4/Gopher ruleset as the quality
+    // stage: per-stage counts PLUS per-rule drop counts (among
+    // language-passing docs) plus the survivor id-sum — the ruleset path
+    // hash-checked end-to-end, not just spec-covered.
+    "curate_ruleset_pipeline" -> ((s, dir) => {
+      import s.implicits._
+      val input = docsWithNearDups(s, dir)
+        .where(col("doc_id") < 1200 || col("doc_id") >= 100000)
+      val cfg = Curate.Config(qualityRuleset = Some(QualityRules.Config()))
+      val (curated, counts) = Curate.run(input, cfg)
+      val idSum = curated.agg(coalesce(sum(col("doc_id")), lit(0L))).first().getLong(0)
+      counts.unionByName(Seq(("6_curated_id_sum", idSum)).toDF("stage", "n_docs"))
+        .orderBy("stage")
+    }),
+
     // One-scan column profiler over orders (columns chosen so min/max
     // string renderings are engine-stable: integers, timestamps, chars).
     // exactDistinct: the DuckDB oracle computes exact cardinalities; the
@@ -375,15 +390,10 @@ object DataPipeQueries {
   private val qrCfg = QualityRules.Config()
   private val enStopsSql =
     qrCfg.stopwords.map(w => s"'$w'").mkString("[", ", ", "]")
-  private val qualityMetricsCte =
-    s"""WITH m AS (
-       |  SELECT doc_id, text,
-       |    string_split_regex(lower(trim(text)), '\\s+') AS t,
-       |    string_split(text, chr(10)) AS ln
-       |  FROM documents),
-       |x AS (
-       |  SELECT doc_id,
-       |    len(t) AS n_tokens,
+
+  /** Metric SELECT body over a relation exposing (doc_id, text, t, ln). */
+  private val qualityMetricExprs =
+    s"""len(t) AS n_tokens,
        |    CAST(list_sum(list_transform(t, x -> length(x))) AS DOUBLE)
        |      / CAST(len(t) AS DOUBLE) AS mean_token_len,
        |    CAST(len(list_filter(t, x -> list_contains($enStopsSql, x))) AS DOUBLE)
@@ -393,8 +403,61 @@ object DataPipeQueries {
        |    CAST(len(list_filter(t, x -> regexp_matches(x, '[a-z]'))) AS DOUBLE)
        |      / CAST(len(t) AS DOUBLE) AS alpha_token_ratio,
        |    1.0 - CAST(len(list_distinct(t)) AS DOUBLE) / CAST(len(t) AS DOUBLE) AS dup_token_ratio,
-       |    1.0 - CAST(len(list_distinct(ln)) AS DOUBLE) / CAST(len(ln) AS DOUBLE) AS dup_line_ratio
+       |    1.0 - CAST(len(list_distinct(ln)) AS DOUBLE) / CAST(len(ln) AS DOUBLE) AS dup_line_ratio""".stripMargin
+
+  private val qualityMetricsCte =
+    s"""WITH m AS (
+       |  SELECT doc_id, text,
+       |    string_split_regex(lower(trim(text)), '\\s+') AS t,
+       |    string_split(text, chr(10)) AS ln
+       |  FROM documents),
+       |x AS (
+       |  SELECT doc_id,
+       |    $qualityMetricExprs
        |  FROM m)""".stripMargin
+
+  /** Shared curation-corpus CTE chain (input slice -> exact dedup ->
+    * near-dup removal -> language filter), used by both curate oracles.
+    */
+  private val curateBaseCtes =
+    s"""$nearDupCte,
+       |cin AS (SELECT * FROM base WHERE doc_id < 1200 OR doc_id >= 100000),
+       |norm AS (SELECT doc_id, text, md5(lower(trim(text))) AS h FROM cin),
+       |exact AS (
+       |  SELECT doc_id, text FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY h ORDER BY doc_id) AS rn
+       |    FROM norm) WHERE rn = 1),
+       |csh AS (
+       |  SELECT DISTINCT doc_id,
+       |         concat_ws(' ', t[i], t[i+1], t[i+2]) AS shingle
+       |  FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t
+       |        FROM exact)
+       |  CROSS JOIN LATERAL (SELECT unnest(generate_series(1, len(t) - 2)) AS i)
+       |  WHERE len(t) >= 3),
+       |csizes AS (SELECT doc_id, count(*) AS set_size FROM csh GROUP BY doc_id),
+       |cinter AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+       |  FROM csh a JOIN csh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |cpairs AS (
+       |  SELECT id_a, id_b FROM cinter
+       |  JOIN csizes sa ON sa.doc_id = id_a
+       |  JOIN csizes sb ON sb.doc_id = id_b
+       |  WHERE CAST(n_common AS DOUBLE) / CAST(sa.set_size + sb.set_size - n_common AS DOUBLE) >= 0.5),
+       |nd AS (SELECT * FROM exact WHERE doc_id NOT IN (SELECT id_b FROM cpairs)),
+       |ctoks AS (
+       |  SELECT doc_id, text, string_split_regex(lower(trim(text)), '\\s+') AS t FROM nd),
+       |cscores AS (
+       |  SELECT *,
+       |    len(list_filter(t, x -> list_contains(['the','a','of','and','to'], x))) AS s_en,
+       |    len(list_filter(t, x -> list_contains(['der','die','das','und','nicht'], x))) AS s_de,
+       |    len(list_filter(t, x -> list_contains(['el','la','los','y','de'], x))) AS s_es,
+       |    len(list_filter(t, x -> list_contains(['le','la','les','et','des'], x))) AS s_fr,
+       |    len(list_filter(t, x -> list_contains(['de5','shi4','le5','zai4','he2'], x))) AS s_zh
+       |  FROM ctoks),
+       |langed AS (
+       |  SELECT doc_id, text, t FROM cscores
+       |  WHERE s_en = greatest(s_en, s_de, s_es, s_fr, s_zh) AND s_en > 0)""".stripMargin
 
   /** rule name -> SQL predicate, mirroring `QualityRules.rules()` row for
     * row (same names, same order, thresholds interpolated).
@@ -681,44 +744,7 @@ object DataPipeQueries {
         |       CAST(sum(d) AS BIGINT) AS len_delta
         |FROM c GROUP BY source ORDER BY source""".stripMargin,
     "curate_pipeline" ->
-      s"""$nearDupCte,
-         |cin AS (SELECT * FROM base WHERE doc_id < 1200 OR doc_id >= 100000),
-         |norm AS (SELECT doc_id, text, md5(lower(trim(text))) AS h FROM cin),
-         |exact AS (
-         |  SELECT doc_id, text FROM (
-         |    SELECT *, row_number() OVER (PARTITION BY h ORDER BY doc_id) AS rn
-         |    FROM norm) WHERE rn = 1),
-         |csh AS (
-         |  SELECT DISTINCT doc_id,
-         |         concat_ws(' ', t[i], t[i+1], t[i+2]) AS shingle
-         |  FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t
-         |        FROM exact)
-         |  CROSS JOIN LATERAL (SELECT unnest(generate_series(1, len(t) - 2)) AS i)
-         |  WHERE len(t) >= 3),
-         |csizes AS (SELECT doc_id, count(*) AS set_size FROM csh GROUP BY doc_id),
-         |cinter AS (
-         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
-         |  FROM csh a JOIN csh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-         |  GROUP BY 1, 2),
-         |cpairs AS (
-         |  SELECT id_a, id_b FROM cinter
-         |  JOIN csizes sa ON sa.doc_id = id_a
-         |  JOIN csizes sb ON sb.doc_id = id_b
-         |  WHERE CAST(n_common AS DOUBLE) / CAST(sa.set_size + sb.set_size - n_common AS DOUBLE) >= 0.5),
-         |nd AS (SELECT * FROM exact WHERE doc_id NOT IN (SELECT id_b FROM cpairs)),
-         |ctoks AS (
-         |  SELECT doc_id, text, string_split_regex(lower(trim(text)), '\\s+') AS t FROM nd),
-         |cscores AS (
-         |  SELECT *,
-         |    len(list_filter(t, x -> list_contains(['the','a','of','and','to'], x))) AS s_en,
-         |    len(list_filter(t, x -> list_contains(['der','die','das','und','nicht'], x))) AS s_de,
-         |    len(list_filter(t, x -> list_contains(['el','la','los','y','de'], x))) AS s_es,
-         |    len(list_filter(t, x -> list_contains(['le','la','les','et','des'], x))) AS s_fr,
-         |    len(list_filter(t, x -> list_contains(['de5','shi4','le5','zai4','he2'], x))) AS s_zh
-         |  FROM ctoks),
-         |langed AS (
-         |  SELECT doc_id, text, t FROM cscores
-         |  WHERE s_en = greatest(s_en, s_de, s_es, s_fr, s_zh) AND s_en > 0),
+      s"""$curateBaseCtes,
          |cq AS (
          |  SELECT doc_id, text, t,
          |    CAST(len(list_distinct(t)) AS DOUBLE) / CAST(len(t) AS DOUBLE) AS unique_ratio,
@@ -744,6 +770,30 @@ object DataPipeQueries {
          |  UNION ALL SELECT '5_repetition_cap', count(*) FROM crep
          |  UNION ALL SELECT '6_curated_id_sum', coalesce(sum(doc_id), 0) FROM crep)
          |ORDER BY stage""".stripMargin,
+    "curate_ruleset_pipeline" -> {
+      val perRuleRows = qualityRuleSql.map { case (name, pred) =>
+        s"  UNION ALL SELECT 'rule:$name', count(*) FILTER (WHERE $pred) FROM xr"
+      }.mkString("\n")
+      val anyFail = qualityRuleSql.map(_._2).mkString("(", ") OR (", ")")
+      s"""$curateBaseCtes,
+         |mr AS (
+         |  SELECT doc_id, text, t, string_split(text, chr(10)) AS ln FROM langed),
+         |xr AS (
+         |  SELECT doc_id,
+         |    $qualityMetricExprs
+         |  FROM mr),
+         |pass AS (SELECT doc_id FROM xr WHERE NOT coalesce($anyFail, false))
+         |SELECT stage, CAST(n_docs AS BIGINT) AS n_docs FROM (
+         |  SELECT '0_input' AS stage, count(*) AS n_docs FROM cin
+         |  UNION ALL SELECT '1_exact_dedup', count(*) FROM exact
+         |  UNION ALL SELECT '2_near_dedup', count(*) FROM nd
+         |  UNION ALL SELECT '3_lang_filter', count(*) FROM langed
+         |  UNION ALL SELECT '4_quality_floor', count(*) FROM pass
+         |  UNION ALL SELECT '5_repetition_cap', count(*) FROM pass
+         |  UNION ALL SELECT '6_curated_id_sum', coalesce(sum(doc_id), 0) FROM pass
+         |$perRuleRows)
+         |ORDER BY stage""".stripMargin
+    },
     "prof_column_profile" -> {
       def prof(c: String, dtype: String, numeric: Boolean): String = {
         val mean =
