@@ -319,6 +319,42 @@ object DataPipeQueries {
         .agg(count(lit(1)).as("n_docs"), sum(col("doc_id")).as("id_sum"))
         .orderBy("source")),
 
+    // The sort-free 100 TB twin: expected-mass hash sample per source
+    // (one aggregate + broadcast thresholds + map filter — no window).
+    "smp5_token_budget_approx" -> ((s, dir) =>
+      Sampling.tokenBudgetApprox(docs(s, dir), budget = 2000L, seed = 3L)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum(col("doc_id")).as("id_sum"))
+        .orderBy("source")),
+
+    // Streaming document intake: documents ∪ injected exact copies arrive
+    // as one stream; dedup-within-watermark keeps one survivor per raw
+    // text, the quality ruleset filters, and the sink is summarized by
+    // text-derived values only (n_kept / token sum — invariant to WHICH
+    // copy of a duplicate survives, which arrival order doesn't fix).
+    "stream_doc_curate" -> ((s, dir) => {
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val base = docs(s, dir).select("doc_id", "text")
+      val withCopies = base.unionByName(base.where(col("doc_id") < 50)
+        .select((col("doc_id") + 100000L).as("doc_id"), col("text")))
+      val mem = MemoryStream[(Long, String)]
+      mem.addData(withCopies.collect().map(r => (r.getLong(0), r.getString(1))).toSeq)
+      val stream = mem.toDF().toDF("doc_id", "text")
+        .withColumn("ingest_ts",
+          timestamp_micros(lit(1704202200000000L) + col("doc_id")))
+      val out = graft.streaming.StreamingDocs.curateStream(
+        stream, QualityRules.Config(), normalizeKey = false)
+      val ckpt = java.nio.file.Files.createTempDirectory("graft_sdc_ckpt").toString
+      val q = out.writeStream.format("memory").queryName("stream_doc_sink")
+        .outputMode("append").option("checkpointLocation", ckpt).start()
+      try q.processAllAvailable() finally q.stop()
+      s.sql("""SELECT CAST(count(*) AS BIGINT) AS n_kept,
+              |       CAST(sum(n_tokens) AS BIGINT) AS kept_tokens
+              |FROM stream_doc_sink""".stripMargin)
+    }),
+
     // Salted two-phase aggregation over hot keys (3 return flags carry
     // ~20k rows each at sf0.01): groupBy (key, salt-of-row-hash) splits
     // every hot key 16 ways before the by-key final — salting is
@@ -708,6 +744,26 @@ object DataPipeQueries {
          |         / (sqrt(${dotD("a.q", "a.q")}) * sqrt(${dotD("qy", "qy")})) AS cosine
          |FROM assigned a JOIN probes USING (centroid_id) CROSS JOIN qq
          |ORDER BY cosine DESC, a.vec_id LIMIT 20""".stripMargin,
+    "stream_doc_curate" -> {
+      val anyFail = qualityRuleSql.map(_._2).mkString("(", ") OR (", ")")
+      s"""WITH inp AS (
+         |  SELECT text FROM documents
+         |  UNION ALL
+         |  SELECT text FROM documents WHERE doc_id < 50),
+         |u AS (SELECT DISTINCT text FROM inp),
+         |m AS (
+         |  SELECT text,
+         |    string_split_regex(lower(trim(text)), '\\s+') AS t,
+         |    string_split(text, chr(10)) AS ln
+         |  FROM u),
+         |x AS (
+         |  SELECT
+         |    $qualityMetricExprs
+         |  FROM m)
+         |SELECT CAST(count(*) AS BIGINT) AS n_kept,
+         |       CAST(sum(n_tokens) AS BIGINT) AS kept_tokens
+         |FROM x WHERE NOT coalesce($anyFail, false)""".stripMargin
+    },
     "skew_salted_agg" ->
       """SELECT l_returnflag,
         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
@@ -990,6 +1046,21 @@ object DataPipeQueries {
         |          sum(tok) OVER (PARTITION BY source ORDER BY doc_id) AS cum
         |        FROM tk)
         |SELECT source, count(*) AS n_docs, CAST(sum(doc_id) AS BIGINT) AS id_sum
-        |FROM cum WHERE cum <= 300 GROUP BY source ORDER BY source""".stripMargin
+        |FROM cum WHERE cum <= 300 GROUP BY source ORDER BY source""".stripMargin,
+
+    "smp5_token_budget_approx" ->
+      s"""WITH tk AS (
+         |  SELECT source, doc_id,
+         |         len(string_split_regex(lower(trim(text)), '\\s+')) AS tok,
+         |         md5('3|' || CAST(doc_id AS VARCHAR)) AS h
+         |  FROM documents),
+         |thr AS (SELECT source,
+         |          CAST(floor(least(1.0, CAST(2000 AS DOUBLE) / CAST(sum(tok) AS DOUBLE))
+         |                     * 16777216.0) AS BIGINT) AS thr
+         |        FROM tk GROUP BY source)
+         |SELECT source, count(*) AS n_docs, CAST(sum(doc_id) AS BIGINT) AS id_sum
+         |FROM tk JOIN thr USING(source)
+         |WHERE ${hex6("h")} < thr
+         |GROUP BY source ORDER BY source""".stripMargin
   )
 }

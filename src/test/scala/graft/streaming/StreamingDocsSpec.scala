@@ -1,0 +1,49 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.datapipe.QualityRules
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+/** Streaming document intake: in-window duplicates collapse (including
+  * across micro-batches), the quality ruleset filters the stream exactly
+  * as it filters a batch, and the kept rows carry the metric columns.
+  */
+class StreamingDocsSpec extends SparkSpec {
+
+  final case class Doc(doc_id: Long, text: String, ingest_ts: java.sql.Timestamp)
+  private def at(sec: Int) = new java.sql.Timestamp(1704202200000L + sec * 1000L)
+
+  private val clean = "the quick brown fox jumps over a lazy dog and runs " +
+    "of to the big field where many other animals play games all day long"
+  private val clean2 = "the tall green tree stands near a wide river and many " +
+    "of the small birds come to rest there every single warm day in summer"
+
+  test("stream dedups within watermark and applies the quality ruleset") {
+    val s = spark; import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val mem = MemoryStream[Doc]
+    val out = StreamingDocs.curateStream(mem.toDF())
+    val q = out.writeStream.format("memory").queryName("sdc_spec_sink")
+      .outputMode("append")
+      .option("checkpointLocation", tmpDir("sdc_ckpt")).start()
+    try {
+      // batch 1: one keeper, one junk (too few tokens), one dup of keeper
+      mem.addData(Seq(
+        Doc(1L, clean, at(0)),
+        Doc(2L, "too short", at(1)),
+        Doc(3L, clean, at(2))))
+      q.processAllAvailable()
+      // batch 2: cross-batch duplicate (same watermark window) + new keeper
+      mem.addData(Seq(
+        Doc(4L, clean, at(3)),
+        Doc(5L, clean2, at(4))))
+      q.processAllAvailable()
+      val rows = s.sql("SELECT text, n_tokens FROM sdc_spec_sink").collect()
+      assert(rows.map(_.getString(0)).toSet == Set(clean, clean2),
+        "one survivor per distinct text; junk filtered")
+      assert(rows.length == 2, s"duplicates must not land twice: ${rows.length}")
+      // metric columns ride along (the annotate map ran on the stream)
+      assert(rows.forall(_.getLong(1) >= 20L))
+    } finally q.stop()
+  }
+}
