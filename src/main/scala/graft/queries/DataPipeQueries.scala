@@ -36,6 +36,28 @@ object DataPipeQueries {
     d.select("doc_id", "text").unionByName(mutated)
   }
 
+  /** documents re-shaped into deterministic MULTI-line docs (the synthetic
+    * table is single-line): tokens chunked into lines of 12, plus injected
+    * boilerplate footers (newsletter line on doc_id%3, rights line on
+    * doc_id%5) and a repeat of the first line on doc_id%4 — guaranteed
+    * corpus-frequent lines and within-doc repeats for the line-dedup ops.
+    */
+  private def multilineDocs(s: SparkSession, dir: String): DataFrame = {
+    val t = TextAnalysis.tokens(col("text"))
+    val l1 = array_join(slice(t, 1, 12), " ")
+    val l2 = array_join(slice(t, 13, 12), " ")
+    val l3 = array_join(slice(t, 25, 100000), " ")
+    val parts = array(
+      l1, l2, l3,
+      when(col("doc_id") % 4 === 0, l1).otherwise(lit("")),
+      when(col("doc_id") % 3 === 0,
+        lit("subscribe to our newsletter for updates")).otherwise(lit("")),
+      when(col("doc_id") % 5 === 0,
+        lit("all rights reserved by the publisher")).otherwise(lit("")))
+    docs(s, dir).select(col("doc_id"),
+      array_join(filter(parts, x => x =!= ""), "\n").as("text"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d1_dedup_exact" -> ((s, dir) =>
       Dedup.exact(docsWithNearDups(s, dir))
@@ -246,6 +268,35 @@ object DataPipeQueries {
         .select(col("doc_id"),
           array_join(col("failed_rules"), ",").as("failed_rules"),
           (size(col("failed_rules")) === 0).cast("long").as("kept"))
+        .orderBy("doc_id")),
+
+    // Corpus-level boilerplate-line removal (C4's >=3-occurrence line
+    // rule): blocklist = lines in >=3 distinct docs; every doc rebuilt
+    // from its surviving lines. The injected newsletter/rights footers
+    // must vanish; the per-doc repeated first line must survive (its doc
+    // frequency is 1).
+    "d9_boilerplate_lines" -> ((s, dir) =>
+      Boilerplate.stripBoilerplate(multilineDocs(s, dir), minDocFreq = 3L)
+        .orderBy("doc_id")),
+
+    // Within-document line dedup: later repeats of a normalized line
+    // drop, first occurrences and order survive. Pure map — zero shuffle.
+    "d10_linededup_withindoc" -> ((s, dir) => {
+      val ml = multilineDocs(s, dir)
+      ml.select(col("doc_id"),
+          Boilerplate.dedupLinesInDoc(col("text")).as("text"))
+        .withColumn("n_kept",
+          size(org.apache.spark.sql.functions.split(col("text"), "\n")).cast("long"))
+        .orderBy("doc_id")
+    }),
+
+    // Model-based quality scoring: naive-Bayes token log-odds trained on
+    // ruleset-labeled docs (kept = good), every doc scored by integer
+    // micro-unit mean log-odds — the fastText-classifier stage of
+    // published pipelines, with the quantized-ln scheme the TF-IDF twin
+    // established for cross-engine exactness.
+    "t9_quality_classifier" -> ((s, dir) =>
+      QualityClassifier.trainAndScore(docs(s, dir))
         .orderBy("doc_id")),
 
     "t5_bpeish_tokens" -> ((s, dir) =>
@@ -494,6 +545,28 @@ object DataPipeQueries {
        |langed AS (
        |  SELECT doc_id, text, t FROM cscores
        |  WHERE s_en = greatest(s_en, s_de, s_es, s_fr, s_zh) AND s_en > 0)""".stripMargin
+
+  /** SQL twin of `multilineDocs` plus its exploded per-line relation
+    * `mlines` (doc_id, pos, raw, line) — line = normalized form.
+    */
+  private val multilineCtes =
+    s"""WITH mlraw AS (
+       |  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t
+       |  FROM documents),
+       |ml AS (
+       |  SELECT doc_id, array_to_string(list_filter([
+       |      array_to_string(t[1:12], ' '),
+       |      array_to_string(t[13:24], ' '),
+       |      array_to_string(t[25:], ' '),
+       |      CASE WHEN doc_id % 4 = 0 THEN array_to_string(t[1:12], ' ') ELSE '' END,
+       |      CASE WHEN doc_id % 3 = 0 THEN 'subscribe to our newsletter for updates' ELSE '' END,
+       |      CASE WHEN doc_id % 5 = 0 THEN 'all rights reserved by the publisher' ELSE '' END
+       |    ], x -> x <> ''), chr(10)) AS text
+       |  FROM mlraw),
+       |mlines AS (
+       |  SELECT doc_id, i AS pos, l[i] AS raw, lower(trim(l[i])) AS line
+       |  FROM (SELECT doc_id, string_split(text, chr(10)) AS l FROM ml)
+       |  CROSS JOIN LATERAL (SELECT unnest(generate_series(1, len(l))) AS i))""".stripMargin
 
   /** rule name -> SQL predicate, mirroring `QualityRules.rules()` row for
     * row (same names, same order, thresholds interpolated).
@@ -929,6 +1002,61 @@ object DataPipeQueries {
          |           $reasonArgs) AS failed_rules
          |  FROM x)
          |ORDER BY doc_id""".stripMargin
+    },
+    "d9_boilerplate_lines" ->
+      s"""$multilineCtes,
+         |freq AS (
+         |  SELECT line FROM mlines WHERE line <> ''
+         |  GROUP BY line HAVING count(DISTINCT doc_id) >= 3)
+         |SELECT doc_id, count(*) AS n_lines,
+         |  CAST(sum(CASE WHEN f.line IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+         |  coalesce(string_agg(CASE WHEN f.line IS NULL THEN raw END, chr(10) ORDER BY pos), '') AS text
+         |FROM mlines li LEFT JOIN freq f ON li.line = f.line
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "d10_linededup_withindoc" ->
+      s"""$multilineCtes,
+         |firsts AS (
+         |  SELECT doc_id, pos, raw,
+         |         row_number() OVER (PARTITION BY doc_id, line ORDER BY pos) AS rn
+         |  FROM mlines)
+         |SELECT doc_id,
+         |  coalesce(string_agg(CASE WHEN rn = 1 THEN raw END, chr(10) ORDER BY pos), '') AS text,
+         |  CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+         |FROM firsts GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "t9_quality_classifier" -> {
+      val anyFail = qualityRuleSql.map(_._2).mkString("(", ") OR (", ")")
+      s"""$qualityMetricsCte,
+         |lab AS (
+         |  SELECT m.doc_id, m.t,
+         |         CASE WHEN NOT coalesce($anyFail, false) THEN 1 ELSE 0 END AS good
+         |  FROM m JOIN x USING (doc_id)),
+         |tk AS (SELECT good, unnest(t) AS token FROM lab),
+         |cnt AS (
+         |  SELECT token,
+         |         CAST(sum(good) AS BIGINT) AS n_good,
+         |         CAST(sum(1 - good) AS BIGINT) AS n_bad
+         |  FROM tk WHERE token <> '' GROUP BY 1),
+         |tot AS (
+         |  SELECT CAST(sum(n_good) AS BIGINT) AS g,
+         |         CAST(sum(n_bad) AS BIGINT) AS b, count(*) AS v
+         |  FROM cnt),
+         |vocab AS (
+         |  SELECT token,
+         |    CAST(floor(ln(CAST(n_good + 1 AS DOUBLE) / CAST(g + v AS DOUBLE)) * 1000000 + 0.5) AS BIGINT)
+         |  - CAST(floor(ln(CAST(n_bad + 1 AS DOUBLE) / CAST(b + v AS DOUBLE)) * 1000000 + 0.5) AS BIGINT) AS lo
+         |  FROM cnt CROSS JOIN tot),
+         |dtk AS (SELECT doc_id, unnest(t) AS token FROM m),
+         |sc AS (
+         |  SELECT doc_id, count(*) AS n_tokens,
+         |         CAST(sum(coalesce(lo, 0)) AS BIGINT) AS sum_log_odds_micro
+         |  FROM (SELECT doc_id, token FROM dtk WHERE token <> '') d
+         |  LEFT JOIN vocab USING (token)
+         |  GROUP BY doc_id)
+         |SELECT doc_id, n_tokens, sum_log_odds_micro,
+         |  CAST(floor(CAST(sum_log_odds_micro AS DOUBLE) / CAST(n_tokens AS DOUBLE)) AS BIGINT) AS mean_log_odds_micro,
+         |  CAST(CASE WHEN floor(CAST(sum_log_odds_micro AS DOUBLE) / CAST(n_tokens AS DOUBLE)) > 0
+         |       THEN 1 ELSE 0 END AS BIGINT) AS predicted_good
+         |FROM sc ORDER BY doc_id""".stripMargin
     },
     "t1_text_quality" ->
       s"""$tokCte,
