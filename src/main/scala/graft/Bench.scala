@@ -67,8 +67,19 @@ object Bench {
         1704202200000000000L, 390), "bench-day")
     }
 
+    // The two fixed-centroid comparability rows are the documented
+    // superlinear-by-construction plans (n*k assignment work): their 8M-row
+    // broadcast-NL intermediates make single measurements swing 2-4x on
+    // identical data (measured 12-56 s at sf1 across identical runs), so
+    // they get the same median-of-3 treatment as the pipeline workloads.
+    val variance3 = Set("sim3_ivf_topk", "sim4_kmeans_iter")
+    var extraRuns = Seq.empty[(String, Double)]
     val queryTimes = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      name -> time { fn(spark, sfDir).count() }
+      if (variance3(name)) {
+        val (med, runs) = median3 { fn(spark, sfDir).count() }
+        extraRuns ++= runs.zipWithIndex.map { case (v, i) => s"${name}_run${i + 1}" -> v }
+        name -> med
+      } else name -> time { fn(spark, sfDir).count() }
     }
 
     // total counts each workload once (medians), keeping the headline
@@ -77,7 +88,8 @@ object Bench {
       "pipeline_year_1sym" -> pipeYear, "pipeline_day_50sym" -> pipeDay)
     val runDetail =
       pipeYearRuns.zipWithIndex.map { case (v, i) => s"pipeline_year_1sym_run${i + 1}" -> v } ++
-      pipeDayRuns.zipWithIndex.map { case (v, i) => s"pipeline_day_50sym_run${i + 1}" -> v }
+      pipeDayRuns.zipWithIndex.map { case (v, i) => s"pipeline_day_50sym_run${i + 1}" -> v } ++
+      extraRuns
     // millisecond precision keeps the line short enough that log captures
     // don't truncate the tail (the full per-query map is the artifact)
     def fmt(v: Double): String =

@@ -63,6 +63,21 @@ class BoilerplateSpec extends SparkSpec {
     assert(out.map(_.getString(3)).toSeq == Seq("Keep Me", "Keep Me Too", ""))
   }
 
+  test("plan shape: within-doc dedup is a pure map (zero Exchange)") {
+    val df = docs.select(col("doc_id"),
+      Boilerplate.dedupLinesInDoc(col("text")).as("text"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"expected no shuffle:\n$plan")
+  }
+
+  test("plan shape: blocklist join finalizes as a broadcast join") {
+    val df = Boilerplate.stripBoilerplate(docs, minDocFreq = 3L)
+    df.collect() // let AQE finalize (the blocklist is head-of-distribution small)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"expected the frequent-line blocklist broadcast:\n$plan")
+  }
+
   test("dedupLinesInDoc keeps first occurrence, preserves order") {
     val s = spark; import s.implicits._
     val d = Seq(
