@@ -1,0 +1,101 @@
+package graft.datapipe
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** N-gram language-model scoring — the "perplexity filter" stage of
+  * published LLM pipelines (CCNet/LLaMA score crawl documents with a
+  * KenLM trained on a trusted corpus and drop the high-perplexity tail).
+  * Here: a bigram model with Laplace smoothing, trained on the trusted
+  * slice (e.g. the [[QualityRules]]-kept documents), scoring every
+  * document by its mean token log-probability
+  * ln p(w_i | w_{i-1}) = ln((c(w1,w2)+1)/(c(w1)+V)).
+  *
+  * Log-probs are quantized to integer MICRO-nat units (the
+  * [[QualityClassifier]] scheme), so document scores are exact integer
+  * sums any engine reproduces; "perplexity" is exp(-mean/1e6) if a
+  * caller wants the conventional form.
+  *
+  * Scale shape (100 TB lens): training is two (token)- and
+  * (w1,w2)-keyed shuffles with map-side combine — counts, never text.
+  * Scoring explodes documents into (id, w1, w2) rows and joins the two
+  * count tables (prune with [[pruneModel]] to make them broadcast-size;
+  * unseen n-grams back off to the smoothing floor, so pruning degrades
+  * gracefully), then one (id) partial aggregate. The vocabulary size V
+  * rides along as a broadcast 1-row frame — no driver action anywhere.
+  */
+object LanguageModel {
+
+  /** (id, w1, w2) consecutive-token pairs; documents with < 2 tokens
+    * produce no rows (a bigram model cannot score them).
+    */
+  private def bigramPairs(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val t = TextAnalysis.tokens(col(textCol))
+    docs
+      .select(col(idCol), t.as("__t"))
+      .where(size(col("__t")) >= 2)
+      .select(col(idCol),
+        explode(transform(sequence(lit(1), size(col("__t")) - 1), i =>
+          struct(element_at(col("__t"), i).as("w1"),
+            element_at(col("__t"), i + 1).as("w2")))).as("p"))
+      .select(col(idCol), col("p.w1"), col("p.w2"))
+  }
+
+  /** Unigram counts over the training slice: (token, n_w). */
+  def unigramCounts(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs
+      .select(explode(TextAnalysis.tokens(col(textCol))).as("token"))
+      .where(col("token") =!= "")
+      .groupBy("token").agg(count(lit(1)).as("n_w"))
+
+  /** Bigram counts over the training slice: (w1, w2, n_bg). */
+  def bigramCounts(docs: DataFrame, textCol: String = "text",
+                   idCol: String = "doc_id"): DataFrame =
+    bigramPairs(docs, textCol, idCol)
+      .groupBy("w1", "w2").agg(count(lit(1)).as("n_bg"))
+
+  /** Keep the `topN` most frequent rows of a count table — the
+    * broadcastable production model (count desc, key tie-break).
+    */
+  def pruneModel(counts: DataFrame, topN: Int): DataFrame = {
+    val key = counts.columns.filter(_ != "n_w").filter(_ != "n_bg").map(col)
+    val n = if (counts.columns.contains("n_bg")) col("n_bg") else col("n_w")
+    counts.orderBy((n.desc +: key.map(_.asc)): _*).limit(topN)
+  }
+
+  /** Score documents against trained unigram/bigram counts: per document
+    * the bigram count, the summed quantized ln p(w2|w1), and its floor
+    * mean (micro-nats; higher = more fluent under the model). Documents
+    * with < 2 tokens produce no row.
+    */
+  def score(docs: DataFrame, unigrams: DataFrame, bigrams: DataFrame,
+            textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    // V as a broadcast 1-row frame: Laplace denominator c(w1)+V
+    val v = unigrams.agg(count(lit(1)).as("__v"))
+    bigramPairs(docs, textCol, idCol)
+      .join(bigrams.select(col("w1"), col("w2"), col("n_bg")), Seq("w1", "w2"), "left")
+      .join(unigrams.select(col("token").as("w1"), col("n_w")), Seq("w1"), "left")
+      .crossJoin(broadcast(v))
+      .withColumn("__logp", QualityClassifier.quantLog(
+        (coalesce(col("n_bg"), lit(0L)) + 1L).cast("double") /
+          (coalesce(col("n_w"), lit(0L)) + col("__v")).cast("double")))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(col("__logp")).as("sum_logp_micro"))
+      .withColumn("mean_logp_micro",
+        floor(col("sum_logp_micro").cast("double") /
+          col("n_bigrams").cast("double")).cast("long"))
+  }
+
+  /** Rules-seeded end-to-end: train the bigram model on the
+    * [[QualityRules]]-kept slice and score every document.
+    */
+  def trainAndScore(docs: DataFrame, cfg: QualityRules.Config = QualityRules.Config(),
+                    textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val good = QualityRules.annotate(docs, cfg, textCol)
+      .where(size(col("failed_rules")) === 0)
+      .select(col(idCol), col(textCol))
+    score(docs, unigramCounts(good, textCol), bigramCounts(good, textCol, idCol),
+      textCol, idCol)
+  }
+}

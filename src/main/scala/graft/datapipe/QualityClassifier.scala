@@ -28,8 +28,10 @@ object QualityClassifier {
 
   private val Micro = 1000000.0
 
-  /** floor(ln(x)·1e6 + 0.5) as a long — integer micro-log units. */
-  private def quantLog(x: Column): Column =
+  /** floor(ln(x)·1e6 + 0.5) as a long — integer micro-log units (shared
+    * with [[LanguageModel]]).
+    */
+  private[datapipe] def quantLog(x: Column): Column =
     floor(log(x) * Micro + lit(0.5)).cast("long")
 
   /** Train the token log-odds vocabulary from labeled documents.

@@ -61,6 +61,33 @@ object Sampling {
       coalesce(element_at(thresholds, col(stratumCol)), lit(0L)))
   }
 
+  /** Cluster-balanced (diversity-flattening) selection: cap each
+    * embedding cluster at `cap` members — the SemDeDup-style move that
+    * stops a corpus's dominant semantic clusters from drowning the tail
+    * when sampling training data. Vectors are assigned to their nearest
+    * centroid ([[Similarity.ivfAssign]]) and each cluster keeps its `cap`
+    * lowest by deterministic hash rank (md5("seed|id") string order, id
+    * tie-break) — same corpus + seed = same selection, any layout, any
+    * engine.
+    *
+    * Scale shape: assignment is the IVF broadcast-centroids map + one
+    * (id) partial-agg exchange; the rank window shuffles (id,
+    * centroid_id) pairs — never vectors or text — and with sqrt(n)
+    * centroids each window partition holds ~sqrt(n) rows. Output is
+    * bounded by nClusters x cap.
+    */
+  def clusterBalanced(vecs: DataFrame, centroids: DataFrame,
+                      cap: Int, seed: Long = 42L,
+                      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val assigned = Similarity.ivfAssign(vecs, centroids, idCol, vecCol)
+      .select(col(idCol), col("centroid_id"))
+    val w = Window.partitionBy("centroid_id")
+      .orderBy(md5(concat_ws("|", lit(seed), col(idCol).cast("string"))), col(idCol))
+    assigned
+      .withColumn("sel_rank", row_number().over(w).cast("long"))
+      .where(col("sel_rank") <= cap)
+  }
+
   /** Deterministic shard assignment for training export: shard =
     * hash(seed|id) mod nShards — uniform, stable, and independent of
     * partition layout, so a re-run (or another engine) produces the same

@@ -299,6 +299,13 @@ object DataPipeQueries {
       QualityClassifier.trainAndScore(docs(s, dir))
         .orderBy("doc_id")),
 
+    // Bigram-LM scoring (the CCNet/LLaMA perplexity-filter stage):
+    // Laplace-smoothed bigram model trained on the ruleset-kept slice,
+    // every doc scored by integer micro-nat mean ln p(w2|w1).
+    "t10_bigram_lm_score" -> ((s, dir) =>
+      LanguageModel.trainAndScore(docs(s, dir))
+        .orderBy("doc_id")),
+
     "t5_bpeish_tokens" -> ((s, dir) =>
       docs(s, dir)
         .groupBy("lang")
@@ -362,6 +369,16 @@ object DataPipeQueries {
         .groupBy("source")
         .agg(count(lit(1)).as("n_docs"), sum(col("doc_id")).as("id_sum"))
         .orderBy("source")),
+
+    // Cluster-balanced diversity selection: sqrt(n) portable IVF
+    // centroids, each cluster capped at 25 by deterministic hash rank —
+    // the SemDeDup-style flattening of the cluster-size distribution.
+    "smp6_cluster_balanced" -> ((s, dir) => {
+      val e = embs(s, dir)
+      val cents = Similarity.ivfCentroids(e, nlist = 0, portable = true)
+      Sampling.clusterBalanced(e, cents, cap = 25, seed = 7)
+        .orderBy("centroid_id", "sel_rank")
+    }),
 
     // Exact per-source token-budget prefix (ordered by doc_id).
     "smp4_token_budget" -> ((s, dir) =>
@@ -817,6 +834,33 @@ object DataPipeQueries {
          |         / (sqrt(${dotD("a.q", "a.q")}) * sqrt(${dotD("qy", "qy")})) AS cosine
          |FROM assigned a JOIN probes USING (centroid_id) CROSS JOIN qq
          |ORDER BY cosine DESC, a.vec_id LIMIT 20""".stripMargin,
+    "smp6_cluster_balanced" ->
+      s"""WITH $quantCte,
+         |cents AS (
+         |  SELECT vec_id AS centroid_id, q AS qc FROM (
+         |    SELECT vec_id, q,
+         |           row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn,
+         |           count(*) OVER () AS nv
+         |    FROM qv)
+         |  WHERE rn <= CAST(ceil(sqrt(CAST(nv AS DOUBLE))) AS BIGINT)),
+         |ac AS (
+         |  SELECT v.vec_id, c.centroid_id,
+         |         ${dotD("v.q", "c.qc")}
+         |           / (sqrt(${dotD("v.q", "v.q")}) * sqrt(${dotD("c.qc", "c.qc")})) AS cosine
+         |  FROM qv v CROSS JOIN cents c),
+         |assigned AS (
+         |  SELECT vec_id, centroid_id FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cosine DESC, centroid_id) AS rn
+         |    FROM ac)
+         |  WHERE rn = 1),
+         |sel AS (
+         |  SELECT vec_id, centroid_id,
+         |         row_number() OVER (PARTITION BY centroid_id
+         |           ORDER BY md5('7|' || CAST(vec_id AS VARCHAR)), vec_id) AS sel_rank
+         |  FROM assigned)
+         |SELECT vec_id, centroid_id, CAST(sel_rank AS BIGINT) AS sel_rank
+         |FROM sel WHERE sel_rank <= 25
+         |ORDER BY centroid_id, sel_rank""".stripMargin,
     "stream_doc_curate" -> {
       val anyFail = qualityRuleSql.map(_._2).mkString("(", ") OR (", ")")
       s"""WITH inp AS (
@@ -1056,6 +1100,42 @@ object DataPipeQueries {
          |  CAST(floor(CAST(sum_log_odds_micro AS DOUBLE) / CAST(n_tokens AS DOUBLE)) AS BIGINT) AS mean_log_odds_micro,
          |  CAST(CASE WHEN floor(CAST(sum_log_odds_micro AS DOUBLE) / CAST(n_tokens AS DOUBLE)) > 0
          |       THEN 1 ELSE 0 END AS BIGINT) AS predicted_good
+         |FROM sc ORDER BY doc_id""".stripMargin
+    },
+    "t10_bigram_lm_score" -> {
+      val anyFail = qualityRuleSql.map(_._2).mkString("(", ") OR (", ")")
+      s"""$qualityMetricsCte,
+         |good AS (
+         |  SELECT m.doc_id, m.t FROM m JOIN x USING (doc_id)
+         |  WHERE NOT coalesce($anyFail, false)),
+         |guni AS (
+         |  SELECT token, count(*) AS n_w
+         |  FROM (SELECT unnest(t) AS token FROM good)
+         |  WHERE token <> '' GROUP BY 1),
+         |gv AS (SELECT count(*) AS v FROM guni),
+         |gbg AS (
+         |  SELECT w1, w2, count(*) AS n_bg FROM (
+         |    SELECT t[i] AS w1, t[i+1] AS w2 FROM good
+         |    CROSS JOIN LATERAL (SELECT unnest(generate_series(1, len(t) - 1)) AS i)
+         |    WHERE len(t) >= 2)
+         |  GROUP BY 1, 2),
+         |dbg AS (
+         |  SELECT doc_id, t[i] AS w1, t[i+1] AS w2 FROM m
+         |  CROSS JOIN LATERAL (SELECT unnest(generate_series(1, len(t) - 1)) AS i)
+         |  WHERE len(t) >= 2),
+         |sc AS (
+         |  SELECT doc_id, count(*) AS n_bigrams,
+         |    CAST(sum(CAST(floor(ln(CAST(coalesce(n_bg, 0) + 1 AS DOUBLE)
+         |      / CAST(coalesce(n_w, 0) + v AS DOUBLE)) * 1000000 + 0.5) AS BIGINT)) AS BIGINT)
+         |      AS sum_logp_micro
+         |  FROM dbg
+         |  LEFT JOIN gbg USING (w1, w2)
+         |  LEFT JOIN guni ON dbg.w1 = guni.token
+         |  CROSS JOIN gv
+         |  GROUP BY doc_id)
+         |SELECT doc_id, n_bigrams, sum_logp_micro,
+         |  CAST(floor(CAST(sum_logp_micro AS DOUBLE) / CAST(n_bigrams AS DOUBLE)) AS BIGINT)
+         |    AS mean_logp_micro
          |FROM sc ORDER BY doc_id""".stripMargin
     },
     "t1_text_quality" ->

@@ -1,0 +1,81 @@
+package graft.datapipe
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Bigram LM scoring: counts are exact, in-domain text outscores
+  * out-of-domain text, smoothing floors unseen n-grams, and scores are
+  * layout-independent integers.
+  */
+class LanguageModelSpec extends SparkSpec {
+
+  private def trusted = {
+    val s = spark; import s.implicits._
+    (0 until 10).map(i =>
+      (i.toLong, "the cat sat on the mat and the dog sat on the rug"))
+      .toDF("doc_id", "text")
+  }
+
+  test("unigram/bigram counts are exact") {
+    val uni = LanguageModel.unigramCounts(trusted)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(uni("the") == 40L && uni("sat") == 20L && uni("rug") == 10L)
+    val bg = LanguageModel.bigramCounts(trusted)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(bg(("sat", "on")) == 20L && bg(("the", "cat")) == 10L)
+    assert(!bg.contains(("rug", "the")), "bigrams must not cross document bounds")
+  }
+
+  test("in-domain text outscores out-of-domain; unseen n-grams hit the floor") {
+    val s = spark; import s.implicits._
+    val uni = LanguageModel.unigramCounts(trusted)
+    val bg = LanguageModel.bigramCounts(trusted)
+    val unseen = Seq(
+      (100L, "the cat sat on the rug"),
+      (101L, "zebra quantum flux perihelion"),
+      (102L, "tiny")) // one token -> no row
+      .toDF("doc_id", "text")
+    val out = LanguageModel.score(unseen, uni, bg)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(out.size == 2, "single-token doc must produce no score row")
+    assert(out(100L) > out(101L),
+      s"in-domain must outscore OOV: ${out(100L)} vs ${out(101L)}")
+    // all-OOV doc: every bigram scores ln(1/V) exactly
+    val v = uni.count()
+    val floorMicro = math.floor(math.log(1.0 / v) * 1e6 + 0.5).toLong
+    assert(out(101L) == floorMicro)
+  }
+
+  test("scores are layout-independent and deterministic") {
+    val s = spark; import s.implicits._
+    val uni = LanguageModel.unigramCounts(trusted)
+    val bg = LanguageModel.bigramCounts(trusted)
+    val docsDf = Seq((1L, "the cat sat"), (2L, "dog sat on the mat"))
+      .toDF("doc_id", "text")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      LanguageModel.score(df, uni, bg).orderBy("doc_id")
+        .collect().map(_.toSeq).toSeq
+    assert(rows(docsDf) == rows(docsDf.repartition(7)))
+  }
+
+  test("pruneModel keeps the most frequent rows of either table") {
+    val pruned = LanguageModel.pruneModel(LanguageModel.bigramCounts(trusted), 3)
+    val kept = pruned.collect().map(r => (r.getString(0), r.getString(1))).toSet
+    // the three most frequent bigrams (20 each beats the 10s)
+    assert(pruned.count() == 3)
+    assert(kept.contains(("sat", "on")) && kept.contains(("on", "the")))
+  }
+
+  test("trainAndScore: rules-kept prose scores above degenerate docs") {
+    val s = spark; import s.implicits._
+    val corpus = ((0 until 8).map(i => (i.toLong,
+        "the cat and the dog walked to the park and back home of a sunny day " +
+          "with the wind of autumn to keep them company and all was well")) ++
+      (8 until 12).map(i => (i.toLong, "spam spam spam spam spam spam")))
+      .toDF("doc_id", "text")
+    val out = LanguageModel.trainAndScore(corpus)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert((0 until 8).forall(i => out(i.toLong) > out(8L)),
+      "trusted-slice prose must outscore the degenerate docs")
+  }
+}

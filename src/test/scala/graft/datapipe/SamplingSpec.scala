@@ -107,6 +107,30 @@ class SamplingSpec extends SparkSpec {
     }
   }
 
+  test("clusterBalanced: per-cluster cap, deterministic, layout-independent") {
+    val s = spark; import s.implicits._
+    // 3 tight clusters along coordinate axes, 30/12/6 members
+    def vec(axis: Int, jitter: Int): Array[Float] = {
+      val a = Array.fill(4)(0.01f * jitter)
+      a(axis) = 1.0f; a
+    }
+    val rows = (0 until 30).map(i => (i.toLong, vec(0, i % 5))) ++
+      (100 until 112).map(i => (i.toLong, vec(1, i % 5))) ++
+      (200 until 206).map(i => (i.toLong, vec(2, i % 5)))
+    val vecs = rows.toDF("vec_id", "embedding")
+    val cents = Seq((0L, vec(0, 0)), (1L, vec(1, 0)), (2L, vec(2, 0)))
+      .toDF("centroid_id", "embedding")
+    def sel(df: org.apache.spark.sql.DataFrame) =
+      Sampling.clusterBalanced(df, cents, cap = 8, seed = 7)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val a = sel(vecs)
+    val byCluster = a.groupBy(_._2).view.mapValues(_.size).toMap
+    assert(byCluster == Map(0L -> 8, 1L -> 8, 2L -> 6),
+      s"caps: big clusters flattened to 8, small kept whole: $byCluster")
+    assert(a == sel(vecs.repartition(9)), "selection must be layout-independent")
+    assert(a.forall(_._3 <= 8L))
+  }
+
   test("tokenBudget: exact ordered prefix per stratum; approx twin tracks mass") {
     val s = spark; import s.implicits._
     // doc i has exactly i+1 tokens; budget 10 per source keeps the prefix
