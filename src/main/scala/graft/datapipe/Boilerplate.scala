@@ -87,15 +87,25 @@ object Boilerplate {
 
   /** Within-document line dedup: keep the FIRST occurrence of each
     * normalized line, drop later repeats. Pure column expression (a map
-    * over the documents table — zero shuffle); O(lines²) per row, which
-    * is per-document bounded, not corpus-scale.
+    * over the documents table — zero shuffle).
+    *
+    * Shape matters: a lambda that references a `transform(lines, ...)`
+    * norm array re-evaluates it once PER FILTERED ELEMENT (higher-order
+    * functions are interpreted — the langId lesson), turning O(lines)
+    * normalization into O(lines²). `aggregate` evaluates its input array
+    * exactly once and threads the seen-set through the accumulator, so
+    * per-element work is only the equality scan (cheap, bounded by the
+    * document's own line count).
     */
   def dedupLinesInDoc(text: Column): Column = {
     val lines = split(text, "\n")
-    val norm = transform(lines, l => lower(trim(l)))
-    array_join(
-      filter(lines, (l, i) =>
-        array_position(norm, lower(trim(l))) === i.cast("long") + 1L),
-      "\n")
+    val indexed = zip_with(lines, transform(lines, l => lower(trim(l))),
+      (raw, n) => struct(raw.as("raw"), n.as("norm")))
+    val kept = aggregate(indexed,
+      array().cast("array<struct<raw:string,norm:string>>"),
+      (acc, x) =>
+        when(exists(acc, a => a.getField("norm") === x.getField("norm")), acc)
+          .otherwise(concat(acc, array(x))))
+    array_join(transform(kept, x => x.getField("raw")), "\n")
   }
 }

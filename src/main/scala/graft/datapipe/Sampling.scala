@@ -71,21 +71,32 @@ object Sampling {
     * engine.
     *
     * Scale shape: assignment is the IVF broadcast-centroids map + one
-    * (id) partial-agg exchange; the rank window shuffles (id,
-    * centroid_id) pairs — never vectors or text — and with sqrt(n)
-    * centroids each window partition holds ~sqrt(n) rows. Output is
-    * bounded by nClusters x cap.
+    * (id) partial-agg exchange carrying (id, centroid_id) rows only
+    * ([[Similarity.ivfAssignIds]] — no vector payload); the rank is
+    * computed in TWO windows, local-per-(cluster, salt) then global,
+    * because dominant head clusters are the whole reason this operator
+    * exists: a single per-cluster window would sort the largest cluster
+    * in one task. The salted local pass keeps <= cap rows per salt, so
+    * the global window ranks at most nSalts x cap candidates per
+    * cluster regardless of skew. Output is bounded by nClusters x cap.
     */
   def clusterBalanced(vecs: DataFrame, centroids: DataFrame,
-                      cap: Int, seed: Long = 42L,
+                      cap: Int, seed: Long = 42L, nSalts: Int = 16,
                       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val assigned = Similarity.ivfAssign(vecs, centroids, idCol, vecCol)
-      .select(col(idCol), col("centroid_id"))
-    val w = Window.partitionBy("centroid_id")
-      .orderBy(md5(concat_ws("|", lit(seed), col(idCol).cast("string"))), col(idCol))
+    val assigned = Similarity.ivfAssignIds(vecs, centroids, idCol, vecCol)
+    val hash = md5(concat_ws("|", lit(seed), col(idCol).cast("string")))
+    // the global top-cap of the union of per-salt top-caps IS the global
+    // top-cap (every global winner wins its own salt group), so the split
+    // is semantically invisible — same rows, same ranks, any salt count
+    val wLocal = Window.partitionBy("centroid_id", "__salt").orderBy(hash, col(idCol))
+    val wGlobal = Window.partitionBy("centroid_id").orderBy(hash, col(idCol))
     assigned
-      .withColumn("sel_rank", row_number().over(w).cast("long"))
+      .withColumn("__salt", pmod(xxhash64(col(idCol)), lit(nSalts.toLong)))
+      .withColumn("__r", row_number().over(wLocal))
+      .where(col("__r") <= cap)
+      .withColumn("sel_rank", row_number().over(wGlobal).cast("long"))
       .where(col("sel_rank") <= cap)
+      .drop("__salt", "__r")
   }
 
   /** Deterministic shard assignment for training export: shard =

@@ -72,22 +72,43 @@ object Similarity {
   def ivfAssign(
       vecs: DataFrame, centroids: DataFrame,
       idCol: String = "vec_id", vecCol: String = "embedding",
-      centroidIdCol: String = "centroid_id"): DataFrame = {
-    graft.functions.GraftFunctions.register(vecs.sparkSession)
-    val c = centroids.select(
-      col(centroidIdCol), Vectors.quantize(col(vecCol)).as("q_cent"))
-    val v = vecs.select(col(idCol), Vectors.quantize(col(vecCol)).as("q_vec"))
-    val scored = v.crossJoin(broadcast(c))
-      .withColumn("cosine", Vectors.cosineQN(col("q_vec"), col("q_cent")))
+      centroidIdCol: String = "centroid_id"): DataFrame =
     // partial-aggregating max_by instead of a window: no per-partition sort,
     // map-side combine — the assignment is one exchange on id at any scale.
     // Tie-break (max cosine, then min centroid_id) via lexicographic struct.
-    scored
+    centroidScores(vecs, centroids, idCol, vecCol, centroidIdCol)
       .groupBy(idCol)
       .agg(max_by(
         struct(col(centroidIdCol), col("q_vec")),
         struct(col("cosine"), (-col(centroidIdCol)).as("neg_cid"))).as("best"))
       .select(col(idCol), col(s"best.$centroidIdCol"), col("best.q_vec"))
+
+  /** Assignment WITHOUT the vector payload: (id, centroid_id) only. The
+    * max_by value is just the centroid id, so the exchange carries
+    * ~16-byte rows instead of the quantized embedding — use this when the
+    * caller doesn't re-rank afterwards (e.g. diversity sampling).
+    */
+  def ivfAssignIds(
+      vecs: DataFrame, centroids: DataFrame,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      centroidIdCol: String = "centroid_id"): DataFrame =
+    centroidScores(vecs, centroids, idCol, vecCol, centroidIdCol)
+      .groupBy(idCol)
+      .agg(max_by(col(centroidIdCol),
+        struct(col("cosine"), (-col(centroidIdCol)).as("neg_cid"))).as(centroidIdCol))
+
+  /** Every (vector, centroid) cosine: the broadcast-centroids map both
+    * assignment variants reduce over.
+    */
+  private def centroidScores(
+      vecs: DataFrame, centroids: DataFrame,
+      idCol: String, vecCol: String, centroidIdCol: String): DataFrame = {
+    graft.functions.GraftFunctions.register(vecs.sparkSession)
+    val c = centroids.select(
+      col(centroidIdCol), Vectors.quantize(col(vecCol)).as("q_cent"))
+    val v = vecs.select(col(idCol), Vectors.quantize(col(vecCol)).as("q_vec"))
+    v.crossJoin(broadcast(c))
+      .withColumn("cosine", Vectors.cosineQN(col("q_vec"), col("q_cent")))
   }
 
   /** One k-means refinement iteration over quantized vectors: assign each

@@ -477,6 +477,32 @@ object DataPipeQueries {
   private def dotD(a: String, b: String): String =
     s"CAST(list_sum(list_transform(list_zip($a, $b), s -> s[1] * s[2])) AS DOUBLE)"
 
+  /** Shared trained-IVF chain over `qv` (from `quantCte`): sqrt(n)
+    * portable hashed-id centroid seeding (`Similarity.ivfCentroids`) and
+    * nearest-centroid assignment with the (cosine desc, centroid asc)
+    * tie-break — one definition for every oracle that rides the
+    * assignment (sim3_ivf_trained, smp6_cluster_balanced), so a seeding
+    * or tie-break change cannot desync them.
+    */
+  private val ivfAssignCtes =
+    s"""cents AS (
+       |  SELECT vec_id AS centroid_id, q AS qc FROM (
+       |    SELECT vec_id, q,
+       |           row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn,
+       |           count(*) OVER () AS nv
+       |    FROM qv)
+       |  WHERE rn <= CAST(ceil(sqrt(CAST(nv AS DOUBLE))) AS BIGINT)),
+       |ac AS (
+       |  SELECT v.vec_id, c.centroid_id, v.q,
+       |         ${dotD("v.q", "c.qc")}
+       |           / (sqrt(${dotD("v.q", "v.q")}) * sqrt(${dotD("c.qc", "c.qc")})) AS cosine
+       |  FROM qv v CROSS JOIN cents c),
+       |assigned AS (
+       |  SELECT vec_id, centroid_id, q FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cosine DESC, centroid_id) AS rn
+       |    FROM ac)
+       |  WHERE rn = 1)""".stripMargin
+
   /** First 6 md5 hex digits of column `h` as a 24-bit integer — the DuckDB
     * twin of `Sampling.inclusionHash`'s `conv(substring(md5,1,6),16,10)`.
     */
@@ -806,24 +832,8 @@ object DataPipeQueries {
          |ORDER BY cosine DESC, a.vec_id LIMIT 20""".stripMargin,
     "sim3_ivf_trained" ->
       s"""WITH $quantCte,
-         |cents AS (
-         |  SELECT vec_id AS centroid_id, q AS qc FROM (
-         |    SELECT vec_id, q,
-         |           row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn,
-         |           count(*) OVER () AS nv
-         |    FROM qv)
-         |  WHERE rn <= CAST(ceil(sqrt(CAST(nv AS DOUBLE))) AS BIGINT)),
+         |$ivfAssignCtes,
          |qq AS (SELECT q AS qy FROM qv WHERE vec_id = 0),
-         |ac AS (
-         |  SELECT v.vec_id, c.centroid_id, v.q,
-         |         ${dotD("v.q", "c.qc")}
-         |           / (sqrt(${dotD("v.q", "v.q")}) * sqrt(${dotD("c.qc", "c.qc")})) AS cosine
-         |  FROM qv v CROSS JOIN cents c),
-         |assigned AS (
-         |  SELECT vec_id, centroid_id, q FROM (
-         |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cosine DESC, centroid_id) AS rn
-         |    FROM ac)
-         |  WHERE rn = 1),
          |probes AS (
          |  SELECT centroid_id FROM cents CROSS JOIN qq
          |  ORDER BY ${dotD("qc", "qy")} / (sqrt(${dotD("qc", "qc")}) * sqrt(${dotD("qy", "qy")})) DESC,
@@ -836,23 +846,7 @@ object DataPipeQueries {
          |ORDER BY cosine DESC, a.vec_id LIMIT 20""".stripMargin,
     "smp6_cluster_balanced" ->
       s"""WITH $quantCte,
-         |cents AS (
-         |  SELECT vec_id AS centroid_id, q AS qc FROM (
-         |    SELECT vec_id, q,
-         |           row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn,
-         |           count(*) OVER () AS nv
-         |    FROM qv)
-         |  WHERE rn <= CAST(ceil(sqrt(CAST(nv AS DOUBLE))) AS BIGINT)),
-         |ac AS (
-         |  SELECT v.vec_id, c.centroid_id,
-         |         ${dotD("v.q", "c.qc")}
-         |           / (sqrt(${dotD("v.q", "v.q")}) * sqrt(${dotD("c.qc", "c.qc")})) AS cosine
-         |  FROM qv v CROSS JOIN cents c),
-         |assigned AS (
-         |  SELECT vec_id, centroid_id FROM (
-         |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cosine DESC, centroid_id) AS rn
-         |    FROM ac)
-         |  WHERE rn = 1),
+         |$ivfAssignCtes,
          |sel AS (
          |  SELECT vec_id, centroid_id,
          |         row_number() OVER (PARTITION BY centroid_id
