@@ -111,6 +111,39 @@ object Sampling {
     docs.withColumn("shard", inclusionHash(col(idCol), seed) % nShards)
   }
 
+  /** Greedy sequence packing for training export: within each shard,
+    * documents are walked in deterministic hash order and chunked into
+    * bins by cumulative token count — bin = floor(exclusive-cumsum /
+    * budget), so each bin holds consecutive documents totalling ~budget
+    * tokens (documents are atomic: one that crosses the boundary
+    * overflows its bin rather than splitting). The final packing step a
+    * pre-training exporter runs to turn a curated corpus into
+    * fixed-length training sequences.
+    *
+    * Output: (id, shard, n_tokens, bin, pack_order). Deterministic —
+    * shard, order, and bin are pure functions of (seed, id, text), so a
+    * re-run or another engine reproduces the exact packing.
+    *
+    * Scale shape: one window sort per shard (export-time, the same
+    * per-stratum-sort shape as [[tokenBudget]]); shards are numerous
+    * (thousands for a real export), so each sort partition is
+    * corpus/nShards — sized by the caller, not the data.
+    */
+  def packSequences(docs: DataFrame, budget: Long, nShards: Int,
+                    seed: Long = 0L,
+                    textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    val w = Window.partitionBy("shard")
+      .orderBy(md5(concat_ws("|", lit(seed), col(idCol).cast("string"))), col(idCol))
+    assignShards(docs, nShards, seed, idCol)
+      .withColumn("n_tokens", TextAnalysis.tokenCount(col(textCol)).cast("long"))
+      .withColumn("bin",
+        floor((sum(col("n_tokens")).over(w) - col("n_tokens")).cast("double") /
+          lit(budget.toDouble)).cast("long"))
+      .withColumn("pack_order", row_number().over(w).cast("long"))
+      .select(col(idCol), col("shard"), col("n_tokens"), col("bin"), col("pack_order"))
+  }
+
   /** Source mixing toward target weights: the LARGEST deterministic
     * sub-corpus whose expected composition matches `weights` — the
     * binding source (smallest n_s/w_s) is kept whole and every other

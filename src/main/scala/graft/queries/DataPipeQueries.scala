@@ -380,6 +380,12 @@ object DataPipeQueries {
         .orderBy("centroid_id", "sel_rank")
     }),
 
+    // Greedy sequence packing: hash-ordered docs chunked into ~2000-token
+    // bins within 4 shards — the fixed-length training-export step.
+    "smp7_pack_sequences" -> ((s, dir) =>
+      Sampling.packSequences(docs(s, dir), budget = 2000L, nShards = 4, seed = 0)
+        .orderBy("shard", "pack_order")),
+
     // Exact per-source token-budget prefix (ordered by doc_id).
     "smp4_token_budget" -> ((s, dir) =>
       Sampling.tokenBudget(docs(s, dir), budget = 300L)
@@ -1219,6 +1225,23 @@ object DataPipeQueries {
          |sh AS (SELECT doc_id, ${hex6("h")} % 8 AS shard FROM m)
          |SELECT shard, count(*) AS n_docs, CAST(sum(doc_id) AS BIGINT) AS id_sum
          |FROM sh GROUP BY shard ORDER BY shard""".stripMargin,
+
+    "smp7_pack_sequences" ->
+      s"""WITH m AS (
+         |  SELECT doc_id, md5('0|' || CAST(doc_id AS VARCHAR)) AS h,
+         |         len(string_split_regex(lower(trim(text)), '\\s+')) AS n_tokens
+         |  FROM documents),
+         |sh AS (SELECT doc_id, h, n_tokens, ${hex6("h")} % 4 AS shard FROM m),
+         |wnd AS (
+         |  SELECT doc_id, shard, CAST(n_tokens AS BIGINT) AS n_tokens,
+         |         sum(n_tokens) OVER (PARTITION BY shard ORDER BY h, doc_id
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         |         row_number() OVER (PARTITION BY shard ORDER BY h, doc_id) AS pack_order
+         |  FROM sh)
+         |SELECT doc_id, CAST(shard AS BIGINT) AS shard, n_tokens,
+         |       CAST(floor(CAST(cum - n_tokens AS DOUBLE) / 2000.0) AS BIGINT) AS bin,
+         |       CAST(pack_order AS BIGINT) AS pack_order
+         |FROM wnd ORDER BY shard, pack_order""".stripMargin,
 
     "smp3_source_mixture" ->
       s"""WITH w AS (

@@ -131,6 +131,27 @@ class SamplingSpec extends SparkSpec {
     assert(a.forall(_._3 <= 8L))
   }
 
+  test("packSequences: bins hold ~budget tokens, deterministic, layout-independent") {
+    val s = spark; import s.implicits._
+    def packed(df: org.apache.spark.sql.DataFrame) =
+      Sampling.packSequences(df, budget = 40L, nShards = 2, seed = 1)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4))).toSet
+    val a = packed(docs)
+    assert(a == packed(docs.repartition(11)), "packing must be layout-independent")
+    // every doc lands exactly once; bins advance monotonically with order
+    assert(a.size == 2000)
+    val byShardBin = a.groupBy(x => (x._2, x._4)).view
+      .mapValues(_.toSeq.map(_._3).sum).toMap
+    // exclusive-cumsum binning: every non-final bin's total lands in
+    // (budget - maxDoc, budget + maxDoc); docs here are 1..5 tokens
+    val maxBin = byShardBin.keys.groupBy(_._1).view.mapValues(_.map(_._2).max).toMap
+    byShardBin.foreach { case ((shard, bin), tot) =>
+      if (bin < maxBin(shard))
+        assert(tot > 40L - 5 && tot < 40L + 5, s"bin ($shard,$bin) total $tot")
+    }
+  }
+
   test("tokenBudget: exact ordered prefix per stratum; approx twin tracks mass") {
     val s = spark; import s.implicits._
     // doc i has exactly i+1 tokens; budget 10 per source keeps the prefix
