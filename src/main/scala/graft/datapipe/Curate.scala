@@ -7,6 +7,10 @@ import org.apache.spark.sql.functions._
 /** End-to-end corpus curation — the composition a training-data pipeline
   * actually runs, built from this package's operators:
   *
+  *   0. (opt-in) line normalization — within-doc line dedup
+  *      (`dedupLinesWithinDoc`) and/or corpus boilerplate-line removal
+  *      (`boilerplateMinDocFreq`); docs whose every line is boilerplate
+  *      drop here
   *   1. exact dedup (keep lowest id per normalized content)
   *   2. near-dup removal (n-gram Jaccard pairs -> survivor selection)
   *   3. language filter (marker-based langid ∈ allowed set)
@@ -14,13 +18,22 @@ import org.apache.spark.sql.functions._
   *      (default) or the C4/Gopher-style [[QualityRules]] ruleset
   *      (set `qualityRuleset`)
   *   5. repetition cap (duplicated-token ratio <= maxDupTokenRatio)
-  *   6. PII redaction (transform, not filter)
+  *   6. (opt-in) bigram-LM floor (`lmScoreFloorMicro`): a
+  *      [[LanguageModel]] trained on the pipeline's own survivors scores
+  *      them; docs below the micro-nat floor (or too short to score —
+  *      < 2 tokens) drop
+  *   7. PII redaction (transform, not filter)
   *
-  * Filters are ordered cheapest-effective-first at scale: exact dedup is
-  * a hash groupBy; near-dup is the only pairwise stage (inverted-index
-  * bounded); 3-5 are pure maps; redaction is a pure map on survivors
-  * only. Returns the curated frame plus a per-stage retention count
-  * frame — the numbers a pipeline report needs.
+  * Filters are ordered cheapest-effective-first at scale: line
+  * normalization is a map plus the bounded blocklist join; exact dedup
+  * is a hash groupBy; near-dup is the only pairwise stage
+  * (inverted-index bounded); 3-5 are pure maps; the LM floor is two
+  * count-table joins over survivors only; redaction is a pure map on
+  * what remains. Returns the curated frame plus a per-stage retention
+  * count frame — the numbers a pipeline report needs.
+  *
+  * The opt-in stages assume/preserve (idCol, textCol) only — supply a
+  * two-column frame (the curation contract throughout this object).
   */
 object Curate {
 
@@ -30,7 +43,10 @@ object Curate {
       allowedLangs: Seq[String] = Seq("en"),
       minQuality: Double = 0.3,
       maxDupTokenRatio: Double = 0.6,
-      qualityRuleset: Option[QualityRules.Config] = None)
+      qualityRuleset: Option[QualityRules.Config] = None,
+      dedupLinesWithinDoc: Boolean = false,
+      boilerplateMinDocFreq: Option[Long] = None,
+      lmScoreFloorMicro: Option[Long] = None)
 
   /** Returns (curated documents with redacted text, stage counts).
     *
@@ -47,7 +63,21 @@ object Curate {
     val spark = docs.sparkSession
     import spark.implicits._
 
-    val input = docs
+    // stage 0: line normalization (both default-off). Within-doc dedup is
+    // a pure map; boilerplate stripping is frontiered because its output
+    // feeds both the count and the dedup chain, and docs reduced to
+    // nothing (every line corpus-frequent) drop here.
+    val preLines =
+      if (cfg.dedupLinesWithinDoc)
+        docs.withColumn(textCol, Boilerplate.dedupLinesInDoc(col(textCol)))
+      else docs
+    val boiler = cfg.boilerplateMinDocFreq.map { k =>
+      Materialize.frontier(
+        Boilerplate.stripBoilerplate(preLines, k, textCol, idCol)
+          .where(col("n_removed") < col("n_lines"))
+          .select(col(idCol), col(textCol)))
+    }
+    val input = boiler.getOrElse(preLines)
     // materialize the two frontiers that everything downstream re-reads:
     // exactKeep feeds BOTH the pair generation and the survivor join, and
     // afterNear feeds the annotation pass (counts) plus the final
@@ -94,9 +124,23 @@ object Curate {
       .withColumn("__rep_ok", col("dup_token_ratio") <= repCap)
 
     val keepAll = col("__lang_ok") && col("__quality_ok") && col("__rep_ok")
-    val curated = annotated.where(keepAll)
-      .withColumn(textCol, TextAnalysis.redactPii(col(textCol)))
+    val survivors = annotated.where(keepAll)
       .drop("__lang_ok", "__quality_ok", "__rep_ok", "failed_rules")
+    // stage 6 (opt-in): bigram-LM floor, self-trained on the survivors —
+    // the trusted slice IS what the heuristic stages kept. Frontiered so
+    // training, scoring, and the final filter share one materialization;
+    // docs with < 2 tokens cannot be scored and drop (inner join).
+    val afterLm = cfg.lmScoreFloorMicro.map { floor =>
+      val base = Materialize.frontier(survivors)
+      val passing = LanguageModel.score(base,
+          LanguageModel.unigramCounts(base, textCol),
+          LanguageModel.bigramCounts(base, textCol, idCol), textCol, idCol)
+        .where(col("mean_logp_micro") >= floor)
+        .select(col(idCol))
+      base.join(passing, Seq(idCol))
+    }
+    val curated = afterLm.getOrElse(survivors)
+      .withColumn(textCol, TextAnalysis.redactPii(col(textCol)))
 
     def cnt(pred: Column): Column = sum(when(pred, 1L).otherwise(0L))
     val ruleNames = cfg.qualityRuleset.toSeq
@@ -110,14 +154,16 @@ object Curate {
         cnt(col("__lang_ok") && array_contains(col("failed_rules"), r)).as(r))
     val row = annotated.agg(stageAggs.head, stageAggs.tail: _*).first()
 
-    val counts = (Seq(
-      ("0_input", input.count()),
-      ("1_exact_dedup", afterExact.count()),
-      ("2_near_dedup", row.getAs[Long]("__near")),
-      ("3_lang_filter", row.getAs[Long]("__lang")),
-      ("4_quality_floor", row.getAs[Long]("__quality")),
-      ("5_repetition_cap", row.getAs[Long]("__rep"))
-    ) ++ ruleNames.map(r => (s"rule:$r", row.getAs[Long](r))))
+    val counts = (Seq(("0_input", docs.count())) ++
+      boiler.map(b => ("0b_boilerplate", b.count())).toSeq ++
+      Seq(
+        ("1_exact_dedup", afterExact.count()),
+        ("2_near_dedup", row.getAs[Long]("__near")),
+        ("3_lang_filter", row.getAs[Long]("__lang")),
+        ("4_quality_floor", row.getAs[Long]("__quality")),
+        ("5_repetition_cap", row.getAs[Long]("__rep"))) ++
+      afterLm.map(f => ("6_lm_floor", f.count())).toSeq ++
+      ruleNames.map(r => (s"rule:$r", row.getAs[Long](r))))
       .toDF("stage", "n_docs")
     (curated, counts)
   }

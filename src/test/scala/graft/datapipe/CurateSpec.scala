@@ -59,6 +59,55 @@ class CurateSpec extends SparkSpec {
     assert(curated.collect().map(_.getAs[Long]("doc_id")).toSet == Set(1L))
   }
 
+  test("opt-in line stages: boilerplate stripped before dedup, empty docs drop") {
+    val s = spark; import s.implicits._
+    val good = "the quick brown fox and the lazy dog of a house with many different words inside"
+    val other = "the cat and the dog of a house walked to a park and found many things there"
+    val footer = "all rights reserved by this site"
+    val docs = Seq(
+      (1L, s"$good\n$footer"),
+      (2L, s"$good\n$footer"),        // exact dup of 1 AFTER stripping
+      (3L, s"$other\n$footer"),
+      (4L, footer),                   // all-boilerplate -> drops at stage 0b
+      (5L, s"$other\n$other\n$footer") // within-doc repeat collapses first
+    ).toDF("doc_id", "text")
+    val cfg = Curate.Config(dedupLinesWithinDoc = true,
+      boilerplateMinDocFreq = Some(3L))
+    val (curated, counts) = Curate.run(docs, cfg)
+    val c = counts.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(c("0_input") == 5L)
+    assert(c("0b_boilerplate") == 4L) // doc 4 reduced to nothing
+    // docs 2 (exact dup of 1) and 5 (== 3 after line dedup + strip) drop
+    assert(c("1_exact_dedup") == 2L)
+    val kept = curated.collect().map(r =>
+      r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+    assert(kept.keySet == Set(1L, 3L))
+    assert(!kept.values.exists(_.contains(footer)), "footer must be stripped")
+  }
+
+  test("opt-in LM floor: self-trained bigram model drops the OOV outlier") {
+    val s = spark; import s.implicits._
+    // prose docs share vocabulary; the outlier passes every heuristic but
+    // its bigrams are one-off under the survivors' own LM
+    val base = "the cat and the dog walked to the park and back home of a sunny day " +
+      "with the wind of autumn to keep them company and all was well"
+    val docs = ((1 to 8).map(i => (i.toLong, base)) :+
+      (9L, "a zebra quantum flux jumped over twelve purple xylophones near " +
+        "the ancient obsidian monolith while seven crimson dolphins watched quietly"))
+      .toDF("doc_id", "text")
+    // dedup off-path: make each doc unique by appending its id token
+    val uniq = docs.select(col("doc_id"),
+      concat(col("text"), lit(" number"), col("doc_id")).as("text"))
+    val floorCfg = Curate.Config(jaccardThreshold = 1.1, // keep all near-dups
+      lmScoreFloorMicro = Some(-3100000L))
+    val (curated, counts) = Curate.run(uniq, floorCfg)
+    val c = counts.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(c.contains("6_lm_floor"))
+    val kept = curated.collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(!kept.contains(9L), s"OOV outlier must fall below the LM floor: $kept")
+    assert(kept.nonEmpty)
+  }
+
   test("multilingual ruleset: widened allowedLangs widens the stopword rule") {
     val s = spark; import s.implicits._
     val en = "the quick brown fox jumps over a lazy dog and runs " +
