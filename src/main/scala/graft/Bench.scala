@@ -74,12 +74,21 @@ object Bench {
     // they get the same median-of-3 treatment as the pipeline workloads.
     val variance3 = Set("sim3_ivf_topk", "sim4_kmeans_iter")
     var extraRuns = Seq.empty[(String, Double)]
+    // noop sink, not count(): count() lets Catalyst prune every unused
+    // column, so a no-filter pure-projection query (fingerprints, line
+    // dedup, n-gram ratios, packing) was "benchmarked" as its bare scan —
+    // 0.1 s flat across scale factors, the operator itself never executed.
+    // The noop write materializes every output column and row without
+    // filesystem cost; aggregate/join-shaped rows measure the same work
+    // as before (their plans never pruned).
+    def exec(df: org.apache.spark.sql.DataFrame): Unit =
+      df.write.mode("overwrite").format("noop").save()
     val queryTimes = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       if (variance3(name)) {
-        val (med, runs) = median3 { fn(spark, sfDir).count() }
+        val (med, runs) = median3 { exec(fn(spark, sfDir)) }
         extraRuns ++= runs.zipWithIndex.map { case (v, i) => s"${name}_run${i + 1}" -> v }
         name -> med
-      } else name -> time { fn(spark, sfDir).count() }
+      } else name -> time { exec(fn(spark, sfDir)) }
     }
 
     // total counts each workload once (medians), keeping the headline

@@ -332,6 +332,21 @@ object DataPipeQueries {
           TextAnalysis.fingerprintMd5(col("text")).as("fp_md5"))
         .orderBy("doc_id")),
 
+    // Duplicated 5-gram fraction (Gopher's third repetition signal) over
+    // docs with an injected repeated prefix on doc_id%7 — guaranteed
+    // nonzero ratios for the detector to find.
+    "rep2_dup_ngram" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val t = TextAnalysis.tokens(col("text"))
+      val aug = d.select(col("doc_id"),
+        when(col("doc_id") % 7 === 0,
+            concat_ws(" ", col("text"), array_join(slice(t, 1, 20), " ")))
+          .otherwise(col("text")).as("text"))
+      TextAnalysis.withDupNgramRatio(aug, n = 5)
+        .select("doc_id", "dup_ngram_ratio")
+        .orderBy("doc_id")
+    }),
+
     "m1_multimodal_decode" -> ((s, dir) => {
       implicit val sp: SparkSession = s
       Multimodal.decodeStub(Multimodal.fromText(docs(s, dir)))
@@ -1000,6 +1015,25 @@ object DataPipeQueries {
         |FROM t
         |WHERE (1.0 - CAST(len(list_distinct(tk)) AS DOUBLE) / CAST(len(tk) AS DOUBLE)) > 0.5
         |ORDER BY doc_id""".stripMargin,
+    "rep2_dup_ngram" ->
+      """WITH tk AS (
+        |  SELECT doc_id, text, string_split_regex(lower(trim(text)), '\s+') AS t
+        |  FROM documents),
+        |aug AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 7 = 0 THEN text || ' ' || array_to_string(t[1:20], ' ')
+        |         ELSE text END AS text
+        |  FROM tk),
+        |ng AS (
+        |  SELECT doc_id,
+        |    list_transform(generate_series(1, len(t) - 4),
+        |      i -> concat_ws(' ', t[i], t[i+1], t[i+2], t[i+3], t[i+4])) AS l
+        |  FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t FROM aug))
+        |SELECT doc_id,
+        |  CASE WHEN len(l) > 0
+        |       THEN 1.0 - CAST(len(list_distinct(l)) AS DOUBLE) / CAST(len(l) AS DOUBLE)
+        |       ELSE 0.0 END AS dup_ngram_ratio
+        |FROM ng ORDER BY doc_id""".stripMargin,
     "sim4_kmeans_iter" ->
       s"""WITH $quantCte,
          |cents AS (SELECT vec_id AS centroid_id, q AS qc FROM qv WHERE vec_id % 50 = 0),

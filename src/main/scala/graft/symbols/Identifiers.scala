@@ -20,8 +20,13 @@ object Identifiers {
   /** Per-character numeric values: '0'-'9' -> 0-9, 'A'-'Z' -> 10-35,
     * CUSIP specials '*' -> 36, '@' -> 37, '#' -> 38; anything else -> -1.
     * Input must be uppercased. One array element per char.
+    *
+    * Callers validating at scale should bind this to a column and use the
+    * `*ValidFrom` variants: higher-order functions are interpreted, so a
+    * validity expression referencing `charValues(expr)` N times evaluates
+    * the whole transform N times per row.
     */
-  private def charValues(s: Column): Column =
+  private[symbols] def charValues(s: Column): Column =
     transform(sequence(lit(1), length(s)), i => {
       val c = ascii(s.substr(i, lit(1)))
       when(c.between(48, 57), c - 48)
@@ -43,7 +48,13 @@ object Identifiers {
     */
   def cusipValid(raw: Column): Column = {
     val s = upper(trim(raw))
-    val vals = charValues(s)
+    cusipValidFrom(s, charValues(s))
+  }
+
+  /** [[cusipValid]] over pre-bound (uppercased string, charValues) columns
+    * — bind both as attributes so the transform runs once per row.
+    */
+  def cusipValidFrom(s: Column, vals: Column): Column = {
     val body = slice(vals, 1, 8)
     val sum = sumL(transform(body, (v, i) =>
       digitSum(v * when((i + 1) % 2 === 0, 2).otherwise(1))))
@@ -60,7 +71,11 @@ object Identifiers {
     */
   def isinValid(raw: Column): Column = {
     val s = upper(trim(raw))
-    val vals = charValues(s)
+    isinValidFrom(s, charValues(s))
+  }
+
+  /** [[isinValid]] over pre-bound (uppercased string, charValues). */
+  def isinValidFrom(s: Column, vals: Column): Column = {
     val digits = flatten(transform(vals, v =>
       when(v >= 10, array(floor(v / 10).cast("long"), (v % 10).cast("long")))
         .otherwise(array(v.cast("long")))))
@@ -80,7 +95,11 @@ object Identifiers {
     */
   def figiValid(raw: Column): Column = {
     val s = upper(trim(raw))
-    val vals = charValues(s)
+    figiValidFrom(s, charValues(s))
+  }
+
+  /** [[figiValid]] over pre-bound (uppercased string, charValues). */
+  def figiValidFrom(s: Column, vals: Column): Column = {
     val body = slice(vals, 1, 11)
     val sum = sumL(transform(body, (v, i) =>
       digitSum(v * when((i + 1) % 2 === 0, 2).otherwise(1))))

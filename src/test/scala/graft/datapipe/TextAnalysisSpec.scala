@@ -80,6 +80,20 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(3L)._2 == 0.5)
   }
 
+  test("dup n-gram ratio: repeated runs flagged, short/unique docs score 0") {
+    val s = spark; import s.implicits._
+    val d = Seq(
+      (1L, "a b c d e a b c d e"),      // 6 5-grams, "a b c d e" twice -> 1/6
+      (2L, "one two three four five six"), // all distinct -> 0.0
+      (3L, "too short")                  // < 5 tokens -> 0.0
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.withDupNgramRatio(d, n = 5)
+      .select("doc_id", "dup_ngram_ratio")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(math.abs(out(1L) - 1.0 / 6.0) < 1e-12)
+    assert(out(2L) == 0.0 && out(3L) == 0.0)
+  }
+
   test("fingerprints are normalization-stable") {
     val s = spark; import s.implicits._
     val df = Seq((1L, "  Hello World  "), (2L, "hello world")).toDF("doc_id", "text")
