@@ -67,10 +67,17 @@ object Curate {
     // a pure map; boilerplate stripping is frontiered because its output
     // feeds both the count and the dedup chain, and docs reduced to
     // nothing (every line corpus-frequent) drop here.
-    val preLines =
+    val preLines0 =
       if (cfg.dedupLinesWithinDoc)
         docs.withColumn(textCol, Boilerplate.dedupLinesInDoc(col(textCol)))
       else docs
+    // stripBoilerplate scans its input twice (blocklist build + strip
+    // join) — when the O(lines²)-per-doc dedup expression feeds it,
+    // materialize first so the dedup runs once, not twice
+    val preLines =
+      if (cfg.dedupLinesWithinDoc && cfg.boilerplateMinDocFreq.isDefined)
+        Materialize.frontier(preLines0)
+      else preLines0
     val boiler = cfg.boilerplateMinDocFreq.map { k =>
       Materialize.frontier(
         Boilerplate.stripBoilerplate(preLines, k, textCol, idCol)
@@ -137,7 +144,11 @@ object Curate {
           LanguageModel.bigramCounts(base, textCol, idCol), textCol, idCol)
         .where(col("mean_logp_micro") >= floor)
         .select(col(idCol))
-      base.join(passing, Seq(idCol))
+      // frontier the JOINED result, not just base: the train+score
+      // pipeline (two count shuffles + the bigram explode-join) feeds
+      // both the 6_lm_floor count and the returned curated frame — left
+      // lazy it would execute twice
+      Materialize.frontier(base.join(passing, Seq(idCol)))
     }
     val curated = afterLm.getOrElse(survivors)
       .withColumn(textCol, TextAnalysis.redactPii(col(textCol)))

@@ -26,13 +26,19 @@ object Sampling {
   /** Inclusion-hash space: first 6 md5 hex digits = 24 bits. */
   val HashSpace: Long = 1L << 24
 
+  /** md5("seed|id") — the single source of the cross-engine hash-string
+    * format every deterministic-ordering/inclusion twin (and every DuckDB
+    * oracle) reproduces. Change the format here and NOWHERE else.
+    */
+  private[datapipe] def hashStr(id: Column, seed: Long): Column =
+    md5(concat_ws("|", lit(seed), id.cast("string")))
+
   /** Deterministic uniform hash in [0, 2^24): the first 6 hex digits of
     * md5("seed|id"). 24 bits keeps the value exactly convertible in any
     * engine (and far below double's 2^53 if arithmetic routes through FP).
     */
   def inclusionHash(id: Column, seed: Long): Column =
-    conv(substring(md5(concat_ws("|", lit(seed), id.cast("string"))), 1, 6),
-      16, 10).cast("long")
+    conv(substring(hashStr(id, seed), 1, 6), 16, 10).cast("long")
 
   /** The integer inclusion threshold for a fraction in [0, 1]. */
   def thresholdFor(fraction: Double): Long = {
@@ -84,7 +90,7 @@ object Sampling {
                       cap: Int, seed: Long = 42L, nSalts: Int = 16,
                       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val assigned = Similarity.ivfAssignIds(vecs, centroids, idCol, vecCol)
-    val hash = md5(concat_ws("|", lit(seed), col(idCol).cast("string")))
+    val hash = hashStr(col(idCol), seed)
     // the global top-cap of the union of per-salt top-caps IS the global
     // top-cap (every global winner wins its own salt group), so the split
     // is semantically invisible — same rows, same ranks, any salt count
@@ -134,11 +140,15 @@ object Sampling {
                     textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     require(budget > 0, "budget must be positive")
     val w = Window.partitionBy("shard")
-      .orderBy(md5(concat_ws("|", lit(seed), col(idCol).cast("string"))), col(idCol))
+      .orderBy(hashStr(col(idCol), seed), col(idCol))
+    // explicit ROWS frame: the default RANGE frame treats ORDER BY peers
+    // (duplicate ids) as one group, diverging from the oracle's pinned
+    // ROWS semantics exactly when the input is dirty
+    val wCum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     assignShards(docs, nShards, seed, idCol)
       .withColumn("n_tokens", TextAnalysis.tokenCount(col(textCol)).cast("long"))
       .withColumn("bin",
-        floor((sum(col("n_tokens")).over(w) - col("n_tokens")).cast("double") /
+        floor((sum(col("n_tokens")).over(wCum) - col("n_tokens")).cast("double") /
           lit(budget.toDouble)).cast("long"))
       .withColumn("pack_order", row_number().over(w).cast("long"))
       .select(col(idCol), col("shard"), col("n_tokens"), col("bin"), col("pack_order"))

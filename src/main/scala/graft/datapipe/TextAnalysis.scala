@@ -164,15 +164,24 @@ object TextAnalysis {
   def withDupNgramRatio(docs: DataFrame, n: Int = 5,
                         textCol: String = "text"): DataFrame = {
     val t = col("__toks")
-    val ng = transform(sequence(lit(0), size(t) - n),
-      i => concat_ws(" ", (0 until n).map(k => element_at(t, i + k + 1)): _*))
+    // the n-gram array is ALSO bound (`__ng`): the ratio references it
+    // twice (distinct size / total size), and an inline transform would
+    // build it twice per row. The < n guard lives inside the binding —
+    // sequence(0, negative) descends and element_at(_, 0) throws under
+    // ANSI, so short docs must short-circuit to an empty array.
+    val ng = when(size(t) >= n,
+        transform(sequence(lit(0), size(t) - n),
+          i => concat_ws(" ", (0 until n).map(k => element_at(t, i + k + 1)): _*)))
+      .otherwise(array().cast("array<string>"))
     docs
       .withColumn("__toks", tokens(col(textCol)))
+      .withColumn("__ng", ng)
       .withColumn("dup_ngram_ratio",
-        when(size(t) >= n,
-            lit(1.0) - size(array_distinct(ng)).cast("double") / size(ng).cast("double"))
+        when(size(col("__ng")) > 0,
+            lit(1.0) - size(array_distinct(col("__ng"))).cast("double") /
+              size(col("__ng")).cast("double"))
           .otherwise(lit(0.0)))
-      .drop("__toks")
+      .drop("__toks", "__ng")
   }
 
   /** Stable content fingerprint (md5 of normalized text) for exact dedup
