@@ -67,12 +67,33 @@ object Bench {
         1704202200000000000L, 390), "bench-day")
     }
 
-    // The two fixed-centroid comparability rows are the documented
-    // superlinear-by-construction plans (n*k assignment work): their 8M-row
-    // broadcast-NL intermediates make single measurements swing 2-4x on
-    // identical data (measured 12-56 s at sf1 across identical runs), so
-    // they get the same median-of-3 treatment as the pipeline workloads.
-    val variance3 = Set("sim3_ivf_topk", "sim4_kmeans_iter")
+    // Rows whose single measurements are untrustworthy get median-of-3
+    // (per-run values kept in the "runs" object):
+    //  - the two fixed-centroid comparability rows: 8M-row broadcast-NL
+    //    intermediates swing 2-4x on identical data (12-56 s at sf1);
+    //  - every row that performs real filesystem writes (temp-dir
+    //    roundtrips, streaming checkpoints, frontier-backed multi-stage
+    //    pipelines): one-shot timings of these swung 4-5x between driver
+    //    runs (s9_report_roundtrip 13.2 s at sf0.1 vs 2.7 s at sf1 on 10x
+    //    the data) — the same noise class that cost a round of
+    //    investigation on pipeline_day_50sym;
+    //  - the two deliberately-skewed synthetic rows, flagged for the same
+    //    one-shot inversions in BENCH_r06.
+    val variance3 = Set(
+      "sim3_ivf_topk", "sim4_kmeans_iter",
+      // temp-dir write roundtrips
+      "s2_empty_view_fallback", "s3_write_roundtrip_idempotent",
+      "s5_pipeline_roundtrip", "s7_load_ohlcv_window",
+      "s8_scd_write_roundtrip", "s9_report_roundtrip",
+      "s12_metrics_roundtrip", "s12_metrics_dashboard",
+      "a11_storage_stats", "t2_streaming_resample", "t3_checkpoint_resume",
+      "t6_backfill_roundtrip", "t7_job_state_machine", "t9_prune_roundtrip",
+      "v2_post_ingest_verification", "agg_reaggregate", "o5_files_recent",
+      "o6_job_history", "p4_partition_pruned_scan", "stream_doc_curate",
+      // frontier-backed multi-stage pipelines (scratch parquet writes)
+      "curate_pipeline", "curate_ruleset_pipeline",
+      // deliberately-skewed synthetic rows
+      "skew_salted_agg", "skew_salted_join")
     var extraRuns = Seq.empty[(String, Double)]
     // noop sink, not count(): count() lets Catalyst prune every unused
     // column, so a no-filter pure-projection query (fingerprints, line

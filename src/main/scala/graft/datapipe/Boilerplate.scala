@@ -4,8 +4,10 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Line-level deduplication for training-data curation — the published
-  * boilerplate-removal stage (C4 drops any line occurring >= 3 times in
-  * the corpus; Lee et al. 2022 show corpus-level repeated-substring
+  * boilerplate-removal stage (here: drop lines appearing in >= 3 DISTINCT
+  * documents, a document-frequency variant of C4's occurrence rule — a
+  * line repeated 3x inside a single document is deliberately kept;
+  * Lee et al. 2022 show corpus-level repeated-substring
   * removal improves LM quality): navigation chrome, cookie banners,
   * license footers repeat across millions of pages and survive
   * document-level dedup because the documents AROUND them differ.

@@ -156,14 +156,27 @@ object Curate {
     def cnt(pred: Column): Column = sum(when(pred, 1L).otherwise(0L))
     val ruleNames = cfg.qualityRuleset.toSeq
       .flatMap(q => QualityRules.rules(q).map(_._1))
+    // the LM-floor count rides the SAME aggregate: the materialized LM
+    // survivor ids join back onto the annotated frame as an __lm_ok flag
+    // (an id-only scan of the already-written frontier parquet), so no
+    // separate count() action runs for stage 6. No broadcast hint: the
+    // survivor-id side is corpus-sized, so AQE decides at runtime.
+    val annotatedAll = afterLm match {
+      case Some(f) =>
+        annotated.join(
+          f.select(col(idCol)).withColumn("__lm_ok", lit(true)),
+          Seq(idCol), "left")
+      case None => annotated
+    }
     val stageAggs = Seq(
       count(lit(1)).as("__near"),
       cnt(col("__lang_ok")).as("__lang"),
       cnt(col("__lang_ok") && col("__quality_ok")).as("__quality"),
       cnt(keepAll).as("__rep")) ++
+      afterLm.map(_ => cnt(col("__lm_ok")).as("__lm")).toSeq ++
       ruleNames.map(r =>
         cnt(col("__lang_ok") && array_contains(col("failed_rules"), r)).as(r))
-    val row = annotated.agg(stageAggs.head, stageAggs.tail: _*).first()
+    val row = annotatedAll.agg(stageAggs.head, stageAggs.tail: _*).first()
 
     val counts = (Seq(("0_input", docs.count())) ++
       boiler.map(b => ("0b_boilerplate", b.count())).toSeq ++
@@ -173,7 +186,7 @@ object Curate {
         ("3_lang_filter", row.getAs[Long]("__lang")),
         ("4_quality_floor", row.getAs[Long]("__quality")),
         ("5_repetition_cap", row.getAs[Long]("__rep"))) ++
-      afterLm.map(f => ("6_lm_floor", f.count())).toSeq ++
+      afterLm.map(_ => ("6_lm_floor", row.getAs[Long]("__lm"))).toSeq ++
       ruleNames.map(r => (s"rule:$r", row.getAs[Long](r))))
       .toDF("stage", "n_docs")
     (curated, counts)

@@ -56,6 +56,12 @@ object LanguageModel {
 
   /** Keep the `topN` most frequent rows of a count table — the
     * broadcastable production model (count desc, key tie-break).
+    *
+    * Pruning the two tables independently can leave a surviving bigram
+    * whose w1 unigram was pruned: its n_w resolves to 0 at scoring time
+    * while n_bg may exceed V, which would make the smoothed ratio > 1.
+    * [[score]] clamps the ratio at 1.0, so inconsistent pruning degrades
+    * to a 0-logp bigram instead of a positive "probability".
     */
   def pruneModel(counts: DataFrame, topN: Int): DataFrame = {
     val key = counts.columns.filter(_ != "n_w").filter(_ != "n_bg").map(col)
@@ -76,9 +82,12 @@ object LanguageModel {
       .join(bigrams.select(col("w1"), col("w2"), col("n_bg")), Seq("w1", "w2"), "left")
       .join(unigrams.select(col("token").as("w1"), col("n_w")), Seq("w1"), "left")
       .crossJoin(broadcast(v))
-      .withColumn("__logp", QualityClassifier.quantLog(
+      // least(1.0, ·): a probability can only exceed 1 when the two count
+      // tables are inconsistently pruned (bigram kept, its w1 unigram
+      // dropped -> n_w=0 with n_bg+1 > V); clamping keeps every logp <= 0
+      .withColumn("__logp", QualityClassifier.quantLog(least(lit(1.0),
         (coalesce(col("n_bg"), lit(0L)) + 1L).cast("double") /
-          (coalesce(col("n_w"), lit(0L)) + col("__v")).cast("double")))
+          (coalesce(col("n_w"), lit(0L)) + col("__v")).cast("double"))))
       .groupBy(idCol)
       .agg(count(lit(1)).as("n_bigrams"),
         sum(col("__logp")).as("sum_logp_micro"))

@@ -128,7 +128,11 @@ object Sampling {
     *
     * Output: (id, shard, n_tokens, bin, pack_order). Deterministic —
     * shard, order, and bin are pure functions of (seed, id, text), so a
-    * re-run or another engine reproduces the exact packing.
+    * re-run or another engine reproduces the exact packing. PRECONDITION:
+    * ids are unique (the curation contract upstream guarantees it) — the
+    * walk order is (hash(seed|id), id), so duplicate ids are order peers
+    * and their relative placement (hence bin/pack_order) would be engine-
+    * and run-dependent. Dedup first; this is an exporter, not a cleaner.
     *
     * Scale shape: one window sort per shard (export-time, the same
     * per-stratum-sort shape as [[tokenBudget]]); shards are numerous

@@ -11,16 +11,29 @@ import org.apache.spark.sql.functions._
   */
 object Skew {
 
-  /** Salted equi-join: the skewed (large) side gets a random salt in
-    * [0, salts); the small side is replicated once per salt value. The
-    * shuffle key becomes (key, salt), splitting each hot key across
-    * `salts` reducers. Row-multiplication happens only on the small side.
+  /** Salted equi-join: the skewed (large) side gets a salt in [0, salts);
+    * the small side is replicated once per salt value. The shuffle key
+    * becomes (key, salt), splitting each hot key across `salts` reducers.
+    * Row-multiplication happens only on the small side.
+    *
+    * The salt hashes the large side's non-key columns (`saltCols`,
+    * default: all other columns) — the same xxhash64 scheme as
+    * [[saltedAgg]], so routing is deterministic under task retries and
+    * input re-partitioning (a partition-id salt routes the same row to
+    * different buckets across runs; results are identical either way, but
+    * deterministic placement keeps reruns and speculative tasks
+    * byte-stable). Fully-duplicate rows share a salt; a hot key still
+    * spreads as long as its payloads differ, which is what makes it hot.
     */
   def saltedJoin(
       large: DataFrame, small: DataFrame, key: String,
-      salts: Int, joinType: String = "inner"): DataFrame = {
+      salts: Int, joinType: String = "inner",
+      saltCols: Seq[String] = Nil): DataFrame = {
+    val basis0 = if (saltCols.nonEmpty) saltCols
+                 else large.columns.filterNot(_ == key).toSeq
+    val basis = if (basis0.nonEmpty) basis0 else Seq(key)
     val salted = large.withColumn("_salt",
-      pmod(spark_partition_id() + monotonically_increasing_id(), lit(salts)).cast("int"))
+      pmod(xxhash64(basis.map(col): _*), lit(salts)).cast("int"))
     val replicated = small
       .withColumn("_salt", explode(sequence(lit(0), lit(salts - 1))))
       .withColumn("_salt", col("_salt").cast("int"))

@@ -43,10 +43,14 @@ object DataPipeQueries {
     * corpus-frequent lines and within-doc repeats for the line-dedup ops.
     */
   private def multilineDocs(s: SparkSession, dir: String): DataFrame = {
-    val t = TextAnalysis.tokens(col("text"))
+    // bind the token array as an attribute: it is referenced four times
+    // below, and a non-attribute expression re-tokenizes per reference
+    val t = col("__t")
     val l1 = array_join(slice(t, 1, 12), " ")
     val l2 = array_join(slice(t, 13, 12), " ")
-    val l3 = array_join(slice(t, 25, 100000), " ")
+    // size(t)-length slice = unbounded tail, matching the oracle's t[25:]
+    // (a fixed bound would silently diverge past that many tokens)
+    val l3 = array_join(slice(t, lit(25), greatest(size(t), lit(1))), " ")
     val parts = array(
       l1, l2, l3,
       when(col("doc_id") % 4 === 0, l1).otherwise(lit("")),
@@ -54,8 +58,10 @@ object DataPipeQueries {
         lit("subscribe to our newsletter for updates")).otherwise(lit("")),
       when(col("doc_id") % 5 === 0,
         lit("all rights reserved by the publisher")).otherwise(lit("")))
-    docs(s, dir).select(col("doc_id"),
-      array_join(filter(parts, x => x =!= ""), "\n").as("text"))
+    docs(s, dir)
+      .withColumn("__t", TextAnalysis.tokens(col("text")))
+      .select(col("doc_id"),
+        array_join(filter(parts, x => x =!= ""), "\n").as("text"))
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -442,6 +448,44 @@ object DataPipeQueries {
       s.sql("""SELECT CAST(count(*) AS BIGINT) AS n_kept,
               |       CAST(sum(n_tokens) AS BIGINT) AS kept_tokens
               |FROM stream_doc_sink""".stripMargin)
+    }),
+
+    // Streaming incremental-LSH near-dup: near-dups of the corpus
+    // (truncated copies, ids +100000) and novel docs (synthetic qz-token
+    // text, ids +200000) arrive as one stream; each micro-batch's band
+    // rows look up the persisted corpus band index and colliders drop.
+    // Summarized by (n_kept, id_sum) — ids are deterministic, so the
+    // result is invariant to batch boundaries and arrival order.
+    "stream_neardup" -> ((s, dir) => {
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val stored = docs(s, dir).select("doc_id", "text")
+      val t = TextAnalysis.tokens(col("text"))
+      val incoming = stored.where(col("doc_id") < 50)
+        .select((col("doc_id") + 100000L).as("doc_id"),
+          array_join(slice(t, lit(1), greatest(size(t) - 5, lit(1))), " ").as("text"))
+        .unionByName(stored.where(col("doc_id") >= 50 && col("doc_id") < 80)
+          .select((col("doc_id") + 200000L).as("doc_id"),
+            concat_ws(" ", lit("qznovel"), col("doc_id").cast("string"),
+              lit("qzalpha"), col("doc_id").cast("string"),
+              lit("qzbeta qzgamma")).as("text")))
+      val idx = Dedup.minhashBandsPortable(stored, k = 16, bands = 4)
+        .localCheckpoint()
+      val mem = MemoryStream[(Long, String)]
+      mem.addData(incoming.collect().map(r => (r.getLong(0), r.getString(1))).toSeq)
+      val keptIds = java.util.Collections.synchronizedList(
+        new java.util.ArrayList[java.lang.Long]())
+      val writer = graft.streaming.StreamingDocs.nearDupStream(
+        mem.toDF().toDF("doc_id", "text"), () => idx) { (kept, _, _) =>
+        kept.select("doc_id").collect().foreach(r => keptIds.add(r.getLong(0)))
+      }
+      val ckpt = java.nio.file.Files.createTempDirectory("graft_snd_ckpt").toString
+      val q = writer.option("checkpointLocation", ckpt).start()
+      try q.processAllAvailable() finally q.stop()
+      import scala.jdk.CollectionConverters._
+      val ids = keptIds.asScala.map(_.longValue()).toSeq
+      Seq((ids.size.toLong, ids.sum)).toDF("n_kept", "id_sum")
     }),
 
     // Salted two-phase aggregation over hot keys (3 return flags carry
@@ -896,6 +940,43 @@ object DataPipeQueries {
          |       CAST(sum(n_tokens) AS BIGINT) AS kept_tokens
          |FROM x WHERE NOT coalesce($anyFail, false)""".stripMargin
     },
+    "stream_neardup" ->
+      s"""WITH inc AS (
+         |  SELECT doc_id + 100000 AS doc_id,
+         |         array_to_string(list_slice(t, 1, greatest(len(t) - 5, 1)), ' ') AS text
+         |  FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t
+         |        FROM documents WHERE doc_id < 50)
+         |  UNION ALL
+         |  SELECT doc_id + 200000 AS doc_id,
+         |         concat_ws(' ', 'qznovel', CAST(doc_id AS VARCHAR), 'qzalpha',
+         |                   CAST(doc_id AS VARCHAR), 'qzbeta qzgamma') AS text
+         |  FROM documents WHERE doc_id >= 50 AND doc_id < 80),
+         |base AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL SELECT doc_id, text FROM inc),
+         |sh AS (
+         |  SELECT DISTINCT doc_id,
+         |         concat_ws(' ', t[i], t[i+1], t[i+2]) AS shingle
+         |  FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t
+         |        FROM base)
+         |  CROSS JOIN LATERAL (SELECT unnest(generate_series(1, len(t) - 2)) AS i)
+         |  WHERE len(t) >= 3),
+         |idx AS (SELECT unnest(range(0, 16)) AS i),
+         |mh AS (
+         |  SELECT doc_id, i, min(md5(concat(i, '|', shingle))) AS h
+         |  FROM sh CROSS JOIN idx GROUP BY doc_id, i),
+         |sig AS (SELECT doc_id, list(h ORDER BY i) AS s FROM mh GROUP BY doc_id),
+         |bandidx AS (SELECT unnest(range(0, 4)) AS b),
+         |banded AS (
+         |  SELECT doc_id, b, md5(array_to_string(s[b*4+1 : b*4+4], ',')) AS bucket
+         |  FROM sig CROSS JOIN bandidx),
+         |dup AS (
+         |  SELECT DISTINCT y.doc_id AS incoming_id
+         |  FROM banded x JOIN banded y ON x.b = y.b AND x.bucket = y.bucket
+         |  WHERE x.doc_id < 100000 AND y.doc_id >= 100000)
+         |SELECT CAST(count(*) AS BIGINT) AS n_kept,
+         |       CAST(coalesce(sum(doc_id), 0) AS BIGINT) AS id_sum
+         |FROM inc WHERE doc_id NOT IN (SELECT incoming_id FROM dup)""".stripMargin,
     "skew_salted_agg" ->
       """SELECT l_returnflag,
         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
@@ -1159,8 +1240,8 @@ object DataPipeQueries {
          |  WHERE len(t) >= 2),
          |sc AS (
          |  SELECT doc_id, count(*) AS n_bigrams,
-         |    CAST(sum(CAST(floor(ln(CAST(coalesce(n_bg, 0) + 1 AS DOUBLE)
-         |      / CAST(coalesce(n_w, 0) + v AS DOUBLE)) * 1000000 + 0.5) AS BIGINT)) AS BIGINT)
+         |    CAST(sum(CAST(floor(ln(least(1.0, CAST(coalesce(n_bg, 0) + 1 AS DOUBLE)
+         |      / CAST(coalesce(n_w, 0) + v AS DOUBLE))) * 1000000 + 0.5) AS BIGINT)) AS BIGINT)
          |      AS sum_logp_micro
          |  FROM dbg
          |  LEFT JOIN gbg USING (w1, w2)

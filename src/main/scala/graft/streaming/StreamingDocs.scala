@@ -1,8 +1,9 @@
 package graft.streaming
 
-import graft.datapipe.{QualityRules, TextAnalysis}
-import org.apache.spark.sql.DataFrame
+import graft.datapipe.{Dedup, QualityRules, TextAnalysis}
+import org.apache.spark.sql.{DataFrame, Dataset, Row}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.DataStreamWriter
 
 /** Streaming document intake — the incremental-corpus twin of the batch
   * datapipe operators: documents arrive as a stream (crawl output, upload
@@ -46,4 +47,53 @@ object StreamingDocs {
       .where(size(col("failed_rules")) === 0)
       .drop("failed_rules")
   }
+
+  /** Streaming incremental-LSH near-dup — the stream twin of
+    * [[graft.datapipe.Dedup.incrementalLshCandidates]]: each micro-batch
+    * is MinHash-banded (the portable md5 variant, so any engine verifies
+    * the routing) and every document sharing AT LEAST ONE (band, bucket)
+    * with the persisted corpus band index drops as a near-dup of the
+    * existing corpus. Survivors and their band rows go to `sink`
+    * (typically: append the docs to the corpus and the bands to the
+    * index — `storedBands` is a thunk so a caller that appends can have
+    * later batches dedup against earlier survivors too).
+    *
+    * Returns the configured [[DataStreamWriter]]; the caller sets the
+    * checkpoint location / trigger and starts it.
+    *
+    * Scale shape (100 TB lens): banding a micro-batch is map + one
+    * (id)-keyed combine over the batch only; the lookup is a
+    * (band, bucket) semi-join to which the corpus contributes INDEX ROWS
+    * only — never text or signatures. Streaming state is empty (the
+    * index lives in a table, exactly like the batch incremental path).
+    * Within-batch self-pairs are deliberately out of scope: corpus-
+    * internal near-dup is the batch compaction pass's job
+    * ([[graft.datapipe.Dedup.minhashLshCandidates]]).
+    */
+  def nearDupStream(
+      docs: DataFrame,
+      storedBands: () => DataFrame,
+      k: Int = 16,
+      bands: Int = 4,
+      n: Int = 3,
+      textCol: String = "text",
+      idCol: String = "doc_id")(
+      sink: (DataFrame, DataFrame, Long) => Unit): DataStreamWriter[Row] =
+    docs.writeStream.foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+      // checkpoint the banded batch: it feeds both the dup lookup and the
+      // survivor band rows, and micro-batches are executor-memory sized
+      val banded = Dedup
+        .minhashBandsPortable(batch.toDF(), k, bands, n, textCol, idCol)
+        .localCheckpoint()
+      val dupIds = banded
+        .join(storedBands().select(col("band"), col("bucket")),
+          Seq("band", "bucket"), "left_semi")
+        .select(col(idCol)).distinct()
+        .localCheckpoint()
+      // docs too short to shingle have no band rows and can never
+      // collide — they pass, matching the batch operator's semantics
+      val kept = batch.toDF().join(dupIds, Seq(idCol), "left_anti")
+      val keptBands = banded.join(dupIds, Seq(idCol), "left_anti")
+      sink(kept, keptBands, batchId)
+    }
 }

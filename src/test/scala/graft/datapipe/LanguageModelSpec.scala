@@ -66,6 +66,21 @@ class LanguageModelSpec extends SparkSpec {
     assert(kept.contains(("sat", "on")) && kept.contains(("on", "the")))
   }
 
+  test("inconsistently pruned tables never yield a positive logp") {
+    val s = spark; import s.implicits._
+    // prune unigrams hard (keep 1) but bigrams not at all: surviving
+    // bigrams whose w1 unigram was dropped see n_w=0 with n_bg+1 > V —
+    // without the clamp the smoothed "probability" exceeds 1
+    val uni = LanguageModel.pruneModel(LanguageModel.unigramCounts(trusted), 1)
+    val bg = LanguageModel.bigramCounts(trusted)
+    val out = LanguageModel.score(
+      Seq((1L, "the cat sat on the mat")).toDF("doc_id", "text"), uni, bg)
+      .collect()
+    assert(out.length == 1)
+    assert(out.head.getAs[Long]("sum_logp_micro") <= 0L,
+      s"clamped logp must stay <= 0, got ${out.head.getAs[Long]("sum_logp_micro")}")
+  }
+
   test("trainAndScore: rules-kept prose scores above degenerate docs") {
     val s = spark; import s.implicits._
     val corpus = ((0 until 8).map(i => (i.toLong,

@@ -17,6 +17,26 @@ class SkewSpec extends SparkSpec {
     assert(salted.getDouble(1) == plain.getDouble(1))
   }
 
+  test("salted join is row-equivalent and invariant to input partitioning") {
+    val s = spark; import s.implicits._
+    val large = (1 to 5000).map(i => (if (i % 10 == 0) "HOT" else s"k$i", i))
+      .toDF("key", "v")
+    val small = Seq(("HOT", 1.0), ("k1", 2.0), ("k2", 3.0)).toDF("key", "w")
+    val plain = large.join(small, Seq("key"))
+    val salted = Skew.saltedJoin(large, small, "key", salts = 8)
+    // exact multiset equality, not just aggregates
+    assert(salted.exceptAll(plain).count() == 0)
+    assert(plain.exceptAll(salted).count() == 0)
+    // the content-hash salt makes routing (and thus the result) stable
+    // under re-partitioning — the partition-id salt this replaced was not
+    val reparted = Skew.saltedJoin(large.repartition(17), small, "key", salts = 8)
+    assert(reparted.exceptAll(salted).count() == 0)
+    assert(salted.exceptAll(reparted).count() == 0)
+    // left join: unmatched large rows survive exactly once per source row
+    val left = Skew.saltedJoin(large, small, "key", salts = 8, joinType = "left")
+    assert(left.count() == large.count())
+  }
+
   test("salted aggregation equals plain aggregation") {
     val s = spark; import s.implicits._
     val df = (1 to 10000).map(i => (if (i % 3 == 0) "HOT" else s"k${i % 50}", i.toLong))

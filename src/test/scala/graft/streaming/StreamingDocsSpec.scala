@@ -46,4 +46,42 @@ class StreamingDocsSpec extends SparkSpec {
       assert(rows.forall(_.getLong(1) >= 20L))
     } finally q.stop()
   }
+
+  test("nearDupStream drops corpus near-dups, keeps novel docs, updates the index via sink") {
+    val s = spark; import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val corpusText = "the quick brown fox jumps over a lazy dog and runs " +
+      "far away to the green hills where the sun sets slowly every evening"
+    val corpus = Seq((1L, corpusText)).toDF("doc_id", "text")
+    // persisted band index, grown by the sink as batches land
+    var index = graft.datapipe.Dedup
+      .minhashBandsPortable(corpus, k = 16, bands = 4).localCheckpoint()
+    val kept = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val mem = MemoryStream[(Long, String)]
+    val writer = StreamingDocs.nearDupStream(
+      mem.toDF().toDF("doc_id", "text"), () => index) { (k, kBands, _) =>
+      kept ++= k.select("doc_id").collect().map(_.getLong(0))
+      index = index.unionByName(kBands).localCheckpoint()
+    }
+    val q = writer.option("checkpointLocation", tmpDir("snd_ckpt")).start()
+    try {
+      // batch 1: a truncated near-copy of the corpus doc + a novel doc
+      val novel = "completely different words about sailing boats across " +
+        "wide oceans under bright stars with steady winds at night"
+      mem.addData(Seq(
+        (10L, corpusText.split(" ").dropRight(3).mkString(" ")),
+        (11L, novel)))
+      q.processAllAvailable()
+      assert(kept.toSet == Set(11L),
+        s"near-copy must drop, novel doc must survive: $kept")
+      // batch 2: a near-copy of batch 1's SURVIVOR — caught only because
+      // the sink appended the survivor's bands to the index
+      mem.addData(Seq(
+        (20L, novel.split(" ").dropRight(2).mkString(" ")),
+        (21L, "short doc"))) // < 3 tokens: no band rows, always kept
+      q.processAllAvailable()
+      assert(kept.toSet == Set(11L, 21L),
+        s"survivor near-copy must drop against the grown index: $kept")
+    } finally q.stop()
+  }
 }
