@@ -76,6 +76,44 @@ object Materialize {
       Runtime.getRuntime.addShutdownHook(new Thread(() => cleanupScratch()))
     }
 
+  /** Reap scratch frontier directories whose modification time is older
+    * than `cutoffMillis` (epoch ms) under this session's configured
+    * scratch dir. The shutdown hook only covers JVMs that SHUT DOWN — a
+    * long-running streaming driver never reaches it, and crashed
+    * applications never do, so a shared scratch dir accumulates dead
+    * frontiers without periodic reaping. Age, not ownership, is the
+    * contract: a streaming driver's own day-old frontiers are long
+    * consumed (frontiers live for one composition, not one application),
+    * and another app's live frontiers are younger than any sane cutoff.
+    * Emptied per-application namespaces are removed with their last
+    * frontier. Returns the number of frontier dirs deleted.
+    *
+    * For `30d`-style age expressions, see `graft.jobs.Prune.reapScratch`
+    * (the retention-pruning parser composed with this primitive).
+    */
+  def reapScratch(spark: org.apache.spark.sql.SparkSession,
+                  cutoffMillis: Long): Long = {
+    spark.conf.getOption(ScratchDirConf).filter(_.nonEmpty) match {
+      case None => 0L
+      case Some(dir) =>
+        val conf = spark.sparkContext.hadoopConfiguration
+        val root = new org.apache.hadoop.fs.Path(dir)
+        val fs = root.getFileSystem(conf)
+        if (!fs.exists(root)) return 0L
+        var deleted = 0L
+        fs.listStatus(root).filter(_.isDirectory).foreach { app =>
+          fs.listStatus(app.getPath).filter(_.isDirectory).foreach { fr =>
+            if (fr.getModificationTime < cutoffMillis &&
+                fs.delete(fr.getPath, true)) deleted += 1
+          }
+          if (fs.listStatus(app.getPath).isEmpty &&
+              app.getModificationTime < cutoffMillis)
+            fs.delete(app.getPath, true)
+        }
+        deleted
+    }
+  }
+
   def frontier(df: DataFrame): DataFrame = {
     val conf = df.sparkSession.conf
     val threshold = conf.getOption(LocalMaxBytesConf)

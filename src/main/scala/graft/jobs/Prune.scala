@@ -30,6 +30,17 @@ object Prune {
       .select("frame", "symbol", "date").distinct()
       .where(col("date") < to_date(lit(cutoff.toString)))
 
+  /** Age-expression form of [[graft.core.Materialize.reapScratch]]: reap
+    * materialization-scratch frontier dirs older than a `30d`/`2m`-style
+    * cutoff (same parser as partition retention). Day granularity — for a
+    * streaming driver's periodic hygiene tick, not sub-hour GC.
+    */
+  def reapScratch(spark: SparkSession, ageExpr: String,
+                  today: LocalDate = LocalDate.now(java.time.ZoneOffset.UTC)): Long =
+    graft.core.Materialize.reapScratch(spark,
+      cutoffDate(ageExpr, today)
+        .atStartOfDay(java.time.ZoneOffset.UTC).toInstant.toEpochMilli)
+
   /** Delete prunable partition directories. Destructive — driver-side
     * filesystem walk over exactly the partitions selected above.
     */

@@ -71,4 +71,42 @@ class MaterializeSpec extends SparkSpec {
       spark.conf.unset(Materialize.ScratchDirConf)
     }
   }
+
+  test("reapScratch deletes aged frontier dirs, keeps live ones, clears dead-app husks") {
+    val dir = java.nio.file.Files.createTempDirectory("mat_scratch_reap").toString
+    spark.conf.set(Materialize.LocalMaxBytesConf, "0")
+    spark.conf.set(Materialize.ScratchDirConf, dir)
+    try {
+      val now = System.currentTimeMillis()
+      val dayMs = 24L * 3600 * 1000
+      def frontierDir(m: org.apache.spark.sql.DataFrame) =
+        new java.io.File(new java.net.URI(m.inputFiles.head)).getParentFile
+      val oldF = Materialize.frontier(df)
+      val liveF = Materialize.frontier(df)
+      assert(rows(oldF) == rows(df) && rows(liveF) == rows(df))
+      val oldDir = frontierDir(oldF)
+      val liveDir = frontierDir(liveF)
+      assert(oldDir.setLastModified(now - 2 * dayMs)) // abandoned yesterday
+      // a crashed application's leftover namespace: old frontier inside
+      val deadApp = new java.io.File(dir, "application_dead_00000000")
+      val deadFr = new java.io.File(deadApp, "frontier_1")
+      assert(deadFr.mkdirs())
+      java.nio.file.Files.write(deadFr.toPath.resolve("part-0.parquet"), Array[Byte](1))
+      assert(deadFr.setLastModified(now - 3 * dayMs))
+      assert(deadApp.setLastModified(now - 3 * dayMs))
+      // reap everything untouched for > 1 day (streaming-driver hygiene tick)
+      val n = Materialize.reapScratch(spark, now - dayMs)
+      assert(n == 2L, s"expected the aged + dead frontiers reaped, got $n")
+      assert(!oldDir.exists() && !deadFr.exists())
+      assert(!deadApp.exists(), "emptied dead-app namespace must go with its last frontier")
+      assert(liveDir.exists(), "live frontier must survive")
+      assert(rows(liveF) == rows(df), "surviving frontier must still be readable")
+      // the jobs-layer age-expression form parses and runs (nothing < 1d old left)
+      assert(graft.jobs.Prune.reapScratch(spark, "1d") == 0L)
+    } finally {
+      spark.conf.unset(Materialize.LocalMaxBytesConf)
+      spark.conf.unset(Materialize.ScratchDirConf)
+      Materialize.cleanupScratch()
+    }
+  }
 }

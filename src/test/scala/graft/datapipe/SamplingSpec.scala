@@ -152,6 +152,56 @@ class SamplingSpec extends SparkSpec {
     }
   }
 
+  test("property: packSequences exporter contract — overflow bound, lossless reassembly") {
+    // the contract a pre-training exporter relies on: (1) every input doc
+    // lands in exactly one (shard, bin) slot — concatenating bins in
+    // (shard, bin, pack_order) order reproduces the input set exactly;
+    // (2) a bin only ever exceeds `budget` by its LAST doc's overflow
+    // (docs are atomic): total - last_doc_tokens < budget, always.
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val s = spark; import s.implicits._
+    val comboGen = for {
+      budget <- Gen.choose(10L, 200L)
+      nShards <- Gen.choose(1, 8)
+      seed <- Gen.choose(0L, 1000000L)
+      nDocs <- Gen.choose(50, 300)
+      maxLen <- Gen.choose(1, 30) // > budget/10: docs can overflow whole bins
+    } yield (budget, nShards, seed, nDocs, maxLen)
+    (1 to 5).foreach { trial =>
+      val (budget, nShards, seed, nDocs, maxLen) =
+        comboGen(Gen.Parameters.default, Seed(trial.toLong)).get
+      val d = (0 until nDocs).map(i =>
+        (i.toLong, ("w " * (1 + (i * 7919) % maxLen)).trim)).toDF("doc_id", "text")
+      val out = Sampling.packSequences(d, budget, nShards, seed)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4)))
+      // lossless: every doc exactly once
+      assert(out.length == nDocs, s"trial $trial: ${out.length} rows")
+      assert(out.map(_._1).toSet == (0 until nDocs).map(_.toLong).toSet,
+        s"trial $trial: reassembled id set differs")
+      // overflow bound per (shard, bin)
+      out.groupBy(x => (x._2, x._4)).foreach { case ((shard, bin), rows) =>
+        val sorted = rows.sortBy(_._5)
+        val tot = sorted.map(_._3).sum
+        val last = sorted.last._3
+        assert(tot - last < budget,
+          s"trial $trial bin($shard,$bin): total $tot - last $last >= budget $budget")
+      }
+      // walk-order sanity: pack_order is 1..n per shard and bins never
+      // decrease along it (a doc larger than a whole bin may SKIP bin
+      // indexes, so gaps are legal; regressions are not)
+      out.groupBy(_._2).foreach { case (shard, rows) =>
+        val sorted = rows.sortBy(_._5)
+        assert(sorted.map(_._5).toSeq == (1L to rows.length.toLong),
+          s"trial $trial shard $shard: pack_order not consecutive")
+        val bins = sorted.map(_._4)
+        assert(bins.zip(bins.drop(1)).forall { case (a, b) => a <= b },
+          s"trial $trial shard $shard: bin regressed along walk order")
+      }
+    }
+  }
+
   test("tokenBudget: exact ordered prefix per stratum; approx twin tracks mass") {
     val s = spark; import s.implicits._
     // doc i has exactly i+1 tokens; budget 10 per source keeps the prefix
