@@ -14,6 +14,13 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // comma-separated query-name subset for targeted scale rehearsals
+    // (e.g. the sf10 text-operator runs): empty = the full sweep. The
+    // two pipeline workloads run only when unset or explicitly listed.
+    val only: Set[String] = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .getOrElse(Set.empty)
+    def wanted(name: String): Boolean = only.isEmpty || only(name)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -52,20 +59,22 @@ object Bench {
     }
     // BASELINE.md: ingest+aggregate 1 symbol x full trading year (<60s)
     val yearBars = 252 * 390
-    val (pipeYear, pipeYearRuns) = median3 {
-      val base = java.nio.file.Files.createTempDirectory("bench_year").toString
-      val pipe = new IngestPipeline(spark, s"$base/raw", s"$base/agg", s"$base/rep")
-      pipe.runJob(SyntheticSource.bars(spark, Seq("AAPL"),
-        1704202200000000000L, yearBars), "bench-year")
-    }
+    val (pipeYear, pipeYearRuns) =
+      if (!wanted("pipeline_year_1sym")) (-1.0, Nil) else median3 {
+        val base = java.nio.file.Files.createTempDirectory("bench_year").toString
+        val pipe = new IngestPipeline(spark, s"$base/raw", s"$base/agg", s"$base/rep")
+        pipe.runJob(SyntheticSource.bars(spark, Seq("AAPL"),
+          1704202200000000000L, yearBars), "bench-year")
+      }
     // BASELINE.md: 50 symbols x 390-bar day (<30s)
-    val (pipeDay, pipeDayRuns) = median3 {
-      val base = java.nio.file.Files.createTempDirectory("bench_day").toString
-      val pipe = new IngestPipeline(spark, s"$base/raw", s"$base/agg", s"$base/rep")
-      val syms = (1 to 50).map(i => f"SYM$i%02d")
-      pipe.runJob(SyntheticSource.bars(spark, syms,
-        1704202200000000000L, 390), "bench-day")
-    }
+    val (pipeDay, pipeDayRuns) =
+      if (!wanted("pipeline_day_50sym")) (-1.0, Nil) else median3 {
+        val base = java.nio.file.Files.createTempDirectory("bench_day").toString
+        val pipe = new IngestPipeline(spark, s"$base/raw", s"$base/agg", s"$base/rep")
+        val syms = (1 to 50).map(i => f"SYM$i%02d")
+        pipe.runJob(SyntheticSource.bars(spark, syms,
+          1704202200000000000L, 390), "bench-day")
+      }
 
     // Rows whose single measurements are untrustworthy get median-of-3
     // (per-run values kept in the "runs" object):
@@ -104,18 +113,21 @@ object Bench {
     // as before (their plans never pruned).
     def exec(df: org.apache.spark.sql.DataFrame): Unit =
       df.write.mode("overwrite").format("noop").save()
-    val queryTimes = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      if (variance3(name)) {
-        val (med, runs) = median3 { exec(fn(spark, sfDir)) }
-        extraRuns ++= runs.zipWithIndex.map { case (v, i) => s"${name}_run${i + 1}" -> v }
-        name -> med
-      } else name -> time { exec(fn(spark, sfDir)) }
-    }
+    val queryTimes = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => wanted(name) }
+      .map { case (name, fn) =>
+        if (variance3(name)) {
+          val (med, runs) = median3 { exec(fn(spark, sfDir)) }
+          extraRuns ++= runs.zipWithIndex.map { case (v, i) => s"${name}_run${i + 1}" -> v }
+          name -> med
+        } else name -> time { exec(fn(spark, sfDir)) }
+      }
 
     // total counts each workload once (medians), keeping the headline
     // number comparable across rounds; the _runN keys are extra detail
     val all = queryTimes ++ Seq(
       "pipeline_year_1sym" -> pipeYear, "pipeline_day_50sym" -> pipeDay)
+      .filter { case (name, _) => wanted(name) }
     val runDetail =
       pipeYearRuns.zipWithIndex.map { case (v, i) => s"pipeline_year_1sym_run${i + 1}" -> v } ++
       pipeDayRuns.zipWithIndex.map { case (v, i) => s"pipeline_day_50sym_run${i + 1}" -> v } ++
@@ -138,9 +150,12 @@ object Bench {
     // numbers unverifiable — the file is the durable record
     val outDir = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out")
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outDir))
+    // subset runs get their own artifact name so a targeted rehearsal
+    // never clobbers the full-sweep record
+    val artifact = new java.io.File(sfDir).getName +
+      (if (only.nonEmpty) "_subset" else "") + ".json"
     java.nio.file.Files.write(
-      java.nio.file.Paths.get(outDir,
-        new java.io.File(sfDir).getName + ".json"),
+      java.nio.file.Paths.get(outDir, artifact),
       (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     spark.stop()
   }

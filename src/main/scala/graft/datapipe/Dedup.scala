@@ -304,21 +304,60 @@ object Dedup {
   /** Embedding-cosine near-duplicate pairs above `threshold`, restricted
     * to candidate buckets (caller-provided bucket column, e.g. an LSH
     * bucket or label) to avoid all-pairs.
+    *
+    * In-bucket work is quadratic in bucket size, and bucket sizes grow
+    * with corpus density — at 100 TB a fixed label partitioning WILL
+    * produce million-vector buckets. `maxBucketSize` is the
+    * density-adaptive guard (the [[ngramJaccardPairs]]
+    * `maxDocsPerShingle` analogue): buckets above the cap split into
+    * 2^ceil(log2(size/cap)) signed-random-projection sub-buckets, masked
+    * from one [[Vectors.lshSignaturePortable]] per vector (LCG ±1
+    * hyperplanes — integer arithmetic any engine reproduces; the same
+    * planes sim2's LSH buckets use), so expected sub-bucket size lands
+    * at or below the cap and candidate work is bounded at ~cap·n/2 pairs
+    * instead of Σ size². Splitting trades recall for boundedness the
+    * standard LSH way (Charikar, STOC 2002): a pair at cosine c lands in
+    * the same sub-bucket with probability ~(1 − arccos(c)/π)^bits — near
+    * 1 for the near-duplicate range, a documented miss rate for
+    * borderline pairs. Buckets at or under the cap are never split
+    * (bits = 0, mask = 0): results there are exactly the uncapped
+    * operator's.
     */
   def embeddingCosinePairs(
       vecs: DataFrame, bucketCol: String, threshold: Double,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      maxBucketSize: Int = Int.MaxValue, srpPlanes: Int = 16): DataFrame = {
     graft.functions.GraftFunctions.register(vecs.sparkSession)
     // norms computed once per vector (O(n)), not once per pair (O(n²))
-    val base = vecs.select(
+    val base0 = vecs.select(
       col(idCol), col(bucketCol).as("bucket"),
       Vectors.quantize(col(vecCol)).as("q"))
       .withColumn("nrm", sqrt(Vectors.dotQN(col("q"), col("q")).cast("double")))
-    val a = base.select(col(idCol).as("id_a"), col("bucket"),
+    val base =
+      if (maxBucketSize == Int.MaxValue) base0.withColumn("sub", lit(0L))
+      else {
+        // integer-exact mask: since (cap·2^j < size) is monotone in j,
+        // summing the satisfied powers gives 2^bits − 1 directly — no
+        // floating log2 whose ulp could diverge across engines
+        val mask = (0 until srpPlanes).map(j =>
+          when(lit(maxBucketSize.toLong << j) < col("__cnt"), lit(1L << j))
+            .otherwise(lit(0L))).reduce(_ + _)
+        val sized = base0.groupBy("bucket")
+          .agg(count(lit(1)).as("__cnt"))
+          .select(col("bucket"), mask.as("__mask"))
+        // bucket-count side is dimension-scale (one row per bucket): AQE
+        // broadcast-joins it back, so the corpus never re-shuffles here
+        base0.join(sized, Seq("bucket"))
+          .withColumn("sub",
+            Vectors.lshSignaturePortable(col("q"), srpPlanes)
+              .bitwiseAND(col("__mask")))
+          .drop("__mask")
+      }
+    val a = base.select(col(idCol).as("id_a"), col("bucket"), col("sub"),
       col("q").as("qa"), col("nrm").as("na"))
-    val b = base.select(col(idCol).as("id_b"), col("bucket"),
+    val b = base.select(col(idCol).as("id_b"), col("bucket"), col("sub"),
       col("q").as("qb"), col("nrm").as("nb"))
-    a.join(b, Seq("bucket"))
+    a.join(b, Seq("bucket", "sub"))
       .where(col("id_a") < col("id_b"))
       .withColumn("cosine",
         Vectors.dotQN(col("qa"), col("qb")).cast("double") / (col("na") * col("nb")))

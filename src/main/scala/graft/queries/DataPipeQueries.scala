@@ -87,6 +87,18 @@ object DataPipeQueries {
       Dedup.embeddingCosinePairs(embs(s, dir), bucketCol = "label", threshold = 0.3)
         .orderBy("id_a", "id_b")),
 
+    // The density-adaptive capped variant (the 100 TB path): label
+    // buckets above 32 vectors split into SRP sub-buckets, so candidate
+    // work is bounded by cap*n/2 instead of sum(bucket^2). The cap BINDS
+    // on this fixture (50 vectors/label at sf0.01) and the oracle
+    // reproduces the identical md5-parity hyperplanes, masks, and
+    // sub-bucket routing — the mechanism itself is hash-checked, not
+    // just the easy no-split case.
+    "d4_cosine_capped" -> ((s, dir) =>
+      Dedup.embeddingCosinePairs(embs(s, dir), bucketCol = "label",
+          threshold = 0.3, maxBucketSize = 32)
+        .orderBy("id_a", "id_b")),
+
     // Incremental exact dedup: a new batch dedups in-batch (lowest id
     // wins) then anti-joins the persisted fingerprint frontier — the
     // growing-corpus shape where the existing 100 TB contributes only its
@@ -780,6 +792,34 @@ object DataPipeQueries {
          |       ${dotD("a.q", "b.q")}
          |         / (sqrt(${dotD("a.q", "a.q")}) * sqrt(${dotD("b.q", "b.q")})) AS cosine
          |FROM qv a JOIN qv b ON a.label = b.label AND a.vec_id < b.vec_id
+         |WHERE ${dotD("a.q", "b.q")}
+         |         / (sqrt(${dotD("a.q", "a.q")}) * sqrt(${dotD("b.q", "b.q")})) >= 0.3
+         |ORDER BY id_a, id_b""".stripMargin,
+    "d4_cosine_capped" ->
+      s"""WITH $quantCte,
+         |msk AS (
+         |  SELECT label,
+         |    CAST(list_sum(list_transform(range(0, 16), j ->
+         |      CASE WHEN 32 * (1::BIGINT << j) < cnt
+         |           THEN (1::BIGINT << j) ELSE 0 END)) AS BIGINT) AS mask
+         |  FROM (SELECT label, count(*) AS cnt FROM qv GROUP BY label)),
+         |planes AS (SELECT unnest(range(0, 16)) AS p),
+         |bits AS (
+         |  SELECT vec_id, p,
+         |    CASE WHEN list_sum(list_transform(q, (x, i) ->
+         |           CASE WHEN ((((1103515245::BIGINT * (p * 65537 + (i - 1)) + 12345) % 2147483648) >> 16) & 1) = 0
+         |                THEN x ELSE -x END)) >= 0
+         |         THEN (1::BIGINT << p) ELSE 0::BIGINT END AS bit
+         |  FROM qv CROSS JOIN planes),
+         |sigs AS (SELECT vec_id, CAST(sum(bit) AS BIGINT) AS sig FROM bits GROUP BY vec_id),
+         |sb AS (
+         |  SELECT v.vec_id, v.label, v.q, s.sig & m.mask AS sub
+         |  FROM qv v JOIN sigs s USING (vec_id) JOIN msk m ON v.label = m.label)
+         |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |       ${dotD("a.q", "b.q")}
+         |         / (sqrt(${dotD("a.q", "a.q")}) * sqrt(${dotD("b.q", "b.q")})) AS cosine
+         |FROM sb a JOIN sb b ON a.label = b.label AND a.sub = b.sub
+         |                   AND a.vec_id < b.vec_id
          |WHERE ${dotD("a.q", "b.q")}
          |         / (sqrt(${dotD("a.q", "a.q")}) * sqrt(${dotD("b.q", "b.q")})) >= 0.3
          |ORDER BY id_a, id_b""".stripMargin,

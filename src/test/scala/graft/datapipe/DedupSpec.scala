@@ -130,4 +130,35 @@ class DedupSpec extends SparkSpec {
     assert(out.length == 1)
     assert(out(0).getAs[Long]("id_a") == 1L && out(0).getAs[Long]("id_b") == 2L)
   }
+
+  test("capped cosine pairs: no-op under the cap, bounded and recall-safe over it") {
+    val s = spark; import s.implicits._
+    def pairs(df: org.apache.spark.sql.DataFrame, cap: Int) =
+      Dedup.embeddingCosinePairs(df, "label", 0.95, maxBucketSize = cap)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // one bucket of 40 vectors: 10 groups of 4 near-identical members
+    // spread across orthogonal-ish directions, dim 8
+    def vec(group: Int, member: Int): Seq[Float] = {
+      val a = Array.fill(8)(0.001f * member)
+      a(group % 8) = 1.0f; a(7 - group % 8) += 0.1f * (group / 8); a.toSeq
+    }
+    val rows = for (g <- 0 until 10; m <- 0 until 4)
+      yield ((g * 10 + m).toLong, 0, vec(g, m))
+    val vecs = rows.toDF("vec_id", "label", "embedding")
+    val uncapped = pairs(vecs, Int.MaxValue)
+    assert(uncapped.nonEmpty)
+    // cap >= bucket size: bits = 0, identical results (exactness claim)
+    assert(pairs(vecs, 40) == uncapped)
+    // binding cap: output is a subset (sub-bucketing only removes
+    // candidate pairs, never invents them) and near-identical groups —
+    // the near-DUPLICATE range the operator exists for — survive: every
+    // group contributes at least its tightest pairs
+    val capped = pairs(vecs, 10)
+    assert(capped.subsetOf(uncapped))
+    val groupsWithPair = capped.map(_._1 / 10).intersect(capped.map(_._2 / 10))
+    assert((0 until 10).forall(g => groupsWithPair.contains(g.toLong)),
+      s"every near-dup group must retain in-group pairs: $groupsWithPair")
+    // deterministic and layout-independent (md5 signs, no RNG state)
+    assert(pairs(vecs.repartition(7), 10) == capped)
+  }
 }
