@@ -99,6 +99,7 @@ object Bench {
       "t6_backfill_roundtrip", "t7_job_state_machine", "t9_prune_roundtrip",
       "v2_post_ingest_verification", "agg_reaggregate", "o5_files_recent",
       "o6_job_history", "p4_partition_pruned_scan", "stream_doc_curate",
+      "stream_neardup",
       // frontier-backed multi-stage pipelines (scratch parquet writes)
       "curate_pipeline", "curate_ruleset_pipeline",
       // deliberately-skewed synthetic rows
