@@ -364,4 +364,49 @@ object Dedup {
       .where(col("cosine") >= threshold)
       .select("id_a", "id_b", "cosine")
   }
+
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    * deduplication over an embedding column with NO caller-provided
+    * bucketing — the operator derives its own candidate buckets by
+    * clustering the embeddings, then prunes within-cluster cosine
+    * near-duplicates, keeping each duplicate group's lowest id (the
+    * [[nearDupKeep]] convention: any vector appearing as a pair's id_b
+    * drops). This is the missing piece between [[embeddingCosinePairs]]
+    * (which needs a bucket column) and a raw corpus that has only
+    * embeddings.
+    *
+    * Clustering: `iters` > 0 runs Lloyd refinement
+    * ([[Similarity.ivfTrain]] — the production choice, tighter clusters
+    * = better recall); `iters` = 0 uses the deterministic hashed-id
+    * seeding directly ([[Similarity.ivfCentroids]]), which is fully
+    * oracle-reproducible (`portable` = true swaps in the md5 twin).
+    * `nlist` <= 0 auto-sizes to ceil(sqrt(n)).
+    *
+    * Scale shape (100 TB lens): assignment is one broadcast-centroids
+    * map + an id-keyed partial agg carrying (id, centroid) pairs only —
+    * never a shuffle of the vectors; the pair scan inherits
+    * [[embeddingCosinePairs]]'s density-adaptive `maxBucketSize` guard,
+    * so a degenerate mega-cluster (the k-means failure mode on skewed
+    * corpora) splits into SRP sub-buckets instead of going quadratic.
+    * With sqrt(n) clusters and balanced assignment, candidate work is
+    * ~n*sqrt(n)/2 pairs — the same sublinear-per-row shape the trained
+    * IVF rehearsal measured.
+    */
+  def semanticDedup(
+      vecs: DataFrame, threshold: Double,
+      nlist: Int = 0, iters: Int = 0,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      maxBucketSize: Int = Int.MaxValue,
+      portable: Boolean = false): DataFrame = {
+    val centroids =
+      if (iters > 0) Similarity.ivfTrain(vecs, nlist, iters, idCol, vecCol)
+      else Similarity.ivfCentroids(vecs, nlist, idCol, vecCol, portable = portable)
+    val assigned = Similarity.ivfAssignIds(vecs, centroids, idCol, vecCol)
+    val clustered = vecs.join(assigned, Seq(idCol))
+    val pairs = embeddingCosinePairs(clustered, "centroid_id", threshold,
+      idCol, vecCol, maxBucketSize)
+    clustered
+      .join(pairs.select(col("id_b").as(idCol)).distinct(), Seq(idCol), "left_anti")
+      .select(col(idCol), col("centroid_id"))
+  }
 }

@@ -99,6 +99,16 @@ object DataPipeQueries {
           threshold = 0.3, maxBucketSize = 32)
         .orderBy("id_a", "id_b")),
 
+    // SemDeDup: no caller-provided bucket — the operator clusters the
+    // embeddings itself (portable sqrt(n) hashed-id centroids, the same
+    // seeding+assignment chain sim3_ivf_trained hash-checks) and prunes
+    // within-cluster cosine near-dups, keeping each group's lowest id.
+    // The oracle reproduces seeding, assignment, pair scan, and the
+    // keep rule end-to-end.
+    "d11_semantic_dedup" -> ((s, dir) =>
+      Dedup.semanticDedup(embs(s, dir), threshold = 0.3, portable = true)
+        .orderBy("vec_id")),
+
     // Incremental exact dedup: a new batch dedups in-batch (lowest id
     // wins) then anti-joins the persisted fingerprint frontier — the
     // growing-corpus shape where the existing 100 TB contributes only its
@@ -823,6 +833,18 @@ object DataPipeQueries {
          |WHERE ${dotD("a.q", "b.q")}
          |         / (sqrt(${dotD("a.q", "a.q")}) * sqrt(${dotD("b.q", "b.q")})) >= 0.3
          |ORDER BY id_a, id_b""".stripMargin,
+    "d11_semantic_dedup" ->
+      s"""WITH $quantCte,
+         |$ivfAssignCtes,
+         |dup AS (
+         |  SELECT DISTINCT b.vec_id AS vec_id
+         |  FROM assigned a JOIN assigned b
+         |    ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
+         |  WHERE ${dotD("a.q", "b.q")}
+         |          / (sqrt(${dotD("a.q", "a.q")}) * sqrt(${dotD("b.q", "b.q")})) >= 0.3)
+         |SELECT vec_id, centroid_id FROM assigned
+         |WHERE vec_id NOT IN (SELECT vec_id FROM dup)
+         |ORDER BY vec_id""".stripMargin,
     "d7_incremental_dedup" ->
       """WITH ex AS (
         |  SELECT DISTINCT md5(lower(trim(text))) AS h

@@ -161,4 +161,29 @@ class DedupSpec extends SparkSpec {
     // deterministic and layout-independent (md5 signs, no RNG state)
     assert(pairs(vecs.repartition(7), 10) == capped)
   }
+
+  test("semantic dedup: within-cluster near-dups drop, lowest id survives") {
+    val s = spark; import s.implicits._
+    // two tight direction groups; nlist = 1 puts everything in one
+    // cluster so the within-cluster prune + keep-lowest rule is the
+    // thing under test (centroid choice is hash-order-dependent and
+    // could otherwise split a group across self-assigned clusters —
+    // cluster-boundary behavior is the oracle row's job)
+    val vecs = Seq(
+      (1L, Seq(1.0f, 0.0f, 0.0f, 0.01f)),
+      (2L, Seq(0.999f, 0.01f, 0.0f, 0.0f)),  // near-dup of 1
+      (3L, Seq(0.998f, 0.0f, 0.02f, 0.0f)),  // near-dup of 1 and 2
+      (10L, Seq(0.0f, 1.0f, 0.0f, 0.0f)),
+      (11L, Seq(0.01f, 0.999f, 0.0f, 0.0f))  // near-dup of 10
+    ).toDF("vec_id", "embedding")
+    val kept = Dedup.semanticDedup(vecs, threshold = 0.98, nlist = 1)
+      .collect().map(_.getLong(0)).toSet
+    // each near-dup group keeps exactly its lowest id; cross-group
+    // cosines (~0) never pair
+    assert(kept == Set(1L, 10L))
+    // deterministic under re-partitioning (hashed-id seeding, no RNG)
+    val kept2 = Dedup.semanticDedup(vecs.repartition(5), threshold = 0.98, nlist = 1)
+      .collect().map(_.getLong(0)).toSet
+    assert(kept2 == kept)
+  }
 }
