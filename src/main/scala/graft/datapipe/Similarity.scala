@@ -73,15 +73,17 @@ object Similarity {
       vecs: DataFrame, centroids: DataFrame,
       idCol: String = "vec_id", vecCol: String = "embedding",
       centroidIdCol: String = "centroid_id"): DataFrame =
-    // partial-aggregating max_by instead of a window: no per-partition sort,
-    // map-side combine — the assignment is one exchange on id at any scale.
-    // Tie-break (max cosine, then min centroid_id) via lexicographic struct.
-    centroidScores(vecs, centroids, idCol, vecCol, centroidIdCol)
-      .groupBy(idCol)
-      .agg(max_by(
-        struct(col(centroidIdCol), col("q_vec")),
-        struct(col("cosine"), (-col(centroidIdCol)).as("neg_cid"))).as("best"))
-      .select(col(idCol), col(s"best.$centroidIdCol"), col("best.q_vec"))
+    // Assignment ids first, vector payload re-joined by id AFTERWARDS:
+    // the n x nlist scored intermediate must never carry the embedding
+    // array. When it did (max_by over struct(cid, q_vec)), the partial
+    // aggregate's rows were ~dim*8 bytes wide — at sf10 (200k x 448
+    // centroids, dim 64) that is a ~50 GB object-sort/spill, measured as
+    // the 110x sim3_ivf_trained blow-up (SCALE.md round 7). The id join
+    // back onto the corpus is one narrow exchange of n rows.
+    ivfAssignIds(vecs, centroids, idCol, vecCol, centroidIdCol)
+      .join(vecs.select(col(idCol), Vectors.quantize(col(vecCol)).as("q_vec")),
+        Seq(idCol))
+      .select(col(idCol), col(centroidIdCol), col("q_vec"))
 
   /** Assignment WITHOUT the vector payload: (id, centroid_id) only. The
     * max_by value is just the centroid id, so the exchange carries
@@ -139,7 +141,6 @@ object Similarity {
       idCol: String = "vec_id", vecCol: String = "embedding",
       centroidIdCol: String = "centroid_id"): DataFrame = {
     graft.functions.GraftFunctions.register(vecs.sparkSession)
-    val assigned = ivfAssign(vecs, centroids, idCol, vecCol, centroidIdCol)
     val qq = query.limit(1).select(Vectors.quantize(col(vecCol)).as("q_query"))
     val probes = centroids
       .select(col(centroidIdCol), Vectors.quantize(col(vecCol)).as("q_cent"))
@@ -148,8 +149,15 @@ object Similarity {
       .orderBy(desc("cosine"), col(centroidIdCol))
       .limit(nProbe)
       .select(col(centroidIdCol))
-    assigned
+    // probe-filter the id-only assignment BEFORE fetching vector payload:
+    // only ~n*nProbe/nlist candidate ids survive, so the re-join touches
+    // arrays for the probed cells alone (AQE broadcasts the candidate
+    // side against the corpus scan — no corpus shuffle)
+    val candidates = ivfAssignIds(vecs, centroids, idCol, vecCol, centroidIdCol)
       .join(broadcast(probes), Seq(centroidIdCol))
+      .join(vecs.select(col(idCol), Vectors.quantize(col(vecCol)).as("q_vec")),
+        Seq(idCol))
+    candidates
       .crossJoin(broadcast(qq))
       .withColumn("cosine", Vectors.cosineQN(col("q_vec"), col("q_query")))
       .select(col(idCol), col(centroidIdCol), col("cosine"))
