@@ -75,9 +75,12 @@ object LanguageModel {
     * with < 2 tokens produce no row.
     */
   def score(docs: DataFrame, unigrams: DataFrame, bigrams: DataFrame,
-            textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
-    // V as a broadcast 1-row frame: Laplace denominator c(w1)+V
-    val v = unigrams.agg(count(lit(1)).as("__v"))
+            textCol: String = "text", idCol: String = "doc_id",
+            vocabSize: Option[DataFrame] = None): DataFrame = {
+    // V as a broadcast 1-row frame: Laplace denominator c(w1)+V. A
+    // caller contrasting two models passes a SHARED `__v` frame so both
+    // sides smooth over the same vocabulary (see [[crossEntropySelect]]).
+    val v = vocabSize.getOrElse(unigrams.agg(count(lit(1)).as("__v")))
     bigramPairs(docs, textCol, idCol)
       .join(bigrams.select(col("w1"), col("w2"), col("n_bg")), Seq("w1", "w2"), "left")
       .join(unigrams.select(col("token").as("w1"), col("n_w")), Seq("w1"), "left")
@@ -106,5 +109,48 @@ object LanguageModel {
       .select(col(idCol), col(textCol))
     score(docs, unigramCounts(good, textCol), bigramCounts(good, textCol, idCol),
       textCol, idCol)
+  }
+
+  /** Moore-Lewis cross-entropy difference selection (Moore & Lewis, ACL
+    * 2010) — the classic LM-contrast data-selection step: score every
+    * candidate under an in-domain (target) bigram model and a general
+    * (source) model, rank by the per-token difference
+    * `mean_logp_target − mean_logp_source` (how much more target-like
+    * than generic a document is), keep the top `n`. Used to carve
+    * domain-targeted training sets out of a general crawl; the same
+    * contrast with a pruned model pair is the 100 TB shape
+    * ([[pruneModel]] both models, broadcast the count tables).
+    *
+    * Both models smooth over the SHARED vocabulary (Moore & Lewis's
+    * common-vocab convention): with per-model vocabularies an all-OOV
+    * document would score ln(1/V_t) − ln(1/V_g) > 0 purely because the
+    * in-domain vocabulary is smaller — gibberish would outrank real
+    * general-domain text (caught by the spec). Shared V makes an
+    * unseen-everywhere bigram contribute exactly 0 contrast.
+    *
+    * Everything stays in [[score]]'s integer micro-nat quantization, so
+    * the ranking — and therefore the selected set — is engine-exact;
+    * ties break on ascending id. Scale shape: two count-table scoring
+    * passes (text never shuffles; see [[score]]) joined on id, then one
+    * TakeOrderedAndProject — no global sort materializes.
+    */
+  def crossEntropySelect(
+      candidates: DataFrame, targetDocs: DataFrame, sourceDocs: DataFrame,
+      n: Int, textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val tu = unigramCounts(targetDocs, textCol)
+    val su = unigramCounts(sourceDocs, textCol)
+    val sharedV = tu.select("token").union(su.select("token"))
+      .distinct().agg(count(lit(1)).as("__v"))
+    val t = score(candidates, tu,
+      bigramCounts(targetDocs, textCol, idCol), textCol, idCol, Some(sharedV))
+      .select(col(idCol), col("mean_logp_micro").as("target_logp_micro"))
+    val s = score(candidates, su,
+      bigramCounts(sourceDocs, textCol, idCol), textCol, idCol, Some(sharedV))
+      .select(col(idCol), col("mean_logp_micro").as("source_logp_micro"))
+    t.join(s, Seq(idCol))
+      .withColumn("ml_score_micro",
+        col("target_logp_micro") - col("source_logp_micro"))
+      .orderBy(desc("ml_score_micro"), col(idCol))
+      .limit(n)
   }
 }

@@ -334,6 +334,18 @@ object DataPipeQueries {
       LanguageModel.trainAndScore(docs(s, dir))
         .orderBy("doc_id")),
 
+    // Moore-Lewis cross-entropy difference selection: target model =
+    // two sources' docs, general model = the whole corpus; rank every
+    // doc by target-vs-general mean micro-nat contrast, keep top 40.
+    // Integer quantization end-to-end makes the selected SET the thing
+    // the oracle hash-checks, not just the scores.
+    "t11_crossentropy_select" -> ((s, dir) => {
+      val d = docs(s, dir)
+      LanguageModel.crossEntropySelect(
+        d, d.where(col("source").isin("src0", "src1")), d, n = 40)
+        .orderBy(desc("ml_score_micro"), col("doc_id"))
+    }),
+
     "t5_bpeish_tokens" -> ((s, dir) =>
       docs(s, dir)
         .groupBy("lang")
@@ -589,6 +601,38 @@ object DataPipeQueries {
        |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cosine DESC, centroid_id) AS rn
        |    FROM ac)
        |  WHERE rn = 1)""".stripMargin
+
+  /** Tagged bigram-LM scoring chain for oracles that contrast models
+    * (t11): trains Laplace unigram/bigram tables on the `mlm` rows
+    * satisfying `trainPred` and scores every doc with t10's micro-nat
+    * floor quantization, smoothing over the SHARED vocabulary (expects a
+    * 1-row `mlv(v)` CTE — the engine's common-vocab convention). Also
+    * expects `mlm(doc_id, source, t)` and `mldbg(doc_id, w1, w2)` in
+    * scope; emits `<tag>uni/<tag>bg/<tag>sc` with
+    * `<tag>sc(doc_id, mean_logp_micro)`.
+    */
+  private def lmScoreCtes(tag: String, trainPred: String): String =
+    s"""${tag}uni AS (
+       |  SELECT token, count(*) AS n_w
+       |  FROM (SELECT unnest(t) AS token FROM mlm WHERE $trainPred)
+       |  WHERE token <> '' GROUP BY 1),
+       |${tag}bg AS (
+       |  SELECT w1, w2, count(*) AS n_bg FROM (
+       |    SELECT t[i] AS w1, t[i+1] AS w2 FROM mlm
+       |    CROSS JOIN LATERAL (SELECT unnest(generate_series(1, len(t) - 1)) AS i)
+       |    WHERE len(t) >= 2 AND $trainPred)
+       |  GROUP BY 1, 2),
+       |${tag}sc AS (
+       |  SELECT doc_id,
+       |    CAST(floor(
+       |      CAST(sum(CAST(floor(ln(least(1.0, CAST(coalesce(n_bg, 0) + 1 AS DOUBLE)
+       |        / CAST(coalesce(n_w, 0) + v AS DOUBLE))) * 1000000 + 0.5) AS BIGINT)) AS DOUBLE)
+       |      / CAST(count(*) AS DOUBLE)) AS BIGINT) AS mean_logp_micro
+       |  FROM mldbg
+       |  LEFT JOIN ${tag}bg USING (w1, w2)
+       |  LEFT JOIN ${tag}uni ON mldbg.w1 = ${tag}uni.token
+       |  CROSS JOIN mlv
+       |  GROUP BY doc_id)""".stripMargin
 
   /** First 6 md5 hex digits of column `h` as a 24-bit integer — the DuckDB
     * twin of `Sampling.inclusionHash`'s `conv(substring(md5,1,6),16,10)`.
@@ -1315,6 +1359,28 @@ object DataPipeQueries {
          |    AS mean_logp_micro
          |FROM sc ORDER BY doc_id""".stripMargin
     },
+    "t11_crossentropy_select" ->
+      s"""WITH mlm AS (
+         |  SELECT doc_id, source, string_split_regex(lower(trim(text)), '\\s+') AS t
+         |  FROM documents),
+         |mldbg AS (
+         |  SELECT doc_id, t[i] AS w1, t[i+1] AS w2 FROM mlm
+         |  CROSS JOIN LATERAL (SELECT unnest(generate_series(1, len(t) - 1)) AS i)
+         |  WHERE len(t) >= 2),
+         |mlv AS (
+         |  SELECT count(*) AS v FROM (
+         |    SELECT DISTINCT token FROM (
+         |      SELECT unnest(t) AS token FROM mlm WHERE source IN ('src0', 'src1')
+         |      UNION ALL
+         |      SELECT unnest(t) AS token FROM mlm)
+         |    WHERE token <> '')),
+         |${lmScoreCtes("tgt", "source IN ('src0', 'src1')")},
+         |${lmScoreCtes("gen", "true")}
+         |SELECT t.doc_id, t.mean_logp_micro AS target_logp_micro,
+         |       g.mean_logp_micro AS source_logp_micro,
+         |       t.mean_logp_micro - g.mean_logp_micro AS ml_score_micro
+         |FROM tgtsc t JOIN gensc g USING (doc_id)
+         |ORDER BY ml_score_micro DESC, doc_id LIMIT 40""".stripMargin,
     "t1_text_quality" ->
       s"""$tokCte,
          |q AS (

@@ -81,6 +81,34 @@ class LanguageModelSpec extends SparkSpec {
       s"clamped logp must stay <= 0, got ${out.head.getAs[Long]("sum_logp_micro")}")
   }
 
+  test("crossEntropySelect ranks target-like docs first; top-n set is exact") {
+    val s = spark; import s.implicits._
+    // target domain: legal-ish boilerplate; general corpus mixes it with
+    // cooking prose. Candidates: 2 legal-like, 2 cooking-like, 1 OOV.
+    val legal = (0 until 6).map(i => (i.toLong, "legal",
+      "the party of the first part shall indemnify the party of the second part"))
+    val cooking = (6 until 12).map(i => (i.toLong, "food",
+      "stir the onions in the pan until golden then add the garlic and salt"))
+    val corpus = (legal ++ cooking).toDF("doc_id", "source", "text")
+    val cands = Seq(
+      (100L, "x", "the party shall indemnify the second part"),
+      (101L, "x", "the first part shall indemnify the party"),
+      (102L, "x", "stir the garlic in the pan until golden"),
+      (103L, "x", "add the onions and salt then stir"),
+      (104L, "x", "zebra quantum flux perihelion today"))
+      .toDF("doc_id", "source", "text")
+    val top2 = LanguageModel.crossEntropySelect(
+      cands, corpus.where(col("source") === "legal"), corpus, n = 2)
+      .collect().map(_.getLong(0)).toSet
+    assert(top2 == Set(100L, 101L),
+      s"legal-like candidates must win the contrast ranking: $top2")
+    // deterministic under re-partitioning (integer micro-nat ranking)
+    val top2b = LanguageModel.crossEntropySelect(
+      cands.repartition(5), corpus.where(col("source") === "legal"), corpus, n = 2)
+      .collect().map(_.getLong(0)).toSet
+    assert(top2b == top2)
+  }
+
   test("trainAndScore: rules-kept prose scores above degenerate docs") {
     val s = spark; import s.implicits._
     val corpus = ((0 until 8).map(i => (i.toLong,
