@@ -287,14 +287,87 @@ object Dedup {
   }
 
   /** Apply a near-dup pair set: keep every document not named as the
-    * higher id of any pair (canonical survivor = lowest id of each dup
-    * cluster under the id_a < id_b convention; transitive chains collapse
-    * because every non-minimal member appears as some pair's id_b).
+    * higher id of any pair. This collapses a cluster to its minimum iff
+    * every non-minimal member pairs with SOME smaller member — true when
+    * candidate generation emits cliques (each LSH bucket does), but an
+    * edge set like {(B,C), (A,C)} keeps B alongside A even though
+    * A~C~B transitively. For the transitive rule — one survivor per
+    * CONNECTED COMPONENT, the published grouping (Lee et al. 2022 use
+    * union-find over match pairs) — use [[componentKeep]].
     */
   def nearDupKeep(docs: DataFrame, pairs: DataFrame,
                   idCol: String = "doc_id"): DataFrame =
     docs.join(
       pairs.select(col("id_b").as(idCol)).distinct(),
+      Seq(idCol), "left_anti")
+
+  /** Connected components over a near-dup pair set: every id appearing in
+    * `pairs` labeled with its component's minimum id — the transitive
+    * closure grouping published dedup pipelines apply to MinHash match
+    * pairs before keeping one document per duplicate cluster (Lee et al.
+    * 2022; RefinedWeb). Output: (doc_id, cluster_id); singletons (docs in
+    * no pair) are absent — they are their own cluster by definition.
+    *
+    * Algorithm: min-label propagation to fixpoint — each round every node
+    * takes the min of its own and its neighbors' labels. Per round: one
+    * edge-side join + one (node) min-aggregate, both keyed shuffles of
+    * (id, label) longs; text never enters. Rounds = component diameter.
+    * Near-dup graphs are star-shaped (a cluster's members all collide in
+    * some shared band bucket), so 2-4 rounds close real corpora; for
+    * adversarially long chains the alternating star-contraction variant
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    * SoCC 2014) bounds rounds at O(log² n) — the documented upgrade path
+    * if a corpus ever presents chain-of-length-1000 duplicate topology.
+    * Each round's labels pass through [[Materialize.frontier]] so lineage
+    * stays flat (the [[graft.datapipe.Similarity.ivfTrain]] pattern).
+    *
+    * Deterministic: the fixpoint (min id per component) does not depend
+    * on iteration order. Throws if `maxIters` rounds don't converge
+    * rather than returning a non-fixpoint labeling.
+    */
+  def duplicateComponents(pairs: DataFrame,
+                          aCol: String = "id_a", bCol: String = "id_b",
+                          maxIters: Int = 25,
+                          idCol: String = "doc_id"): DataFrame = {
+    val fwd = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+    val rev = pairs.select(col(bCol).as("src"), col(aCol).as("dst"))
+    val edges = Materialize.frontier(fwd.union(rev).distinct())
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id"))
+    var round = 0
+    var converged = false
+    while (!converged && round < maxIters) {
+      val neighborMin = edges
+        .join(labels.withColumnRenamed("id", "src"), Seq("src"))
+        .groupBy(col("dst").as("id"))
+        .agg(min(col("label")).as("__nmin"))
+      val next = Materialize.frontier(
+        labels.join(neighborMin, Seq("id"), "left")
+          .select(col("id"),
+            least(col("label"), coalesce(col("__nmin"), col("label"))).as("label"),
+            (coalesce(col("__nmin"), col("label")) < col("label")).as("__chg")))
+      converged = next.where(col("__chg")).isEmpty
+      labels = next.drop("__chg")
+      round += 1
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"duplicateComponents did not converge in $maxIters rounds; " +
+          "raise maxIters (component diameter exceeds the bound)")
+    labels.select(col("id").as(idCol), col("label").as("cluster_id"))
+  }
+
+  /** Transitive near-dup keep: one survivor (the minimum id) per
+    * connected component of the pair graph — the [[duplicateComponents]]
+    * labeling applied as a filter. Unlike [[nearDupKeep]] this is exact
+    * for any edge set, not just per-bucket cliques.
+    */
+  def componentKeep(docs: DataFrame, pairs: DataFrame,
+                    idCol: String = "doc_id", maxIters: Int = 25): DataFrame =
+    docs.join(
+      duplicateComponents(pairs, idCol = idCol, maxIters = maxIters)
+        .where(col(idCol) =!= col("cluster_id"))
+        .select(idCol),
       Seq(idCol), "left_anti")
 
   /** Hamming distance between two 64-bit signatures. */

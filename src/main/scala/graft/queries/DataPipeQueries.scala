@@ -83,6 +83,23 @@ object DataPipeQueries {
       Dedup.simhashPortable(docsWithNearDups(s, dir))
         .orderBy("doc_id")),
 
+    // Transitive duplicate clustering: min-label propagation over the
+    // portable LSH pair graph to connected-component fixpoint; the
+    // oracle recomputes the same components via recursive reachability
+    // (min reachable id). Exercises the grouping published pipelines
+    // apply to MinHash pairs before one-survivor-per-cluster keep.
+    "d12_dup_components" -> ((s, dir) =>
+      Dedup.duplicateComponents(
+          Dedup.minhashLshCandidatesPortable(docsWithNearDups(s, dir), k = 16, bands = 4))
+        .orderBy("doc_id")),
+
+    // The component labeling applied as a keep rule: one survivor (min
+    // id) per connected component; docs in no pair pass through.
+    "d12_component_keep" -> ((s, dir) =>
+      Dedup.componentKeep(docsWithNearDups(s, dir),
+          Dedup.minhashLshCandidatesPortable(docsWithNearDups(s, dir), k = 16, bands = 4))
+        .orderBy("doc_id")),
+
     "d4_embedding_cosine_pairs" -> ((s, dir) =>
       Dedup.embeddingCosinePairs(embs(s, dir), bucketCol = "label", threshold = 0.3)
         .orderBy("id_a", "id_b")),
@@ -805,6 +822,68 @@ object DataPipeQueries {
          |FROM banded x JOIN banded y
          |  ON x.b = y.b AND x.bucket = y.bucket AND x.doc_id < y.doc_id
          |ORDER BY id_a, id_b""".stripMargin,
+    "d12_dup_components" ->
+      s"""${nearDupCte.replaceFirst("^WITH", "WITH RECURSIVE")},
+         |sh AS (
+         |  SELECT DISTINCT doc_id,
+         |         concat_ws(' ', t[i], t[i+1], t[i+2]) AS shingle
+         |  FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t
+         |        FROM base)
+         |  CROSS JOIN LATERAL (SELECT unnest(generate_series(1, len(t) - 2)) AS i)
+         |  WHERE len(t) >= 3),
+         |idx AS (SELECT unnest(range(0, 16)) AS i),
+         |mh AS (
+         |  SELECT doc_id, i, min(md5(concat(i, '|', shingle))) AS h
+         |  FROM sh CROSS JOIN idx GROUP BY doc_id, i),
+         |sig AS (SELECT doc_id, list(h ORDER BY i) AS s FROM mh GROUP BY doc_id),
+         |bandidx AS (SELECT unnest(range(0, 4)) AS b),
+         |banded AS (
+         |  SELECT doc_id, b, md5(array_to_string(s[b*4+1 : b*4+4], ',')) AS bucket
+         |  FROM sig CROSS JOIN bandidx),
+         |prs AS (
+         |  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+         |  FROM banded x JOIN banded y
+         |    ON x.b = y.b AND x.bucket = y.bucket AND x.doc_id < y.doc_id),
+         |edges AS (SELECT id_a AS src, id_b AS dst FROM prs
+         |          UNION SELECT id_b, id_a FROM prs),
+         |reach(id, r) AS (
+         |  SELECT src, src FROM edges
+         |  UNION
+         |  SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.id)
+         |SELECT id AS doc_id, min(r) AS cluster_id
+         |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
+    "d12_component_keep" ->
+      s"""${nearDupCte.replaceFirst("^WITH", "WITH RECURSIVE")},
+         |sh AS (
+         |  SELECT DISTINCT doc_id,
+         |         concat_ws(' ', t[i], t[i+1], t[i+2]) AS shingle
+         |  FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t
+         |        FROM base)
+         |  CROSS JOIN LATERAL (SELECT unnest(generate_series(1, len(t) - 2)) AS i)
+         |  WHERE len(t) >= 3),
+         |idx AS (SELECT unnest(range(0, 16)) AS i),
+         |mh AS (
+         |  SELECT doc_id, i, min(md5(concat(i, '|', shingle))) AS h
+         |  FROM sh CROSS JOIN idx GROUP BY doc_id, i),
+         |sig AS (SELECT doc_id, list(h ORDER BY i) AS s FROM mh GROUP BY doc_id),
+         |bandidx AS (SELECT unnest(range(0, 4)) AS b),
+         |banded AS (
+         |  SELECT doc_id, b, md5(array_to_string(s[b*4+1 : b*4+4], ',')) AS bucket
+         |  FROM sig CROSS JOIN bandidx),
+         |prs AS (
+         |  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+         |  FROM banded x JOIN banded y
+         |    ON x.b = y.b AND x.bucket = y.bucket AND x.doc_id < y.doc_id),
+         |edges AS (SELECT id_a AS src, id_b AS dst FROM prs
+         |          UNION SELECT id_b, id_a FROM prs),
+         |reach(id, r) AS (
+         |  SELECT src, src FROM edges
+         |  UNION
+         |  SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.id)
+         |SELECT b.doc_id, b.text FROM base b
+         |WHERE b.doc_id NOT IN (
+         |  SELECT id FROM reach GROUP BY id HAVING id <> min(r))
+         |ORDER BY b.doc_id""".stripMargin,
     "d8_incremental_lsh" ->
       s"""$nearDupCte,
          |sh AS (

@@ -186,4 +186,35 @@ class DedupSpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSet
     assert(kept2 == kept)
   }
+
+  test("duplicateComponents: transitive closure where nearDupKeep's pair rule is not") {
+    val s = spark; import s.implicits._
+    // edge set {(B,C), (A,C)} with A=1 < B=2 < C=3: B is never an id_b,
+    // so the pair rule keeps {A, B}; the component rule keeps only A.
+    // Second component 10-20 (chain via shared neighbor), singleton 99.
+    val pairs = Seq((2L, 3L), (1L, 3L), (10L, 20L)).toDF("id_a", "id_b")
+    val comp = Dedup.duplicateComponents(pairs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster_id")).toMap
+    assert(comp == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 20L -> 10L))
+
+    val docs = Seq(1L, 2L, 3L, 10L, 20L, 99L).toDF("doc_id")
+      .withColumn("text", lit("t"))
+    assert(Dedup.componentKeep(docs, pairs).collect().map(_.getLong(0)).toSet
+      == Set(1L, 10L, 99L), "one survivor per component; singletons pass through")
+    assert(Dedup.nearDupKeep(docs, pairs).collect().map(_.getLong(0)).toSet
+      == Set(1L, 2L, 10L, 99L), "the pair rule misses the transitive B~C~A chain")
+  }
+
+  test("duplicateComponents: long chain converges, layout-independent") {
+    val s = spark; import s.implicits._
+    // path graph 0-1-2-...-9: one component, diameter 9
+    val chain = (0L until 9L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val comp = Dedup.duplicateComponents(chain.repartition(7)).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster_id")).toMap
+    assert(comp.size == 10 && comp.values.forall(_ == 0L))
+    // non-convergence within maxIters must throw, not return garbage
+    intercept[IllegalStateException] {
+      Dedup.duplicateComponents(chain, maxIters = 2)
+    }
+  }
 }
