@@ -111,6 +111,38 @@ object LanguageModel {
       textCol, idCol)
   }
 
+  /** CCNet-style head/middle/tail perplexity buckets (Wenzek et al.,
+    * LREC 2020): per group (CCNet: per language) rank documents by LM
+    * score — higher mean log-prob = lower perplexity = more fluent —
+    * and split into equal thirds: `head` (most fluent), `middle`,
+    * `tail`. CCNet keeps head+middle for pretraining and drops or
+    * down-weights the tail; emitting the label (not filtering) lets the
+    * caller mix buckets at chosen rates.
+    *
+    * Bucketing is exact-rank arithmetic (`rank*3 <= n`, ties broken by
+    * ascending id), so the labeling is engine-exact — the same
+    * exact/approx duality as [[Sampling.tokenBudget]]: this form sorts
+    * within each group (one window per group; groups are languages, so
+    * partition width is corpus/languages — large but bounded); the
+    * 100 TB shortcut is per-group tercile THRESHOLD scores from an
+    * approximate-percentile partial aggregate, broadcast back as a map
+    * filter, trading exact thirds for no sort.
+    */
+  def perplexityBuckets(scored: DataFrame, byCol: String,
+                        scoreCol: String = "mean_logp_micro",
+                        idCol: String = "doc_id"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(byCol).orderBy(col(scoreCol).desc, col(idCol).asc)
+    scored.select(col(idCol), col(byCol), col(scoreCol))
+      .withColumn("__r", row_number().over(w))
+      .withColumn("__n", count(lit(1)).over(Window.partitionBy(byCol)))
+      .withColumn("ppl_bucket",
+        when(col("__r") * 3 <= col("__n"), lit("head"))
+          .when(col("__r") * 3 <= col("__n") * 2, lit("middle"))
+          .otherwise(lit("tail")))
+      .select(col(idCol), col(byCol), col(scoreCol), col("ppl_bucket"))
+  }
+
   /** Moore-Lewis cross-entropy difference selection (Moore & Lewis, ACL
     * 2010) — the classic LM-contrast data-selection step: score every
     * candidate under an in-domain (target) bigram model and a general

@@ -351,6 +351,18 @@ object DataPipeQueries {
       LanguageModel.trainAndScore(docs(s, dir))
         .orderBy("doc_id")),
 
+    // CCNet head/middle/tail buckets: per-language exact-rank terciles
+    // of the t10 LM score (head = most fluent third). Emits the label
+    // so callers mix buckets at chosen rates rather than hard-dropping.
+    "t13_perplexity_buckets" -> ((s, dir) => {
+      val d = docs(s, dir)
+      LanguageModel.perplexityBuckets(
+        LanguageModel.trainAndScore(d)
+          .join(d.select(col("doc_id"), col("lang")), Seq("doc_id")),
+        byCol = "lang")
+        .orderBy("doc_id")
+    }),
+
     // Moore-Lewis cross-entropy difference selection: target model =
     // two sources' docs, general model = the whole corpus; rank every
     // doc by target-vs-general mean micro-nat contrast, keep top 40.
@@ -772,6 +784,44 @@ object DataPipeQueries {
     "high_dup_token_ratio" -> s"dup_token_ratio > ${qrCfg.maxDupTokenRatio}",
     "high_dup_line_ratio" -> s"dup_line_ratio > ${qrCfg.maxDupLineRatio}",
     "low_alpha_token_ratio" -> s"alpha_token_ratio < ${qrCfg.minAlphaTokenRatio}")
+
+  /** Shared t10 scoring body: ruleset-kept training slice, bigram-LM
+    * counts, and per-doc quantized score `sc` (doc_id, n_bigrams,
+    * sum_logp_micro) — the CTE chain both t10 and the t13 bucket query
+    * extend.
+    */
+  private lazy val lmScoredCte: String = {
+    val anyFail = qualityRuleSql.map(_._2).mkString("(", ") OR (", ")")
+    s"""$qualityMetricsCte,
+       |good AS (
+       |  SELECT m.doc_id, m.t FROM m JOIN x USING (doc_id)
+       |  WHERE NOT coalesce($anyFail, false)),
+       |guni AS (
+       |  SELECT token, count(*) AS n_w
+       |  FROM (SELECT unnest(t) AS token FROM good)
+       |  WHERE token <> '' GROUP BY 1),
+       |gv AS (SELECT count(*) AS v FROM guni),
+       |gbg AS (
+       |  SELECT w1, w2, count(*) AS n_bg FROM (
+       |    SELECT t[i] AS w1, t[i+1] AS w2 FROM good
+       |    CROSS JOIN LATERAL (SELECT unnest(generate_series(1, len(t) - 1)) AS i)
+       |    WHERE len(t) >= 2)
+       |  GROUP BY 1, 2),
+       |dbg AS (
+       |  SELECT doc_id, t[i] AS w1, t[i+1] AS w2 FROM m
+       |  CROSS JOIN LATERAL (SELECT unnest(generate_series(1, len(t) - 1)) AS i)
+       |  WHERE len(t) >= 2),
+       |sc AS (
+       |  SELECT doc_id, count(*) AS n_bigrams,
+       |    CAST(sum(CAST(floor(ln(least(1.0, CAST(coalesce(n_bg, 0) + 1 AS DOUBLE)
+       |      / CAST(coalesce(n_w, 0) + v AS DOUBLE))) * 1000000 + 0.5) AS BIGINT)) AS BIGINT)
+       |      AS sum_logp_micro
+       |  FROM dbg
+       |  LEFT JOIN gbg USING (w1, w2)
+       |  LEFT JOIN guni ON dbg.w1 = guni.token
+       |  CROSS JOIN gv
+       |  GROUP BY doc_id)""".stripMargin
+  }
 
   def oracles: Map[String, String] = Map(
     "d1_dedup_exact" ->
@@ -1402,42 +1452,33 @@ object DataPipeQueries {
          |       THEN 1 ELSE 0 END AS BIGINT) AS predicted_good
          |FROM sc ORDER BY doc_id""".stripMargin
     },
-    "t10_bigram_lm_score" -> {
-      val anyFail = qualityRuleSql.map(_._2).mkString("(", ") OR (", ")")
-      s"""$qualityMetricsCte,
-         |good AS (
-         |  SELECT m.doc_id, m.t FROM m JOIN x USING (doc_id)
-         |  WHERE NOT coalesce($anyFail, false)),
-         |guni AS (
-         |  SELECT token, count(*) AS n_w
-         |  FROM (SELECT unnest(t) AS token FROM good)
-         |  WHERE token <> '' GROUP BY 1),
-         |gv AS (SELECT count(*) AS v FROM guni),
-         |gbg AS (
-         |  SELECT w1, w2, count(*) AS n_bg FROM (
-         |    SELECT t[i] AS w1, t[i+1] AS w2 FROM good
-         |    CROSS JOIN LATERAL (SELECT unnest(generate_series(1, len(t) - 1)) AS i)
-         |    WHERE len(t) >= 2)
-         |  GROUP BY 1, 2),
-         |dbg AS (
-         |  SELECT doc_id, t[i] AS w1, t[i+1] AS w2 FROM m
-         |  CROSS JOIN LATERAL (SELECT unnest(generate_series(1, len(t) - 1)) AS i)
-         |  WHERE len(t) >= 2),
-         |sc AS (
-         |  SELECT doc_id, count(*) AS n_bigrams,
-         |    CAST(sum(CAST(floor(ln(least(1.0, CAST(coalesce(n_bg, 0) + 1 AS DOUBLE)
-         |      / CAST(coalesce(n_w, 0) + v AS DOUBLE))) * 1000000 + 0.5) AS BIGINT)) AS BIGINT)
-         |      AS sum_logp_micro
-         |  FROM dbg
-         |  LEFT JOIN gbg USING (w1, w2)
-         |  LEFT JOIN guni ON dbg.w1 = guni.token
-         |  CROSS JOIN gv
-         |  GROUP BY doc_id)
+    "t10_bigram_lm_score" ->
+      s"""$lmScoredCte
          |SELECT doc_id, n_bigrams, sum_logp_micro,
          |  CAST(floor(CAST(sum_logp_micro AS DOUBLE) / CAST(n_bigrams AS DOUBLE)) AS BIGINT)
          |    AS mean_logp_micro
-         |FROM sc ORDER BY doc_id""".stripMargin
-    },
+         |FROM sc ORDER BY doc_id""".stripMargin,
+    "t13_perplexity_buckets" ->
+      s"""$lmScoredCte,
+         |ms AS (
+         |  SELECT doc_id,
+         |    CAST(floor(CAST(sum_logp_micro AS DOUBLE) / CAST(n_bigrams AS DOUBLE)) AS BIGINT)
+         |      AS mean_logp_micro
+         |  FROM sc),
+         |sl AS (
+         |  SELECT ms.doc_id, d.lang, ms.mean_logp_micro
+         |  FROM ms JOIN documents d USING (doc_id)),
+         |rk AS (
+         |  SELECT doc_id, lang, mean_logp_micro,
+         |    row_number() OVER (PARTITION BY lang
+         |                       ORDER BY mean_logp_micro DESC, doc_id) AS r,
+         |    count(*) OVER (PARTITION BY lang) AS n
+         |  FROM sl)
+         |SELECT doc_id, lang, mean_logp_micro,
+         |  CASE WHEN r * 3 <= n THEN 'head'
+         |       WHEN r * 3 <= n * 2 THEN 'middle'
+         |       ELSE 'tail' END AS ppl_bucket
+         |FROM rk ORDER BY doc_id""".stripMargin,
     "t11_crossentropy_select" ->
       s"""WITH mlm AS (
          |  SELECT doc_id, source, string_split_regex(lower(trim(text)), '\\s+') AS t

@@ -121,4 +121,22 @@ class LanguageModelSpec extends SparkSpec {
     assert((0 until 8).forall(i => out(i.toLong) > out(8L)),
       "trusted-slice prose must outscore the degenerate docs")
   }
+
+  test("perplexityBuckets: per-group exact-rank thirds, score-ordered, deterministic") {
+    val s = spark; import s.implicits._
+    // 6 docs in lang a (thirds of 2/2/2), 4 in lang b (1/1/2 by the
+    // rank*3<=n rule); scores descend with id so the split is readable
+    val scored = ((1 to 6).map(i => (i.toLong, "a", 100L - i)) ++
+      (11 to 14).map(i => (i.toLong, "b", 100L - i)))
+      .toDF("doc_id", "lang", "mean_logp_micro")
+    val out = LanguageModel.perplexityBuckets(scored, byCol = "lang")
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(out == Map(
+      1L -> "head", 2L -> "head", 3L -> "middle", 4L -> "middle",
+      5L -> "tail", 6L -> "tail",
+      11L -> "head", 12L -> "middle", 13L -> "tail", 14L -> "tail"))
+    val out2 = LanguageModel.perplexityBuckets(scored.repartition(7), byCol = "lang")
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(out2 == out, "bucketing must be layout-independent")
+  }
 }
