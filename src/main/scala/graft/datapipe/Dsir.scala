@@ -1,0 +1,103 @@
+package graft.datapipe
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** DSIR — Data Selection with Importance Resampling (Xie et al.,
+  * NeurIPS 2023): select pretraining documents that look like a target
+  * domain by importance weight under two HASHED-N-GRAM bag-of-words
+  * models, log w(x) = Σ_features [ln p_target(bucket) − ln p_raw(bucket)].
+  * The published 100 TB-friendly contrast to Moore-Lewis
+  * ([[LanguageModel.crossEntropySelect]]): features are unigrams+bigrams
+  * hashed into `nBuckets` buckets, so both "models" are count tables of
+  * AT MOST nBuckets rows — broadcastable at any corpus size, no
+  * vocabulary growth, no pruning question.
+  *
+  * Everything is quantized to integer micro-nats (the
+  * [[QualityClassifier.quantLog]] scheme) and the feature hash is the
+  * repo's portable md5 scheme ([[Sampling.inclusionHash]]), so weights —
+  * and the selected set — are engine-exact. Selection here is
+  * deterministic top-n by weight (paper §2.3 resamples with Gumbel
+  * noise; a caller wanting that adds one hashed-id Gumbel column and
+  * re-ranks — the weight computation is the operator).
+  *
+  * Scale shape: one explode over tokens (map-side), two broadcast joins
+  * against ≤nBuckets-row count frames, one (id) partial aggregate, one
+  * TakeOrderedAndProject. Document text never enters a shuffle.
+  */
+object Dsir {
+
+  /** (id, bucket) hashed n-gram feature occurrences: non-empty unigrams
+    * plus space-joined bigrams, bucket = portable 24-bit md5 hash mod
+    * `nBuckets`. One row per occurrence (bag-of-n-grams, not a set).
+    */
+  def hashedFeatures(docs: DataFrame, nBuckets: Int, seed: Long = 0L,
+                     textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(nBuckets > 0, "nBuckets must be positive")
+    val uni = docs
+      .select(col(idCol), explode(TextAnalysis.tokens(col(textCol))).as("f"))
+      .where(col("f") =!= "")
+    val bi = docs
+      .select(col(idCol), TextAnalysis.tokens(col(textCol)).as("__t"))
+      .where(size(col("__t")) >= 2)
+      .select(col(idCol),
+        explode(transform(sequence(lit(1), size(col("__t")) - 1), i =>
+          concat_ws(" ", element_at(col("__t"), i),
+            element_at(col("__t"), i + 1)))).as("f"))
+    uni.unionByName(bi)
+      .select(col(idCol),
+        pmod(Sampling.inclusionHash(col("f"), seed), lit(nBuckets.toLong)).as("bucket"))
+  }
+
+  /** Hashed-feature counts for one corpus: (bucket, n) — at most
+    * `nBuckets` rows regardless of corpus size.
+    */
+  def featureCounts(docs: DataFrame, nBuckets: Int, seed: Long = 0L,
+                    textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    hashedFeatures(docs, nBuckets, seed, textCol, idCol)
+      .groupBy("bucket").agg(count(lit(1)).as("n"))
+
+  /** Per-document importance weight against target/raw count tables:
+    * (id, n_features, logw_micro) where logw_micro sums quantized
+    * ln((n_t+1)/(T_t+B)) − ln((n_r+1)/(T_r+B)) over feature occurrences
+    * (Laplace smoothing on both models; an unseen-everywhere bucket
+    * contributes the constant prior contrast). Documents with no
+    * features produce no row.
+    */
+  def importanceWeights(candidates: DataFrame,
+                        targetCounts: DataFrame, rawCounts: DataFrame,
+                        nBuckets: Int, seed: Long = 0L,
+                        textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    def total(counts: DataFrame, name: String): DataFrame =
+      counts.agg(coalesce(sum(col("n")), lit(0L)).as(name))
+    def smoothedLog(n: Column, tot: Column): Column =
+      QualityClassifier.quantLog(
+        (coalesce(n, lit(0L)) + 1L).cast("double") /
+          (tot + nBuckets.toLong).cast("double"))
+    hashedFeatures(candidates, nBuckets, seed, textCol, idCol)
+      .join(broadcast(targetCounts.select(col("bucket"), col("n").as("__nt"))),
+        Seq("bucket"), "left")
+      .join(broadcast(rawCounts.select(col("bucket"), col("n").as("__nr"))),
+        Seq("bucket"), "left")
+      .crossJoin(broadcast(total(targetCounts, "__tt")))
+      .crossJoin(broadcast(total(rawCounts, "__tr")))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_features"),
+        sum(smoothedLog(col("__nt"), col("__tt")) -
+          smoothedLog(col("__nr"), col("__tr"))).as("logw_micro"))
+  }
+
+  /** End-to-end DSIR: fit hashed-n-gram models on `targetDocs` and
+    * `rawDocs`, weight every candidate, keep the top `n` (weight desc,
+    * id asc — deterministic).
+    */
+  def select(candidates: DataFrame, targetDocs: DataFrame, rawDocs: DataFrame,
+             n: Int, nBuckets: Int = 4096, seed: Long = 0L,
+             textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    importanceWeights(candidates,
+      featureCounts(targetDocs, nBuckets, seed, textCol, idCol),
+      featureCounts(rawDocs, nBuckets, seed, textCol, idCol),
+      nBuckets, seed, textCol, idCol)
+      .orderBy(desc("logw_micro"), col(idCol))
+      .limit(n)
+}

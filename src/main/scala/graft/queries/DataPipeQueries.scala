@@ -375,6 +375,18 @@ object DataPipeQueries {
         .orderBy(desc("ml_score_micro"), col("doc_id"))
     }),
 
+    // DSIR importance-resampling selection: hashed-n-gram (uni+bigram,
+    // portable md5 hash mod 1024) bag-of-words models for the same
+    // target/raw split as t11 — count tables are bucket-bounded, so at
+    // corpus scale both models broadcast. Deterministic top-40 by
+    // quantized micro-nat importance weight.
+    "t14_dsir_select" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Dsir.select(d, d.where(col("source").isin("src0", "src1")), d,
+          n = 40, nBuckets = 1024)
+        .orderBy(desc("logw_micro"), col("doc_id"))
+    }),
+
     "t5_bpeish_tokens" -> ((s, dir) =>
       docs(s, dir)
         .groupBy("lang")
@@ -1501,6 +1513,39 @@ object DataPipeQueries {
          |       t.mean_logp_micro - g.mean_logp_micro AS ml_score_micro
          |FROM tgtsc t JOIN gensc g USING (doc_id)
          |ORDER BY ml_score_micro DESC, doc_id LIMIT 40""".stripMargin,
+    "t14_dsir_select" ->
+      s"""WITH m AS (
+         |  SELECT doc_id, source, string_split_regex(lower(trim(text)), '\\s+') AS t
+         |  FROM documents),
+         |feat AS (
+         |  SELECT doc_id, source, f FROM (
+         |    SELECT doc_id, source, unnest(t) AS f FROM m)
+         |  WHERE f <> ''
+         |  UNION ALL
+         |  SELECT doc_id, source, t[i] || ' ' || t[i+1] AS f FROM m
+         |  CROSS JOIN LATERAL (SELECT unnest(generate_series(1, len(t) - 1)) AS i)
+         |  WHERE len(t) >= 2),
+         |fb AS (
+         |  SELECT doc_id, source, ${hex6("md5('0|' || f)")} % 1024 AS bucket
+         |  FROM feat),
+         |tc AS (SELECT bucket, count(*) AS nt FROM fb
+         |       WHERE source IN ('src0', 'src1') GROUP BY 1),
+         |rc AS (SELECT bucket, count(*) AS nr FROM fb GROUP BY 1),
+         |tts AS (SELECT coalesce(sum(nt), 0) AS tt FROM tc),
+         |trs AS (SELECT coalesce(sum(nr), 0) AS tr FROM rc),
+         |w AS (
+         |  SELECT doc_id, count(*) AS n_features,
+         |    CAST(sum(
+         |      CAST(floor(ln(CAST(coalesce(nt, 0) + 1 AS DOUBLE)
+         |        / CAST(tt + 1024 AS DOUBLE)) * 1000000 + 0.5) AS BIGINT)
+         |      - CAST(floor(ln(CAST(coalesce(nr, 0) + 1 AS DOUBLE)
+         |        / CAST(tr + 1024 AS DOUBLE)) * 1000000 + 0.5) AS BIGINT)
+         |    ) AS BIGINT) AS logw_micro
+         |  FROM fb LEFT JOIN tc USING (bucket) LEFT JOIN rc USING (bucket)
+         |  CROSS JOIN tts CROSS JOIN trs
+         |  GROUP BY doc_id)
+         |SELECT doc_id, n_features, logw_micro FROM w
+         |ORDER BY logw_micro DESC, doc_id LIMIT 40""".stripMargin,
     "t1_text_quality" ->
       s"""$tokCte,
          |q AS (

@@ -1,0 +1,46 @@
+package graft.datapipe
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class DsirSpec extends SparkSpec {
+
+  private def corpus = {
+    val s = spark; import s.implicits._
+    ((0 until 6).map(i => (i.toLong, "legal",
+      "the party of the first part shall indemnify the party of the second part")) ++
+      (6 until 12).map(i => (i.toLong, "web",
+        "click here to subscribe and win a free prize today only")))
+      .toDF("doc_id", "source", "text")
+  }
+
+  test("select: target-like candidates outrank raw-typical ones") {
+    val s = spark; import s.implicits._
+    val cands = Seq(
+      (100L, "the party shall indemnify the second part of the contract"),
+      (101L, "indemnify the party of the first part in full"),
+      (200L, "click here to win a free prize today"),
+      (201L, "subscribe today and win a prize")
+    ).toDF("doc_id", "text")
+    val top2 = Dsir.select(cands,
+        corpus.where(col("source") === "legal"), corpus, n = 2, nBuckets = 512)
+      .collect().map(_.getLong(0)).toSet
+    assert(top2 == Set(100L, 101L),
+      s"legal-like candidates must win the importance ranking: $top2")
+  }
+
+  test("importanceWeights: deterministic, layout-independent, bucket-bounded counts") {
+    val tc = Dsir.featureCounts(corpus.where(col("source") === "legal"), nBuckets = 64)
+    val rc = Dsir.featureCounts(corpus, nBuckets = 64)
+    assert(tc.count() <= 64 && rc.count() <= 64,
+      "count tables must be bounded by nBuckets regardless of corpus size")
+    val w1 = Dsir.importanceWeights(corpus, tc, rc, nBuckets = 64)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val w2 = Dsir.importanceWeights(corpus.repartition(7), tc, rc, nBuckets = 64)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(w1 == w2, "hashed-feature weights must not depend on layout")
+    // in-target docs weigh more target-like than out-of-target docs
+    assert((0 until 6).forall(i => w1(i.toLong) > w1(6L)),
+      s"legal training docs must outweigh web docs under the legal target: $w1")
+  }
+}
