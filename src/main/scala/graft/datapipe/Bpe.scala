@@ -1,0 +1,98 @@
+package graft.datapipe
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Byte-pair-encoding tokenizer training over a corpus (Sennrich et al.,
+  * ACL 2016) — the count-heavy half of training a BPE vocabulary, as
+  * Spark aggregations: word frequencies once, then per merge round a
+  * (symbol-pair) keyed count and an argmax.
+  *
+  * Scale shape: the corpus text is touched ONCE ([[wordFreqs]] — one
+  * token explode + one (word) shuffle with map-side combine); every
+  * merge round after that runs on the WORD-FREQUENCY table, whose size
+  * is the corpus vocabulary (millions of rows, not billions) and whose
+  * pair-count aggregate is (s1, s2)-keyed with partial aggregation. The
+  * per-round argmax is a 1-row driver fetch — the merge table is driver
+  * state by construction (it IS the tokenizer being built), the same
+  * metadata-scale exception as job state. Real trainers (subword-nmt,
+  * HuggingFace tokenizers) hold word counts in one process; this shape
+  * distributes the count work and keeps only the argmax on the driver.
+  */
+object Bpe {
+
+  /** (word, freq) over the corpus — the only pass that reads text. */
+  def wordFreqs(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs
+      .select(explode(TextAnalysis.tokens(col(textCol))).as("word"))
+      .where(col("word") =!= "")
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+
+  /** Single-character symbol array of `word` (initial BPE segmentation;
+    * no end-of-word marker — merges never cross word boundaries here
+    * because pairs are counted within words only).
+    */
+  def chars(word: Column): Column =
+    transform(sequence(lit(1), length(word)), i => word.substr(i, lit(1)))
+
+  /** Adjacent-symbol pair counts weighted by word frequency:
+    * (s1, s2, pair_count) — one merge round's statistics.
+    */
+  def pairCounts(segmented: DataFrame, symsCol: String = "syms",
+                 freqCol: String = "freq"): DataFrame =
+    segmented
+      .where(size(col(symsCol)) >= 2)
+      .select(col(freqCol),
+        explode(transform(sequence(lit(1), size(col(symsCol)) - 1), i =>
+          struct(element_at(col(symsCol), i).as("s1"),
+            element_at(col(symsCol), i + 1).as("s2")))).as("p"))
+      .groupBy(col("p.s1").as("s1"), col("p.s2").as("s2"))
+      .agg(sum(col(freqCol)).as("pair_count"))
+
+  /** One-pass pair statistics for a corpus: [[wordFreqs]] segmented to
+    * chars, pairs counted — round 0 of training, fully relational.
+    */
+  def corpusPairCounts(docs: DataFrame, textCol: String = "text"): DataFrame =
+    pairCounts(wordFreqs(docs, textCol).withColumn("syms", chars(col("word"))))
+
+  /** Greedy left-to-right application of one merge (s1, s2) -> s1+s2 to
+    * a symbol array: "aaa" under (a,a) becomes [aa, a], matching
+    * reference BPE. `aggregate` threads the building array, so each
+    * symbol is inspected once (the [[Boilerplate]] seen-set pattern —
+    * lambda references are attributes, the HOF re-eval trap does not
+    * apply; per-word cost is O(len²) array rebuilds on <~20-char words).
+    */
+  def applyMerge(syms: Column, s1: String, s2: String): Column =
+    aggregate(syms, array().cast("array<string>"), (acc, x) =>
+      when(size(acc) > 0 &&
+          element_at(acc, -1) === lit(s1) && x === lit(s2),
+        concat(slice(acc, lit(1), size(acc) - 1), array(lit(s1 + s2))))
+        .otherwise(concat(acc, array(x))))
+
+  /** Train `nMerges` BPE merges: per round, count pairs over the
+    * frontier'd word table, fetch the argmax (count desc, then (s1, s2)
+    * ascending — the deterministic tie-break subword-nmt uses
+    * lexicographic order for), apply it, repeat. Returns the ordered
+    * merge list; stops early when no pair remains.
+    */
+  def train(docs: DataFrame, nMerges: Int,
+            textCol: String = "text"): Seq[(String, String)] = {
+    var seg = graft.core.Materialize.frontier(
+      wordFreqs(docs, textCol).withColumn("syms", chars(col("word"))))
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    var exhausted = false
+    while (!exhausted && merges.length < nMerges) {
+      val top = pairCounts(seg)
+        .orderBy(desc("pair_count"), col("s1"), col("s2"))
+        .limit(1).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val (s1, s2) = (top(0).getAs[String]("s1"), top(0).getAs[String]("s2"))
+        merges += ((s1, s2))
+        seg = graft.core.Materialize.frontier(
+          seg.withColumn("syms", applyMerge(col("syms"), s1, s2)))
+      }
+    }
+    merges.toSeq
+  }
+}

@@ -387,6 +387,15 @@ object DataPipeQueries {
         .orderBy(desc("logw_micro"), col("doc_id"))
     }),
 
+    // BPE training round 0: word-frequency-weighted adjacent char-pair
+    // counts over the corpus — the count-heavy half of tokenizer
+    // training as one (word) + one (s1,s2) aggregate. Top 30 by the
+    // deterministic (count desc, pair asc) merge order.
+    "t15_bpe_pair_counts" -> ((s, dir) =>
+      Bpe.corpusPairCounts(docs(s, dir))
+        .orderBy(desc("pair_count"), col("s1"), col("s2"))
+        .limit(30)),
+
     "t5_bpeish_tokens" -> ((s, dir) =>
       docs(s, dir)
         .groupBy("lang")
@@ -1546,6 +1555,19 @@ object DataPipeQueries {
          |  GROUP BY doc_id)
          |SELECT doc_id, n_features, logw_micro FROM w
          |ORDER BY logw_micro DESC, doc_id LIMIT 40""".stripMargin,
+    "t15_bpe_pair_counts" ->
+      s"""WITH tok AS (
+         |  SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w
+         |  FROM documents),
+         |wf AS (SELECT w, count(*) AS freq FROM tok WHERE w <> '' GROUP BY 1),
+         |prs AS (
+         |  SELECT substr(w, i, 1) AS s1, substr(w, i + 1, 1) AS s2, freq
+         |  FROM wf
+         |  CROSS JOIN LATERAL (SELECT unnest(generate_series(1, len(w) - 1)) AS i)
+         |  WHERE len(w) >= 2)
+         |SELECT s1, s2, CAST(sum(freq) AS BIGINT) AS pair_count
+         |FROM prs GROUP BY 1, 2
+         |ORDER BY pair_count DESC, s1, s2 LIMIT 30""".stripMargin,
     "t1_text_quality" ->
       s"""$tokCte,
          |q AS (

@@ -1,0 +1,50 @@
+package graft.datapipe
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class BpeSpec extends SparkSpec {
+
+  test("pairCounts: frequency-weighted adjacent pairs") {
+    val s = spark; import s.implicits._
+    // "low" x3, "lowest" x1 -> (l,o) 4, (o,w) 4, (w,e) 1, (e,s) 1, (s,t) 1
+    val docs = Seq((1L, "low low lowest low")).toDF("doc_id", "text")
+    val counts = Bpe.corpusPairCounts(docs).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(counts == Map(
+      ("l", "o") -> 4L, ("o", "w") -> 4L,
+      ("w", "e") -> 1L, ("e", "s") -> 1L, ("s", "t") -> 1L))
+  }
+
+  test("applyMerge: greedy left-to-right, overlapping runs handled like reference BPE") {
+    val s = spark; import s.implicits._
+    val df = Seq(Seq("a", "a", "a"), Seq("a", "b", "a", "a"), Seq("b"))
+      .toDF("syms")
+    val out = df.select(Bpe.applyMerge(col("syms"), "a", "a").as("m"))
+      .collect().map(_.getSeq[String](0))
+    assert(out(0) == Seq("aa", "a"), "aaa merges leftmost pair only")
+    assert(out(1) == Seq("a", "b", "aa"))
+    assert(out(2) == Seq("b"))
+  }
+
+  test("train: classic corpus learns the expected first merges, deterministically") {
+    val s = spark; import s.implicits._
+    // 'lo' dominates: every word starts l-o; then 'low' (lo+w appears in
+    // low/lower/lowest = 7 words) beats (e,r)=5, etc.
+    val docs = Seq((1L,
+      "low low low low low lower lower lowest newer newer newer wider wider"))
+      .toDF("doc_id", "text")
+    val merges = Bpe.train(docs, nMerges = 3)
+    assert(merges.head == ("l", "o"), s"first merge must be the dominant pair: $merges")
+    assert(merges(1) == ("lo", "w"), s"second merge chains the first: $merges")
+    // deterministic under re-partitioning
+    assert(Bpe.train(docs.repartition(5), nMerges = 3) == merges)
+  }
+
+  test("train: stops early when words are exhausted") {
+    val s = spark; import s.implicits._
+    val docs = Seq((1L, "ab ab")).toDF("doc_id", "text")
+    // one mergeable pair exists; after (a,b) every word is one symbol
+    assert(Bpe.train(docs, nMerges = 10) == Seq(("a", "b")))
+  }
+}
