@@ -102,6 +102,7 @@ object Bench {
       "stream_neardup",
       // frontier-backed multi-stage pipelines (scratch parquet writes)
       "curate_pipeline", "curate_ruleset_pipeline",
+      "d12_dup_components", "d12_component_keep",
       // deliberately-skewed synthetic rows
       "skew_salted_agg", "skew_salted_join")
     var extraRuns = Seq.empty[(String, Double)]
