@@ -30,10 +30,14 @@ object Bpe {
 
   /** Single-character symbol array of `word` (initial BPE segmentation;
     * no end-of-word marker — merges never cross word boundaries here
-    * because pairs are counted within words only).
+    * because pairs are counted within words only). Empty words map to an
+    * empty array — sequence(1, 0) DESCENDS in Spark, so the unguarded
+    * form would yield a phantom ["", ""] that counts a ("","") pair.
     */
   def chars(word: Column): Column =
-    transform(sequence(lit(1), length(word)), i => word.substr(i, lit(1)))
+    when(length(word) === 0, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(1), length(word)), i =>
+        word.substr(i, lit(1))))
 
   /** Adjacent-symbol pair counts weighted by word frequency:
     * (s1, s2, pair_count) — one merge round's statistics.
@@ -43,10 +47,8 @@ object Bpe {
     segmented
       .where(size(col(symsCol)) >= 2)
       .select(col(freqCol),
-        explode(transform(sequence(lit(1), size(col(symsCol)) - 1), i =>
-          struct(element_at(col(symsCol), i).as("s1"),
-            element_at(col(symsCol), i + 1).as("s2")))).as("p"))
-      .groupBy(col("p.s1").as("s1"), col("p.s2").as("s2"))
+        explode(TextAnalysis.adjacentPairs(col(symsCol))).as("p"))
+      .groupBy(col("p.a").as("s1"), col("p.b").as("s2"))
       .agg(sum(col(freqCol)).as("pair_count"))
 
   /** One-pass pair statistics for a corpus: [[wordFreqs]] segmented to
@@ -70,10 +72,12 @@ object Bpe {
         .otherwise(concat(acc, array(x))))
 
   /** Train `nMerges` BPE merges: per round, count pairs over the
-    * frontier'd word table, fetch the argmax (count desc, then (s1, s2)
-    * ascending — the deterministic tie-break subword-nmt uses
-    * lexicographic order for), apply it, repeat. Returns the ordered
-    * merge list; stops early when no pair remains.
+    * frontier'd word table, fetch the argmax — count desc, ties broken
+    * by the lexicographically GREATEST (s1, s2), matching subword-nmt's
+    * `max(stats, key=lambda x: (stats[x], x))` so a tied round learns
+    * the same merge a subword-nmt-trained tokenizer would — apply it,
+    * repeat. Returns the ordered merge list; stops early when no pair
+    * remains.
     */
   def train(docs: DataFrame, nMerges: Int,
             textCol: String = "text"): Seq[(String, String)] = {
@@ -83,7 +87,7 @@ object Bpe {
     var exhausted = false
     while (!exhausted && merges.length < nMerges) {
       val top = pairCounts(seg)
-        .orderBy(desc("pair_count"), col("s1"), col("s2"))
+        .orderBy(desc("pair_count"), desc("s1"), desc("s2"))
         .limit(1).collect()
       if (top.isEmpty) exhausted = true
       else {

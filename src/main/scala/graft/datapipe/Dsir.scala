@@ -30,21 +30,21 @@ object Dsir {
   /** (id, bucket) hashed n-gram feature occurrences: non-empty unigrams
     * plus space-joined bigrams, bucket = portable 24-bit md5 hash mod
     * `nBuckets`. One row per occurrence (bag-of-n-grams, not a set).
+    * The text is tokenized ONCE (bound as an attribute) and both grams
+    * explode from a single concatenated feature array — one scan.
     */
   def hashedFeatures(docs: DataFrame, nBuckets: Int, seed: Long = 0L,
                      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     require(nBuckets > 0, "nBuckets must be positive")
-    val uni = docs
-      .select(col(idCol), explode(TextAnalysis.tokens(col(textCol))).as("f"))
-      .where(col("f") =!= "")
-    val bi = docs
+    val t = col("__t")
+    val uni = filter(t, x => x =!= "")
+    val bi = when(size(t) >= 2,
+      transform(TextAnalysis.adjacentPairs(t),
+        p => concat_ws(" ", p.getField("a"), p.getField("b"))))
+      .otherwise(array().cast("array<string>"))
+    docs
       .select(col(idCol), TextAnalysis.tokens(col(textCol)).as("__t"))
-      .where(size(col("__t")) >= 2)
-      .select(col(idCol),
-        explode(transform(sequence(lit(1), size(col("__t")) - 1), i =>
-          concat_ws(" ", element_at(col("__t"), i),
-            element_at(col("__t"), i + 1)))).as("f"))
-    uni.unionByName(bi)
+      .select(col(idCol), explode(concat(uni, bi)).as("f"))
       .select(col(idCol),
         pmod(Sampling.inclusionHash(col("f"), seed), lit(nBuckets.toLong)).as("bucket"))
   }

@@ -29,17 +29,13 @@ object LanguageModel {
   /** (id, w1, w2) consecutive-token pairs; documents with < 2 tokens
     * produce no rows (a bigram model cannot score them).
     */
-  private def bigramPairs(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
-    val t = TextAnalysis.tokens(col(textCol))
+  private def bigramPairs(docs: DataFrame, textCol: String, idCol: String): DataFrame =
     docs
-      .select(col(idCol), t.as("__t"))
+      .select(col(idCol), TextAnalysis.tokens(col(textCol)).as("__t"))
       .where(size(col("__t")) >= 2)
       .select(col(idCol),
-        explode(transform(sequence(lit(1), size(col("__t")) - 1), i =>
-          struct(element_at(col("__t"), i).as("w1"),
-            element_at(col("__t"), i + 1).as("w2")))).as("p"))
-      .select(col(idCol), col("p.w1"), col("p.w2"))
-  }
+        explode(TextAnalysis.adjacentPairs(col("__t"))).as("p"))
+      .select(col(idCol), col("p.a").as("w1"), col("p.b").as("w2"))
 
   /** Unigram counts over the training slice: (token, n_w). */
   def unigramCounts(docs: DataFrame, textCol: String = "text"): DataFrame =
@@ -134,7 +130,9 @@ object LanguageModel {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(byCol).orderBy(col(scoreCol).desc, col(idCol).asc)
     scored.select(col(idCol), col(byCol), col(scoreCol))
-      .withColumn("__r", row_number().over(w))
+      // row_number is IntegerType: widen before *3 so groups past ~715M
+      // rows can't wrap negative (the oracle's row_number is BIGINT)
+      .withColumn("__r", row_number().over(w).cast("long"))
       .withColumn("__n", count(lit(1)).over(Window.partitionBy(byCol)))
       .withColumn("ppl_bucket",
         when(col("__r") * 3 <= col("__n"), lit("head"))

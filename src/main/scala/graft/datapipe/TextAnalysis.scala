@@ -23,6 +23,17 @@ object TextAnalysis {
   /** Whitespace tokenization of normalized text. */
   def tokens(text: Column): Column = split(lower(trim(text)), s"[$wsClass]+")
 
+  /** Adjacent-element pairs of an array as array<struct<a, b>> — the
+    * shared bigram/symbol-pair idiom ([[LanguageModel]] token bigrams,
+    * [[Dsir]] hashed bigram features, [[Bpe]] merge statistics). `arr`
+    * MUST be bound as an attribute (not a nested expression) — the
+    * lambda references it per element, the HOF re-eval trap — and the
+    * caller guards size >= 2 (sequence(1, 0) descends, it is not empty).
+    */
+  def adjacentPairs(arr: Column): Column =
+    transform(sequence(lit(1), size(arr) - 1), i =>
+      struct(element_at(arr, i).as("a"), element_at(arr, i + 1).as("b")))
+
   /** Token count: whitespace tokens. */
   def tokenCount(text: Column): Column = size(tokens(text))
 

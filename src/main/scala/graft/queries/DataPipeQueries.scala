@@ -389,11 +389,11 @@ object DataPipeQueries {
 
     // BPE training round 0: word-frequency-weighted adjacent char-pair
     // counts over the corpus — the count-heavy half of tokenizer
-    // training as one (word) + one (s1,s2) aggregate. Top 30 by the
-    // deterministic (count desc, pair asc) merge order.
+    // training as one (word) + one (s1,s2) aggregate. Top 30 in merge
+    // order: count desc, ties by greatest pair (subword-nmt's argmax).
     "t15_bpe_pair_counts" -> ((s, dir) =>
       Bpe.corpusPairCounts(docs(s, dir))
-        .orderBy(desc("pair_count"), col("s1"), col("s2"))
+        .orderBy(desc("pair_count"), desc("s1"), desc("s2"))
         .limit(30)),
 
     "t5_bpeish_tokens" -> ((s, dir) =>
@@ -844,6 +844,40 @@ object DataPipeQueries {
        |  GROUP BY doc_id)""".stripMargin
   }
 
+  /** Shared d12 CTE chain: portable LSH pair graph over the near-dup
+    * fixture + recursive min-reachability (`reach(id, r)`) — one
+    * definition for BOTH d12 oracles so a shingling/banding/reach change
+    * cannot desync them.
+    */
+  private lazy val d12ReachCte: String =
+    s"""${nearDupCte.replaceFirst("^WITH", "WITH RECURSIVE")},
+       |sh AS (
+       |  SELECT DISTINCT doc_id,
+       |         concat_ws(' ', t[i], t[i+1], t[i+2]) AS shingle
+       |  FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t
+       |        FROM base)
+       |  CROSS JOIN LATERAL (SELECT unnest(generate_series(1, len(t) - 2)) AS i)
+       |  WHERE len(t) >= 3),
+       |idx AS (SELECT unnest(range(0, 16)) AS i),
+       |mh AS (
+       |  SELECT doc_id, i, min(md5(concat(i, '|', shingle))) AS h
+       |  FROM sh CROSS JOIN idx GROUP BY doc_id, i),
+       |sig AS (SELECT doc_id, list(h ORDER BY i) AS s FROM mh GROUP BY doc_id),
+       |bandidx AS (SELECT unnest(range(0, 4)) AS b),
+       |banded AS (
+       |  SELECT doc_id, b, md5(array_to_string(s[b*4+1 : b*4+4], ',')) AS bucket
+       |  FROM sig CROSS JOIN bandidx),
+       |prs AS (
+       |  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+       |  FROM banded x JOIN banded y
+       |    ON x.b = y.b AND x.bucket = y.bucket AND x.doc_id < y.doc_id),
+       |edges AS (SELECT id_a AS src, id_b AS dst FROM prs
+       |          UNION SELECT id_b, id_a FROM prs),
+       |reach(id, r) AS (
+       |  SELECT src, src FROM edges
+       |  UNION
+       |  SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.id)""".stripMargin
+
   def oracles: Map[String, String] = Map(
     "d1_dedup_exact" ->
       s"""$nearDupCte
@@ -894,63 +928,11 @@ object DataPipeQueries {
          |  ON x.b = y.b AND x.bucket = y.bucket AND x.doc_id < y.doc_id
          |ORDER BY id_a, id_b""".stripMargin,
     "d12_dup_components" ->
-      s"""${nearDupCte.replaceFirst("^WITH", "WITH RECURSIVE")},
-         |sh AS (
-         |  SELECT DISTINCT doc_id,
-         |         concat_ws(' ', t[i], t[i+1], t[i+2]) AS shingle
-         |  FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t
-         |        FROM base)
-         |  CROSS JOIN LATERAL (SELECT unnest(generate_series(1, len(t) - 2)) AS i)
-         |  WHERE len(t) >= 3),
-         |idx AS (SELECT unnest(range(0, 16)) AS i),
-         |mh AS (
-         |  SELECT doc_id, i, min(md5(concat(i, '|', shingle))) AS h
-         |  FROM sh CROSS JOIN idx GROUP BY doc_id, i),
-         |sig AS (SELECT doc_id, list(h ORDER BY i) AS s FROM mh GROUP BY doc_id),
-         |bandidx AS (SELECT unnest(range(0, 4)) AS b),
-         |banded AS (
-         |  SELECT doc_id, b, md5(array_to_string(s[b*4+1 : b*4+4], ',')) AS bucket
-         |  FROM sig CROSS JOIN bandidx),
-         |prs AS (
-         |  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
-         |  FROM banded x JOIN banded y
-         |    ON x.b = y.b AND x.bucket = y.bucket AND x.doc_id < y.doc_id),
-         |edges AS (SELECT id_a AS src, id_b AS dst FROM prs
-         |          UNION SELECT id_b, id_a FROM prs),
-         |reach(id, r) AS (
-         |  SELECT src, src FROM edges
-         |  UNION
-         |  SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.id)
+      s"""$d12ReachCte
          |SELECT id AS doc_id, min(r) AS cluster_id
          |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
     "d12_component_keep" ->
-      s"""${nearDupCte.replaceFirst("^WITH", "WITH RECURSIVE")},
-         |sh AS (
-         |  SELECT DISTINCT doc_id,
-         |         concat_ws(' ', t[i], t[i+1], t[i+2]) AS shingle
-         |  FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t
-         |        FROM base)
-         |  CROSS JOIN LATERAL (SELECT unnest(generate_series(1, len(t) - 2)) AS i)
-         |  WHERE len(t) >= 3),
-         |idx AS (SELECT unnest(range(0, 16)) AS i),
-         |mh AS (
-         |  SELECT doc_id, i, min(md5(concat(i, '|', shingle))) AS h
-         |  FROM sh CROSS JOIN idx GROUP BY doc_id, i),
-         |sig AS (SELECT doc_id, list(h ORDER BY i) AS s FROM mh GROUP BY doc_id),
-         |bandidx AS (SELECT unnest(range(0, 4)) AS b),
-         |banded AS (
-         |  SELECT doc_id, b, md5(array_to_string(s[b*4+1 : b*4+4], ',')) AS bucket
-         |  FROM sig CROSS JOIN bandidx),
-         |prs AS (
-         |  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
-         |  FROM banded x JOIN banded y
-         |    ON x.b = y.b AND x.bucket = y.bucket AND x.doc_id < y.doc_id),
-         |edges AS (SELECT id_a AS src, id_b AS dst FROM prs
-         |          UNION SELECT id_b, id_a FROM prs),
-         |reach(id, r) AS (
-         |  SELECT src, src FROM edges
-         |  UNION
-         |  SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.id)
+      s"""$d12ReachCte
          |SELECT b.doc_id, b.text FROM base b
          |WHERE b.doc_id NOT IN (
          |  SELECT id FROM reach GROUP BY id HAVING id <> min(r))
@@ -1567,7 +1549,7 @@ object DataPipeQueries {
          |  WHERE len(w) >= 2)
          |SELECT s1, s2, CAST(sum(freq) AS BIGINT) AS pair_count
          |FROM prs GROUP BY 1, 2
-         |ORDER BY pair_count DESC, s1, s2 LIMIT 30""".stripMargin,
+         |ORDER BY pair_count DESC, s1 DESC, s2 DESC LIMIT 30""".stripMargin,
     "t1_text_quality" ->
       s"""$tokCte,
          |q AS (

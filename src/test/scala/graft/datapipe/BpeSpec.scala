@@ -29,14 +29,16 @@ class BpeSpec extends SparkSpec {
 
   test("train: classic corpus learns the expected first merges, deterministically") {
     val s = spark; import s.implicits._
-    // 'lo' dominates: every word starts l-o; then 'low' (lo+w appears in
-    // low/lower/lowest = 7 words) beats (e,r)=5, etc.
+    // (l,o) and (o,w) tie at 8 (every low* word has both); subword-nmt's
+    // greatest-pair tie-break picks (o,w); then (l,ow) = 8 dominates
+    // (e,r) = 7.
     val docs = Seq((1L,
       "low low low low low lower lower lowest newer newer newer wider wider"))
       .toDF("doc_id", "text")
     val merges = Bpe.train(docs, nMerges = 3)
-    assert(merges.head == ("l", "o"), s"first merge must be the dominant pair: $merges")
-    assert(merges(1) == ("lo", "w"), s"second merge chains the first: $merges")
+    assert(merges.head == ("o", "w"),
+      s"tied round must pick the lexicographically greatest pair: $merges")
+    assert(merges(1) == ("l", "ow"), s"second merge chains the first: $merges")
     // deterministic under re-partitioning
     assert(Bpe.train(docs.repartition(5), nMerges = 3) == merges)
   }
