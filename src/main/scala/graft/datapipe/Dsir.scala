@@ -89,7 +89,9 @@ object Dsir {
 
   /** End-to-end DSIR: fit hashed-n-gram models on `targetDocs` and
     * `rawDocs`, weight every candidate, keep the top `n` (weight desc,
-    * id asc — deterministic).
+    * id asc — deterministic). For the paper's actual resampling step —
+    * WITHOUT-replacement sampling proportional to the importance weight
+    * rather than a hard argmax — see [[selectGumbel]].
     */
   def select(candidates: DataFrame, targetDocs: DataFrame, rawDocs: DataFrame,
              n: Int, nBuckets: Int = 4096, seed: Long = 0L,
@@ -100,4 +102,32 @@ object Dsir {
       nBuckets, seed, textCol, idCol)
       .orderBy(desc("logw_micro"), col(idCol))
       .limit(n)
+
+  /** DSIR §2.3 resampling via the Gumbel-top-k trick: the top n of
+    * logw + Gumbel noise is an exact without-replacement sample with
+    * inclusion probability proportional to the importance weight (Vieira
+    * 2014) — peaked weights still dominate, but the tail gets its
+    * proportional share instead of never being drawn. The noise is
+    * DETERMINISTIC: g = −ln(−ln(u)) with u = (h + 0.5) / 2^24 from the
+    * portable 24-bit id hash, quantized to micro-nats like the weight
+    * itself — so the sampled SET is engine-exact and re-runs (or another
+    * engine) draw the same sample for the same `gumbelSeed`.
+    * One extra map column over [[select]]; same plan shape.
+    */
+  def selectGumbel(candidates: DataFrame, targetDocs: DataFrame, rawDocs: DataFrame,
+                   n: Int, nBuckets: Int = 4096, seed: Long = 0L,
+                   gumbelSeed: Long = 1L,
+                   textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val u = (Sampling.inclusionHash(col(idCol), gumbelSeed).cast("double") + 0.5) /
+      Sampling.HashSpace.toDouble
+    importanceWeights(candidates,
+      featureCounts(targetDocs, nBuckets, seed, textCol, idCol),
+      featureCounts(rawDocs, nBuckets, seed, textCol, idCol),
+      nBuckets, seed, textCol, idCol)
+      .withColumn("gumbel_micro",
+        floor(-log(-log(u)) * 1000000d + lit(0.5)).cast("long"))
+      .withColumn("gkey_micro", col("logw_micro") + col("gumbel_micro"))
+      .orderBy(desc("gkey_micro"), col(idCol))
+      .limit(n)
+  }
 }

@@ -387,6 +387,17 @@ object DataPipeQueries {
         .orderBy(desc("logw_micro"), col("doc_id"))
     }),
 
+    // DSIR's actual resampling step (paper §2.3): Gumbel-top-k =
+    // exact without-replacement sampling proportional to the importance
+    // weight, with deterministic hashed-id Gumbel noise quantized to
+    // micro-nats — the sampled SET is what the oracle hash-checks.
+    "t16_dsir_gumbel_sample" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Dsir.selectGumbel(d, d.where(col("source").isin("src0", "src1")), d,
+          n = 40, nBuckets = 1024)
+        .orderBy(desc("gkey_micro"), col("doc_id"))
+    }),
+
     // BPE training round 0: word-frequency-weighted adjacent char-pair
     // counts over the corpus — the count-heavy half of tokenizer
     // training as one (word) + one (s1,s2) aggregate. Top 30 in merge
@@ -877,6 +888,43 @@ object DataPipeQueries {
        |  SELECT src, src FROM edges
        |  UNION
        |  SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.id)""".stripMargin
+
+  /** Shared DSIR CTE chain: hashed uni+bigram features, target/raw
+    * bucket counts, and the per-doc quantized importance weight `w`
+    * (doc_id, n_features, logw_micro) — one definition for the t14
+    * argmax and t16 Gumbel-resample oracles.
+    */
+  private lazy val dsirWeightCte: String =
+    s"""WITH m AS (
+       |  SELECT doc_id, source, string_split_regex(lower(trim(text)), '\\s+') AS t
+       |  FROM documents),
+       |feat AS (
+       |  SELECT doc_id, source, f FROM (
+       |    SELECT doc_id, source, unnest(t) AS f FROM m)
+       |  WHERE f <> ''
+       |  UNION ALL
+       |  SELECT doc_id, source, t[i] || ' ' || t[i+1] AS f FROM m
+       |  CROSS JOIN LATERAL (SELECT unnest(generate_series(1, len(t) - 1)) AS i)
+       |  WHERE len(t) >= 2),
+       |fb AS (
+       |  SELECT doc_id, source, ${hex6("md5('0|' || f)")} % 1024 AS bucket
+       |  FROM feat),
+       |tc AS (SELECT bucket, count(*) AS nt FROM fb
+       |       WHERE source IN ('src0', 'src1') GROUP BY 1),
+       |rc AS (SELECT bucket, count(*) AS nr FROM fb GROUP BY 1),
+       |tts AS (SELECT coalesce(sum(nt), 0) AS tt FROM tc),
+       |trs AS (SELECT coalesce(sum(nr), 0) AS tr FROM rc),
+       |w AS (
+       |  SELECT doc_id, count(*) AS n_features,
+       |    CAST(sum(
+       |      CAST(floor(ln(CAST(coalesce(nt, 0) + 1 AS DOUBLE)
+       |        / CAST(tt + 1024 AS DOUBLE)) * 1000000 + 0.5) AS BIGINT)
+       |      - CAST(floor(ln(CAST(coalesce(nr, 0) + 1 AS DOUBLE)
+       |        / CAST(tr + 1024 AS DOUBLE)) * 1000000 + 0.5) AS BIGINT)
+       |    ) AS BIGINT) AS logw_micro
+       |  FROM fb LEFT JOIN tc USING (bucket) LEFT JOIN rc USING (bucket)
+       |  CROSS JOIN tts CROSS JOIN trs
+       |  GROUP BY doc_id)""".stripMargin
 
   def oracles: Map[String, String] = Map(
     "d1_dedup_exact" ->
@@ -1505,38 +1553,19 @@ object DataPipeQueries {
          |FROM tgtsc t JOIN gensc g USING (doc_id)
          |ORDER BY ml_score_micro DESC, doc_id LIMIT 40""".stripMargin,
     "t14_dsir_select" ->
-      s"""WITH m AS (
-         |  SELECT doc_id, source, string_split_regex(lower(trim(text)), '\\s+') AS t
-         |  FROM documents),
-         |feat AS (
-         |  SELECT doc_id, source, f FROM (
-         |    SELECT doc_id, source, unnest(t) AS f FROM m)
-         |  WHERE f <> ''
-         |  UNION ALL
-         |  SELECT doc_id, source, t[i] || ' ' || t[i+1] AS f FROM m
-         |  CROSS JOIN LATERAL (SELECT unnest(generate_series(1, len(t) - 1)) AS i)
-         |  WHERE len(t) >= 2),
-         |fb AS (
-         |  SELECT doc_id, source, ${hex6("md5('0|' || f)")} % 1024 AS bucket
-         |  FROM feat),
-         |tc AS (SELECT bucket, count(*) AS nt FROM fb
-         |       WHERE source IN ('src0', 'src1') GROUP BY 1),
-         |rc AS (SELECT bucket, count(*) AS nr FROM fb GROUP BY 1),
-         |tts AS (SELECT coalesce(sum(nt), 0) AS tt FROM tc),
-         |trs AS (SELECT coalesce(sum(nr), 0) AS tr FROM rc),
-         |w AS (
-         |  SELECT doc_id, count(*) AS n_features,
-         |    CAST(sum(
-         |      CAST(floor(ln(CAST(coalesce(nt, 0) + 1 AS DOUBLE)
-         |        / CAST(tt + 1024 AS DOUBLE)) * 1000000 + 0.5) AS BIGINT)
-         |      - CAST(floor(ln(CAST(coalesce(nr, 0) + 1 AS DOUBLE)
-         |        / CAST(tr + 1024 AS DOUBLE)) * 1000000 + 0.5) AS BIGINT)
-         |    ) AS BIGINT) AS logw_micro
-         |  FROM fb LEFT JOIN tc USING (bucket) LEFT JOIN rc USING (bucket)
-         |  CROSS JOIN tts CROSS JOIN trs
-         |  GROUP BY doc_id)
+      s"""$dsirWeightCte
          |SELECT doc_id, n_features, logw_micro FROM w
          |ORDER BY logw_micro DESC, doc_id LIMIT 40""".stripMargin,
+    "t16_dsir_gumbel_sample" ->
+      s"""$dsirWeightCte,
+         |g AS (
+         |  SELECT doc_id, n_features, logw_micro,
+         |    CAST(floor(-ln(-ln((${hex6("md5('1|' || CAST(doc_id AS VARCHAR))")} + 0.5)
+         |      / 16777216.0)) * 1000000 + 0.5) AS BIGINT) AS gumbel_micro
+         |  FROM w)
+         |SELECT doc_id, n_features, logw_micro, gumbel_micro,
+         |       logw_micro + gumbel_micro AS gkey_micro
+         |FROM g ORDER BY gkey_micro DESC, doc_id LIMIT 40""".stripMargin,
     "t15_bpe_pair_counts" ->
       s"""WITH tok AS (
          |  SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w

@@ -43,4 +43,26 @@ class DsirSpec extends SparkSpec {
     assert((0 until 6).forall(i => w1(i.toLong) > w1(6L)),
       s"legal training docs must outweigh web docs under the legal target: $w1")
   }
+
+  test("selectGumbel: deterministic proportional sample, seed changes the draw") {
+    val s = spark; import s.implicits._
+    val sel = Dsir.selectGumbel(corpus,
+      corpus.where(col("source") === "legal"), corpus, n = 4, nBuckets = 64)
+    val ids = sel.collect().map(_.getLong(0)).toSeq
+    // engine-exact: same seed + layout change -> identical sampled set
+    val ids2 = Dsir.selectGumbel(corpus.repartition(7),
+      corpus.where(col("source") === "legal"), corpus, n = 4, nBuckets = 64)
+      .collect().map(_.getLong(0)).toSeq
+    assert(ids2 == ids, "hashed-id Gumbel noise must be layout-independent")
+    // strongly peaked weights dominate: legal docs (weight gap >> Gumbel
+    // spread is not guaranteed at n=4, but a MAJORITY should be legal)
+    assert(ids.count(_ < 6L) >= 2, s"peaked weights should dominate the draw: $ids")
+    // a different gumbelSeed redraws the noise; the key column must move
+    val k1 = sel.collect().map(r => r.getAs[Long]("gkey_micro")).toSeq
+    val k2 = Dsir.selectGumbel(corpus,
+      corpus.where(col("source") === "legal"), corpus, n = 4, nBuckets = 64,
+      gumbelSeed = 99L)
+      .collect().map(r => r.getAs[Long]("gkey_micro")).toSeq
+    assert(k1 != k2, "gumbelSeed must change the noise draw")
+  }
 }
