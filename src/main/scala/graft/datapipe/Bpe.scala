@@ -71,6 +71,29 @@ object Bpe {
         concat(slice(acc, lit(1), size(acc) - 1), array(lit(s1 + s2))))
         .otherwise(concat(acc, array(x))))
 
+  /** Segment one word under an ordered merge list: start from chars,
+    * apply each merge greedily in training order — the standard BPE
+    * encode. Builds one nested expression per merge, so it suits the
+    * demo/test vocabularies [[train]] produces (tens of merges); a
+    * production 30k-merge vocabulary needs a per-word trie/heap encoder
+    * (genuine per-partition imperative logic — the mapPartitions
+    * extension point, like the Multimodal codec).
+    */
+  def encodeWith(word: Column, merges: Seq[(String, String)]): Column =
+    merges.foldLeft(chars(word)) { case (syms, (a, b)) => applyMerge(syms, a, b) }
+
+  /** Documents tokenized under a trained merge list: (id, bpe_tokens)
+    * with every whitespace token segmented by [[encodeWith]] and the
+    * per-word pieces flattened in order. Pure map — no shuffle; pair
+    * with [[Sampling.tokenBudget]] for budget selection under the
+    * TRAINED vocabulary instead of the whitespace proxy.
+    */
+  def encode(docs: DataFrame, merges: Seq[(String, String)],
+             textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    docs.select(col(idCol),
+      flatten(transform(TextAnalysis.tokens(col(textCol)),
+        w => encodeWith(w, merges))).as("bpe_tokens"))
+
   /** Train `nMerges` BPE merges: per round, count pairs over the
     * frontier'd word table, fetch the argmax — count desc, ties broken
     * by the lexicographically GREATEST (s1, s2), matching subword-nmt's

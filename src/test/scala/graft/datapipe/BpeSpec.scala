@@ -43,6 +43,15 @@ class BpeSpec extends SparkSpec {
     assert(Bpe.train(docs.repartition(5), nMerges = 3) == merges)
   }
 
+  test("encode: trained merges segment unseen text in training order") {
+    val s = spark; import s.implicits._
+    val merges = Seq(("o", "w"), ("l", "ow"))
+    val out = Bpe.encode(Seq((1L, "lowest slow")).toDF("doc_id", "text"), merges)
+      .collect().head.getSeq[String](1)
+    // lowest: l,o,w,e,s,t -> l,ow,e,s,t -> low,e,s,t; slow: s,l,ow -> s,low
+    assert(out == Seq("low", "e", "s", "t", "s", "low"), out.toString)
+  }
+
   test("train: stops early when words are exhausted") {
     val s = spark; import s.implicits._
     val docs = Seq((1L, "ab ab")).toDF("doc_id", "text")
