@@ -195,6 +195,38 @@ object TextAnalysis {
       .drop("__toks", "__ng")
   }
 
+  /** Per-document Shannon entropy of the token distribution, in floored
+    * micro-nats — the token-diversity quality signal (low entropy =
+    * repetitive machine junk; keyword-stuffed spam scores near zero even
+    * when raw dup-token ratio is modest). The one aggregation-shaped
+    * signal in this file: (id, token) counts then a per-document fold,
+    * both partial-aggregating shuffles.
+    *
+    * Engine-exact integer pipeline: entropy = ln N - (Σ n·ln n)/N is a
+    * SUM of doubles, and float addition is order-dependent — a naive
+    * double sum can differ in the last ulp between engines/partitionings.
+    * Each n·ln n term is floored to micro-nats FIRST (deterministic per
+    * (n) value), the sum is a long, and the final division is floored —
+    * every cross-engine operation is integer-exact. (The residual
+    * exposure is libm's ~1-ulp ln() slack landing a term exactly on a
+    * .5 boundary — the same accepted slack as [[QualityClassifier]]'s
+    * quantLog.)
+    */
+  def tokenEntropy(docs: DataFrame, textCol: String = "text",
+                   idCol: String = "doc_id"): DataFrame = {
+    val micro = lit(1000000.0)
+    docs.select(col(idCol), explode(tokens(col(textCol))).as("__tok"))
+      .groupBy(col(idCol), col("__tok")).agg(count(lit(1)).as("__n"))
+      .groupBy(idCol).agg(
+        sum(col("__n")).as("__total"),
+        sum(floor(col("__n").cast("double") * log(col("__n").cast("double")) * micro
+          + 0.5).cast("long")).as("__s_micro"))
+      .select(col(idCol),
+        (floor(log(col("__total").cast("double")) * micro + 0.5).cast("long")
+          - floor(col("__s_micro").cast("double") / col("__total").cast("double"))
+            .cast("long")).as("entropy_micro"))
+  }
+
   /** Stable content fingerprint (md5 of normalized text) for exact dedup
     * and change detection.
     */

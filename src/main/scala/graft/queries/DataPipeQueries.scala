@@ -100,6 +100,15 @@ object DataPipeQueries {
           Dedup.minhashLshCandidatesPortable(docsWithNearDups(s, dir), k = 16, bands = 4))
         .orderBy("doc_id")),
 
+    // ExactSubstr-style repeated-span removal on the RAW corpus (the
+    // synthetic near-dup docs share long verbatim stretches — exactly
+    // the within-different-documents repetition the operator targets).
+    // xxhash64 gram grouping is the production path; the hash never
+    // reaches the output, so the string-grouped oracle is exact.
+    "d13_span_dedup" -> ((s, dir) =>
+      SpanDedup.removeDuplicatedSpans(docs(s, dir), k = 5)
+        .orderBy("doc_id")),
+
     "d4_embedding_cosine_pairs" -> ((s, dir) =>
       Dedup.embeddingCosinePairs(embs(s, dir), bucketCol = "label", threshold = 0.3)
         .orderBy("id_a", "id_b")),
@@ -407,6 +416,24 @@ object DataPipeQueries {
         .orderBy(desc("pair_count"), desc("s1"), desc("s2"))
         .limit(30)),
 
+    // The trained merge list APPLIED: every word segmented by the
+    // ordered greedy merges (the standard BPE encode), pieces flattened
+    // per document. Constant demo merges single-source the Spark side
+    // and the oracle's list_reduce fold (see [[bpeDemoMerges]]).
+    "t18_bpe_encode" -> ((s, dir) =>
+      Bpe.encode(docs(s, dir), bpeDemoMerges)
+        .select(col("doc_id"),
+          size(col("bpe_tokens")).cast("long").as("n_pieces"),
+          array_join(col("bpe_tokens"), " ").as("bpe_text"))
+        .orderBy("doc_id")),
+
+    // Token-distribution Shannon entropy per doc (micro-nats) — the
+    // diversity quality signal; integer-quantized term-by-term so the
+    // cross-engine sum is order-independent.
+    "t17_token_entropy" -> ((s, dir) =>
+      TextAnalysis.tokenEntropy(docs(s, dir))
+        .orderBy("doc_id")),
+
     "t5_bpeish_tokens" -> ((s, dir) =>
       docs(s, dir)
         .groupBy("lang")
@@ -618,6 +645,34 @@ object DataPipeQueries {
     """WITH toks AS (
       |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t, text
       |  FROM documents)""".stripMargin
+
+  /** Demo merge list for the encode oracle row — ordered, with chained
+    * multi-char merges and an order-dependence case: ("sc","a") consumes
+    * the 'a' of "scan" before ("a","n") can see it. Single source for
+    * BOTH the Spark query and the interpolated DuckDB fold.
+    */
+  private val bpeDemoMerges: Seq[(String, String)] = Seq(
+    ("t", "a"), ("ta", "b"), ("tab", "l"), ("tabl", "e"),
+    ("s", "c"), ("sc", "a"), ("a", "n"), ("l", "u"), ("v", "a"))
+
+  /** DuckDB twin of [[Bpe.encodeWith]] for `word`: one `list_reduce` per
+    * merge, accumulator a chr(31)-joined symbol string (2-arg
+    * list_reduce fixes the accumulator to the element type). The
+    * "last symbol == s1" test is `ends_with(acc, sep || s1)` — exact
+    * because symbols never contain the separator. Greedy-left semantics
+    * match the fold: 'aaa' under (a,a) -> [aa, a].
+    */
+  private def bpeEncodeSql(wordExpr: String, merges: Seq[(String, String)]): String = {
+    val charsSql =
+      s"list_transform(generate_series(1, len($wordExpr)), i -> substring($wordExpr, i, 1))"
+    val chain = merges.foldLeft(charsSql) { case (inner, (s1, s2)) =>
+      s"string_split(list_reduce($inner, (acc, x) -> " +
+        s"CASE WHEN (acc = '$s1' OR ends_with(acc, chr(31) || '$s1')) AND x = '$s2' " +
+        s"THEN left(acc, len(acc) - len('$s1')) || '$s1$s2' " +
+        s"ELSE acc || chr(31) || x END), chr(31))"
+    }
+    s"CASE WHEN len($wordExpr) = 0 THEN []::VARCHAR[] ELSE $chain END"
+  }
 
   private val nearDupCte =
     """WITH base AS (
@@ -985,6 +1040,39 @@ object DataPipeQueries {
          |WHERE b.doc_id NOT IN (
          |  SELECT id FROM reach GROUP BY id HAVING id <> min(r))
          |ORDER BY b.doc_id""".stripMargin,
+    "d13_span_dedup" ->
+      """WITH tk AS (
+        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+        |  FROM documents),
+        |occ AS (
+        |  SELECT doc_id, i - 1 AS pos, array_to_string(t[i:i+4], ' ') AS gram
+        |  FROM tk CROSS JOIN LATERAL (SELECT unnest(generate_series(1, len(t) - 4)) AS i)
+        |  WHERE len(t) >= 5),
+        |dup AS (
+        |  SELECT gram, min(doc_id * 1000000 + pos) AS keeper
+        |  FROM occ GROUP BY gram HAVING count(*) >= 2),
+        |marked AS (
+        |  SELECT o.doc_id, o.pos FROM occ o JOIN dup d USING (gram)
+        |  WHERE o.doc_id * 1000000 + o.pos <> d.keeper),
+        |cov AS (
+        |  SELECT DISTINCT doc_id, pos + x AS tpos
+        |  FROM marked CROSS JOIN LATERAL (SELECT unnest(generate_series(0, 4)) AS x)),
+        |tok AS (
+        |  SELECT doc_id, i - 1 AS tpos, t[i] AS tok
+        |  FROM tk CROSS JOIN LATERAL (SELECT unnest(generate_series(1, len(t))) AS i)),
+        |kept AS (
+        |  SELECT tok.doc_id, tok.tpos, tok.tok FROM tok
+        |  WHERE NOT EXISTS (SELECT 1 FROM cov
+        |                    WHERE cov.doc_id = tok.doc_id AND cov.tpos = tok.tpos)),
+        |re AS (
+        |  SELECT doc_id, count(*) AS n_kept,
+        |         string_agg(tok, ' ' ORDER BY tpos) AS text_dedup
+        |  FROM kept GROUP BY doc_id)
+        |SELECT tk.doc_id, len(tk.t) AS n_tokens,
+        |       len(tk.t) - coalesce(re.n_kept, 0) AS n_removed,
+        |       coalesce(re.text_dedup, '') AS text_dedup
+        |FROM tk LEFT JOIN re USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
     "d8_incremental_lsh" ->
       s"""$nearDupCte,
          |sh AS (
@@ -1579,6 +1667,26 @@ object DataPipeQueries {
          |SELECT s1, s2, CAST(sum(freq) AS BIGINT) AS pair_count
          |FROM prs GROUP BY 1, 2
          |ORDER BY pair_count DESC, s1 DESC, s2 DESC LIMIT 30""".stripMargin,
+    "t18_bpe_encode" ->
+      s"""SELECT doc_id, len(p) AS n_pieces, array_to_string(p, ' ') AS bpe_text
+         |FROM (
+         |  SELECT doc_id,
+         |    flatten(list_transform(string_split_regex(lower(trim(text)), '\\s+'),
+         |      w -> ${bpeEncodeSql("w", bpeDemoMerges)})) AS p
+         |  FROM documents)
+         |ORDER BY doc_id""".stripMargin,
+    "t17_token_entropy" ->
+      """WITH tk AS (
+        |  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+        |  FROM documents),
+        |tc AS (SELECT doc_id, tok, count(*) AS n FROM tk GROUP BY doc_id, tok),
+        |s AS (SELECT doc_id, sum(n) AS total,
+        |             sum(CAST(floor(n * ln(n) * 1000000 + 0.5) AS BIGINT)) AS s_micro
+        |      FROM tc GROUP BY doc_id)
+        |SELECT doc_id,
+        |  CAST(floor(ln(total) * 1000000 + 0.5) AS BIGINT)
+        |    - CAST(floor(CAST(s_micro AS DOUBLE) / total) AS BIGINT) AS entropy_micro
+        |FROM s ORDER BY doc_id""".stripMargin,
     "t1_text_quality" ->
       s"""$tokCte,
          |q AS (

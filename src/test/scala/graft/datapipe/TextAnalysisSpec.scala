@@ -94,6 +94,20 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(2L) == 0.0 && out(3L) == 0.0)
   }
 
+  test("token entropy: uniform max, repeated-token zero, mixed in between") {
+    val s = spark; import s.implicits._
+    val d = Seq(
+      (0L, "a b c d"),   // 4 distinct: ln 4 = 1386294 micro-nats
+      (1L, "a a a a"),   // one token: entropy 0
+      (2L, "a a b b"))   // ln 4 - ln 2 = ln 2 = 693147
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.tokenEntropy(d)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out(0L) == 1386294L)
+    assert(out(1L) == 0L)
+    assert(out(2L) == 693147L)
+  }
+
   test("fingerprints are normalization-stable") {
     val s = spark; import s.implicits._
     val df = Seq((1L, "  Hello World  "), (2L, "hello world")).toDF("doc_id", "text")
