@@ -94,6 +94,46 @@ object Bpe {
       flatten(transform(TextAnalysis.tokens(col(textCol)),
         w => encodeWith(w, merges))).as("bpe_tokens"))
 
+  /** Imperative twin of [[encode]] — the production encode path. The
+    * expression form nests one interpreted `aggregate` per merge, and
+    * the honest-action bench showed that chain at ~150 µs/word (296 s
+    * over sf1's 2M words for 9 merges); this one-pass mapPartitions
+    * encoder runs the same greedy fold in plain Scala arrays,
+    * spec-proven identical to [[encodeWith]]. Still O(merges × len)
+    * per word — a 30k-merge vocabulary wants the rank-map + heap
+    * encoder (find lowest-rank adjacent pair, merge, repeat), the
+    * documented next step on this extension point.
+    */
+  def encodePartitions(docs: DataFrame, merges: Seq[(String, String)],
+                       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val mergeArr = merges.toArray
+    val ws = s"[${TextAnalysis.wsClass}]+"
+    docs.select(col(idCol).cast("long"), col(textCol))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        it.map { case (id, text) =>
+          val pieces = scala.collection.mutable.ArrayBuffer.empty[String]
+          for (w <- text.trim.toLowerCase.split(ws, -1) if w.nonEmpty) {
+            var syms: Array[String] = w.map(_.toString).toArray
+            for ((s1, s2) <- mergeArr) {
+              val nb = scala.collection.mutable.ArrayBuffer.empty[String]
+              for (x <- syms) {
+                if (nb.nonEmpty && nb.last == s1 && x == s2)
+                  nb(nb.length - 1) = s1 + s2
+                else nb += x
+              }
+              syms = nb.toArray
+            }
+            pieces ++= syms
+          }
+          (id, pieces.toSeq)
+        }
+      }
+      .toDF(idCol, "bpe_tokens")
+  }
+
   /** Train `nMerges` BPE merges: per round, count pairs over the
     * frontier'd word table, fetch the argmax — count desc, ties broken
     * by the lexicographically GREATEST (s1, s2), matching subword-nmt's

@@ -419,9 +419,11 @@ object DataPipeQueries {
     // The trained merge list APPLIED: every word segmented by the
     // ordered greedy merges (the standard BPE encode), pieces flattened
     // per document. Constant demo merges single-source the Spark side
-    // and the oracle's list_reduce fold (see [[bpeDemoMerges]]).
+    // and the oracle's list_reduce fold (see [[bpeDemoMerges]]). Runs
+    // the production mapPartitions encoder — spec-proven identical to
+    // the expression-form [[Bpe.encodeWith]].
     "t18_bpe_encode" -> ((s, dir) =>
-      Bpe.encode(docs(s, dir), bpeDemoMerges)
+      Bpe.encodePartitions(docs(s, dir), bpeDemoMerges)
         .select(col("doc_id"),
           size(col("bpe_tokens")).cast("long").as("n_pieces"),
           array_join(col("bpe_tokens"), " ").as("bpe_text"))

@@ -52,6 +52,23 @@ class BpeSpec extends SparkSpec {
     assert(out == Seq("low", "e", "s", "t", "s", "low"), out.toString)
   }
 
+  test("encodePartitions matches the expression-form encode exactly") {
+    val s = spark; import s.implicits._
+    val merges = Seq(("t", "a"), ("ta", "b"), ("a", "a"), ("o", "w"), ("l", "ow"))
+    val docs = Seq(
+      (0L, "table tab aaa aaaa lowest slow"),
+      (1L, "x"),
+      (2L, "  padded   whitespace\ttabs  "),
+      (3L, ""))
+      .toDF("doc_id", "text")
+    val expr = Bpe.encode(docs, merges).orderBy("doc_id")
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    val imp = Bpe.encodePartitions(docs, merges).orderBy("doc_id")
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(imp == expr, s"imperative $imp vs expression $expr")
+    assert(expr(0L).take(3) == Seq("tab", "l", "e")) // sanity: chains applied
+  }
+
   test("train: stops early when words are exhausted") {
     val s = spark; import s.implicits._
     val docs = Seq((1L, "ab ab")).toDF("doc_id", "text")
