@@ -36,6 +36,27 @@ object Dedup {
       .drop("_rn", "content_hash")
   }
 
+  /** Duplication-aware sampling weights — the soft alternative to hard
+    * exact dedup from data-constrained scaling (Muennighoff et al. 2023:
+    * repeated epochs of the same data have geometrically decaying value).
+    * One canonical doc per content group, weighted by the decayed worth
+    * of its m copies: weight(m) = sum_{j<m} decay^j = (1 − decay^m)/(1 − decay),
+    * quantized to integer micro-units so any engine reproduces it (the
+    * default decay 0.5 makes every intermediate a dyadic rational — exact
+    * in doubles at any multiplicity).
+    *
+    * Same scale shape as [[exact]]: one (content_hash) shuffle of hashes
+    * and ids, the weight formula a map over the group table.
+    */
+  def dupWeights(docs: DataFrame, decay: Double = 0.5,
+                 textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(decay > 0.0 && decay < 1.0, "decay must be in (0,1)")
+    exact(docs, textCol, idCol)
+      .withColumn("weight_micro",
+        floor((lit(1.0) - pow(lit(decay), col("n_copies").cast("double"))) /
+          lit(1.0 - decay) * lit(1e6) + lit(0.5)).cast("long"))
+  }
+
   /** Incremental exact dedup: the production shape for a growing corpus —
     * new batches dedup against a persisted FINGERPRINT table (content_hash
     * per already-accepted doc), never against the full corpus text.

@@ -201,6 +201,69 @@ object Sampling {
       .drop("__thr")
   }
 
+  /** UniMax budget allocation (Chung et al. 2023, "UniMax: Fairer and
+    * More Effective Language Sampling for Large-Scale Multilingual
+    * Pretraining"): split a total token budget across languages so no
+    * language repeats more than `maxEpochs` times and the budget left
+    * after capping low-resource languages is shared uniformly among the
+    * rest. The paper's greedy (visit languages by ascending size, give
+    * each min(capacity, uniform share of what remains)) is water-filling,
+    * computed here in closed form: ranked by ascending capacity
+    * c = n_tokens·maxEpochs, a language is capped iff
+    * c·(k − rank + 1) <= budget − (cumulative smaller capacities) — the
+    * predicate is monotone in rank, so the capped set is a prefix and the
+    * per-rank test with full-capacity prefix sums reproduces the greedy
+    * exactly; every uncapped language gets the same water level
+    * theta = (budget − capped spend) div (uncapped count).
+    *
+    * All arithmetic is 64-bit integer (the cap test is the
+    * multiplied-out inequality), so any engine reproduces the allocation
+    * bit-for-bit; the <= k-token remainder of the final integer division
+    * is the only deviation from the paper's real-valued split.
+    * epochs_milli = alloc·1000 div n_tokens stays exact up to ~9e15
+    * tokens per language — beyond a 100 TB corpus.
+    *
+    * Scale shape: one (lang) partial aggregate over token counts — the
+    * corpus streams through a map + combine; everything downstream runs
+    * on the per-LANGUAGE table (hundreds of rows at web scale), where
+    * the single ordered window and broadcast totals are dimension-scale
+    * by construction, never touched by corpus size.
+    */
+  def unimaxAllocation(docs: DataFrame, totalBudget: Long, maxEpochs: Int,
+                       langCol: String = "lang", textCol: String = "text"): DataFrame = {
+    require(totalBudget >= 0, "totalBudget must be non-negative")
+    require(maxEpochs > 0, "maxEpochs must be positive")
+    val perLang = docs
+      .groupBy(langCol)
+      .agg(sum(TextAnalysis.tokenCount(col(textCol)).cast("long")).as("n_tokens"))
+      .withColumn("capacity", col("n_tokens") * maxEpochs)
+    val w = Window.orderBy(col("capacity").asc, col(langCol).asc)
+    val wCum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val k = perLang.agg(count(lit(1)).as("__k"))
+    val ranked = perLang.crossJoin(broadcast(k))
+      .withColumn("__i", row_number().over(w).cast("long"))
+      .withColumn("__cum_prev", sum(col("capacity")).over(wCum) - col("capacity"))
+      .withColumn("__capped",
+        col("capacity") * (col("__k") - col("__i") + 1L) <=
+          lit(totalBudget) - col("__cum_prev"))
+    val fill = ranked.agg(
+      sum(when(col("__capped"), col("capacity")).otherwise(0L)).as("__capped_sum"),
+      sum(when(col("__capped"), 0L).otherwise(1L)).as("__n_uncapped"))
+    ranked.crossJoin(broadcast(fill))
+      .withColumn("__budget", lit(totalBudget))
+      // CASE short-circuits, so the integer division never sees
+      // __n_uncapped = 0: when every language is capped the otherwise
+      // branch is dead on every row
+      .withColumn("alloc_tokens",
+        when(col("__capped"), col("capacity"))
+          .otherwise(expr("(__budget - __capped_sum) div __n_uncapped")))
+      .withColumn("epochs_milli",
+        when(col("n_tokens") > 0L, expr("(alloc_tokens * 1000) div n_tokens"))
+          .otherwise(lit(0L)))
+      .select(col(langCol), col("n_tokens"), col("capacity"),
+        col("alloc_tokens"), col("epochs_milli"))
+  }
+
   /** Token-budget selection: per stratum, keep documents in ascending
     * `orderCol` order while the running token total stays within
     * `budget`. Exact prefix semantics require an ordered scan per

@@ -64,6 +64,19 @@ object DataPipeQueries {
         array_join(filter(parts, x => x =!= ""), "\n").as("text"))
   }
 
+  /** documents ∪ injected exact copies (new ids, same text: x2 for
+    * doc_id<30, x3 for doc_id<10) — guaranteed multiplicity spread for
+    * the duplication-weighting operators.
+    */
+  private def docsWithExactDups(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).select("doc_id", "text")
+    val c2 = d.where(col("doc_id") < 30)
+      .select((col("doc_id") + 200000L).as("doc_id"), col("text"))
+    val c3 = d.where(col("doc_id") < 10)
+      .select((col("doc_id") + 300000L).as("doc_id"), col("text"))
+    d.unionByName(c2).unionByName(c3)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d1_dedup_exact" -> ((s, dir) =>
       Dedup.exact(docsWithNearDups(s, dir))
@@ -530,6 +543,21 @@ object DataPipeQueries {
     "smp7_pack_sequences" -> ((s, dir) =>
       Sampling.packSequences(docs(s, dir), budget = 2000L, nShards = 4, seed = 0)
         .orderBy("shard", "pack_order")),
+
+    // UniMax epoch-capped budget allocation across languages: integer
+    // water-filling over the per-lang token counts (capacity = 2 epochs,
+    // 30k-token budget) — low-resource langs kept whole, the rest share
+    // the remaining budget uniformly.
+    "smp8_unimax_alloc" -> ((s, dir) =>
+      Sampling.unimaxAllocation(docs(s, dir), totalBudget = 30000L, maxEpochs = 2)
+        .orderBy("lang")),
+
+    // Duplication-aware sampling weights: documents ∪ injected exact
+    // copies (x2 for id<30, x3 for id<10); one canonical row per content
+    // with the geometrically-decayed worth of its copies.
+    "d15_dup_weights" -> ((s, dir) =>
+      Dedup.dupWeights(docsWithExactDups(s, dir))
+        .orderBy("content_hash")),
 
     // Exact per-source token-budget prefix (ordered by doc_id).
     "smp4_token_budget" -> ((s, dir) =>
@@ -1812,6 +1840,45 @@ object DataPipeQueries {
          |FROM w JOIN thr USING(source)
          |WHERE ${hex6("h")} < thr
          |GROUP BY source ORDER BY source""".stripMargin,
+
+    "smp8_unimax_alloc" ->
+      """WITH per AS (
+        |  SELECT lang,
+        |         CAST(sum(len(string_split_regex(lower(trim(text)), '\s+'))) AS BIGINT) AS n_tokens
+        |  FROM documents GROUP BY lang),
+        |cap AS (SELECT lang, n_tokens, n_tokens * 2 AS capacity FROM per),
+        |rk AS (
+        |  SELECT lang, n_tokens, capacity,
+        |         CAST(row_number() OVER (ORDER BY capacity, lang) AS BIGINT) AS i,
+        |         CAST(sum(capacity) OVER (ORDER BY capacity, lang
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - capacity AS BIGINT) AS cum_prev,
+        |         CAST(count(*) OVER () AS BIGINT) AS k
+        |  FROM cap),
+        |cp AS (SELECT *, capacity * (k - i + 1) <= 30000 - cum_prev AS capped FROM rk),
+        |fill AS (
+        |  SELECT CAST(sum(CASE WHEN capped THEN capacity ELSE 0 END) AS BIGINT) AS capped_sum,
+        |         CAST(sum(CASE WHEN capped THEN 0 ELSE 1 END) AS BIGINT) AS n_uncapped
+        |  FROM cp),
+        |alloc AS (
+        |  SELECT lang, n_tokens, capacity,
+        |         CASE WHEN capped THEN capacity
+        |              ELSE (30000 - capped_sum) // n_uncapped END AS alloc_tokens
+        |  FROM cp CROSS JOIN fill)
+        |SELECT lang, n_tokens, capacity, alloc_tokens,
+        |       CASE WHEN n_tokens > 0 THEN (alloc_tokens * 1000) // n_tokens
+        |            ELSE 0 END AS epochs_milli
+        |FROM alloc ORDER BY lang""".stripMargin,
+
+    "d15_dup_weights" ->
+      """WITH base AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT doc_id + 200000, text FROM documents WHERE doc_id < 30
+        |  UNION ALL SELECT doc_id + 300000, text FROM documents WHERE doc_id < 10)
+        |SELECT md5(lower(trim(text))) AS content_hash,
+        |       min(doc_id) AS canonical_id, count(*) AS n_copies,
+        |       CAST(floor((1.0 - power(0.5, CAST(count(*) AS DOUBLE))) / 0.5
+        |                  * 1000000.0 + 0.5) AS BIGINT) AS weight_micro
+        |FROM base GROUP BY 1 ORDER BY content_hash""".stripMargin,
 
     "smp4_token_budget" ->
       """WITH tk AS (

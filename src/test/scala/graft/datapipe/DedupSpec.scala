@@ -217,4 +217,19 @@ class DedupSpec extends SparkSpec {
       Dedup.duplicateComponents(chain, maxIters = 2)
     }
   }
+
+  test("dupWeights: geometric worth of copies, canonical = min id") {
+    val s = spark; import s.implicits._
+    val d = Seq(
+      (5L, "aaa"), (1L, "aaa"), (9L, "aaa"), // m=3
+      (2L, "bbb"), (7L, "bbb"),              // m=2
+      (3L, "ccc")                            // m=1
+    ).toDF("doc_id", "text")
+    val out = Dedup.dupWeights(d).collect()
+      .map(r => r.getAs[Long]("canonical_id") ->
+        (r.getAs[Long]("n_copies"), r.getAs[Long]("weight_micro"))).toMap
+    // decay 0.5: weight(m) = 2 - 2^(1-m) -> 1, 1.5, 1.75
+    assert(out == Map(
+      1L -> (3L, 1750000L), 2L -> (2L, 1500000L), 3L -> (1L, 1000000L)))
+  }
 }

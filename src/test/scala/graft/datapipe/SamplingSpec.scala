@@ -221,4 +221,32 @@ class SamplingSpec extends SparkSpec {
       .agg(sum(TextAnalysis.tokenCount(col("text")))).first().getLong(0)
     assert(mass > 2800L && mass < 5200L, s"token mass $mass vs 4x1000 budget")
   }
+
+  test("unimaxAllocation: water-filling matches the hand-computed greedy") {
+    val s = spark; import s.implicits._
+    // langs with 10 / 20 / 100 tokens; maxEpochs 2 -> caps 20 / 40 / 200
+    val d = Seq(
+      (0L, "a", ("w " * 10).trim),
+      (1L, "b", ("w " * 20).trim),
+      (2L, "c", ("w " * 100).trim)).toDF("doc_id", "lang", "text")
+    def alloc(budget: Long) =
+      Sampling.unimaxAllocation(d, budget, maxEpochs = 2).collect()
+        .map(r => r.getAs[String]("lang") ->
+          (r.getAs[Long]("alloc_tokens"), r.getAs[Long]("epochs_milli"))).toMap
+    // budget 100: greedy caps a (20 <= 100/3) and b (40 <= 80/2), then
+    // waters c at (100-60)/1 = 40 -> 0.4 epochs
+    assert(alloc(100L) ==
+      Map("a" -> (20L, 2000L), "b" -> (40L, 2000L), "c" -> (40L, 400L)))
+    // budget >= total capacity: everything capped at maxEpochs
+    assert(alloc(1000L) ==
+      Map("a" -> (20L, 2000L), "b" -> (40L, 2000L), "c" -> (200L, 2000L)))
+    // budget 30: even the smallest cap exceeds the uniform share -> no
+    // caps, everyone gets budget/k = 10
+    assert(alloc(30L).view.mapValues(_._1).toMap ==
+      Map("a" -> 10L, "b" -> 10L, "c" -> 10L))
+    // layout independence: pure integer arithmetic over the lang table
+    val re = Sampling.unimaxAllocation(d.repartition(7), 100L, 2).collect()
+      .map(r => r.getAs[String]("lang") -> r.getAs[Long]("alloc_tokens")).toMap
+    assert(re == Map("a" -> 20L, "b" -> 40L, "c" -> 40L))
+  }
 }
