@@ -158,6 +158,41 @@ object Sampling {
       .select(col(idCol), col("shard"), col("n_tokens"), col("bin"), col("pack_order"))
   }
 
+  /** Strided sequence chunking — fixed-window training-example slicing
+    * with overlap (the Hugging Face `return_overflowing_tokens` +
+    * `stride` convention): document tokens are cut into windows of
+    * `maxLen` tokens whose starts advance by `stride`; consecutive
+    * chunks overlap by maxLen − stride tokens so no span longer than the
+    * overlap is ever split across an example boundary unseen. The chunk
+    * count is 1 + ceil((n − maxLen) / stride) (clamped at 1), so the
+    * final window always reaches the document end and no degenerate
+    * fully-contained tail chunks are emitted.
+    *
+    * Scale shape: a pure map over documents (token array bound as an
+    * attribute, chunk starts a generated sequence — single-eval, no
+    * shuffle); output rows carry (idCol, chunk_idx, n_tokens, chunk).
+    */
+  def chunkSequences(docs: DataFrame, maxLen: Int, stride: Int,
+                     textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(maxLen >= 1, "maxLen must be positive")
+    require(stride >= 1 && stride <= maxLen, "stride must be in [1, maxLen]")
+    val toks = TextAnalysis.tokens(col(textCol))
+    docs
+      .withColumn("__t", toks)
+      .withColumn("__nc",
+        when(size(col("__t")) <= maxLen, lit(1L))
+          .otherwise(lit(1L) +
+            floor((size(col("__t")) - maxLen + stride - 1).cast("long") /
+              lit(stride.toLong)).cast("long")))
+      .select(col(idCol), col("__t"),
+        explode(sequence(lit(0L), col("__nc") - 1L)).as("chunk_idx"))
+      .withColumn("__chunk",
+        slice(col("__t"), (col("chunk_idx") * stride + 1L).cast("int"), lit(maxLen)))
+      .select(col(idCol), col("chunk_idx"),
+        size(col("__chunk")).cast("long").as("n_tokens"),
+        array_join(col("__chunk"), " ").as("chunk"))
+  }
+
   /** Source mixing toward target weights: the LARGEST deterministic
     * sub-corpus whose expected composition matches `weights` — the
     * binding source (smallest n_s/w_s) is kept whole and every other

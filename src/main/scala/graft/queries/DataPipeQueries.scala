@@ -559,6 +559,36 @@ object DataPipeQueries {
       Dedup.dupWeights(docsWithExactDups(s, dir))
         .orderBy("content_hash")),
 
+    // Winnowing fingerprints (MOSS): 4-gram portable md5 hashes, window
+    // w=4, rightmost-min selection — the oracle reproduces the gram
+    // hashing, the window enumeration (including the short-doc single
+    // whole-array window), and the <= tie rule exactly.
+    "d16_winnow_fingerprints" -> ((s, dir) =>
+      Winnowing.fingerprints(docs(s, dir), k = 4, w = 4, portable = true)
+        .orderBy("doc_id", "pos")),
+
+    // Cross-document winnowing matches over the near-dup fixture:
+    // shared-fingerprint counts per document pair via the (fp)-keyed
+    // inverted index (postings capped at 64 docs/fp, pairs >= 2 shared).
+    "d17_winnow_matches" -> ((s, dir) =>
+      Winnowing.matches(docsWithNearDups(s, dir), k = 4, w = 4,
+          minShared = 2, portable = true)
+        .orderBy("id_a", "id_b")),
+
+    // PMI phrase mining (word2vec-style discounted score, integer
+    // micro-units): adjacent pairs seen >= 3 times scoring at least 1.0
+    // against the independence baseline.
+    "t19_pmi_phrases" -> ((s, dir) =>
+      Phrases.pmiPhrases(docs(s, dir), minCount = 3, delta = 1,
+          minScoreMicro = 1000000L)
+        .orderBy("w1", "w2")),
+
+    // Strided sequence chunking: 64-token training windows advancing by
+    // 48 (16-token overlap); last window reaches the document end.
+    "smp9_chunk_sequences" -> ((s, dir) =>
+      Sampling.chunkSequences(docs(s, dir), maxLen = 64, stride = 48)
+        .orderBy("doc_id", "chunk_idx")),
+
     // Exact per-source token-budget prefix (ordered by doc_id).
     "smp4_token_budget" -> ((s, dir) =>
       Sampling.tokenBudget(docs(s, dir), budget = 300L)
@@ -783,6 +813,36 @@ object DataPipeQueries {
   /** First 6 md5 hex digits of column `h` as a 24-bit integer — the DuckDB
     * twin of `Sampling.inclusionHash`'s `conv(substring(md5,1,6),16,10)`.
     */
+  /** Winnowing CTE chain over source table `src` (must expose doc_id,
+    * text): k=4-gram md5 24-bit hashes, w=4 windows, rightmost-min
+    * selection — ends with `fps(doc_id, pos, fp)`, the DISTINCT selected
+    * fingerprints, the exact twin of `Winnowing.fingerprints(portable)`.
+    */
+  private def winnowCte(src: String): String = {
+    val gh = hex6("md5(concat_ws(' ', t[i], t[i+1], t[i+2], t[i+3]))")
+    s"""tk AS (
+       |  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t
+       |  FROM $src),
+       |g AS (
+       |  SELECT doc_id, i - 1 AS pos, $gh AS h
+       |  FROM tk CROSS JOIN LATERAL (SELECT unnest(generate_series(1, len(t) - 3)) AS i)
+       |  WHERE len(t) >= 4),
+       |ng AS (SELECT doc_id, count(*) AS n FROM g GROUP BY 1),
+       |win AS (
+       |  SELECT g.doc_id, g.pos AS s FROM g JOIN ng USING (doc_id)
+       |  WHERE g.pos <= greatest(n - 4, 0)),
+       |wm AS (
+       |  SELECT w.doc_id, w.s, min(g.h) AS mh
+       |  FROM win w JOIN g ON g.doc_id = w.doc_id AND g.pos BETWEEN w.s AND w.s + 3
+       |  GROUP BY 1, 2),
+       |sel AS (
+       |  SELECT wm.doc_id, max(g.pos) AS pos, wm.mh AS fp
+       |  FROM wm JOIN g ON g.doc_id = wm.doc_id AND g.pos BETWEEN wm.s AND wm.s + 3
+       |    AND g.h = wm.mh
+       |  GROUP BY wm.doc_id, wm.s, wm.mh),
+       |fps AS (SELECT DISTINCT doc_id, pos, fp FROM sel)""".stripMargin
+  }
+
   private def hex6(h: String): String =
     (0 until 6).map(i =>
       s"(strpos('0123456789abcdef', substr($h, ${i + 1}, 1)) - 1) * ${1L << (4 * (5 - i))}")
@@ -1879,6 +1939,59 @@ object DataPipeQueries {
         |       CAST(floor((1.0 - power(0.5, CAST(count(*) AS DOUBLE))) / 0.5
         |                  * 1000000.0 + 0.5) AS BIGINT) AS weight_micro
         |FROM base GROUP BY 1 ORDER BY content_hash""".stripMargin,
+
+    "d16_winnow_fingerprints" ->
+      s"""WITH ${winnowCte("documents")}
+         |SELECT doc_id, pos, fp FROM fps ORDER BY doc_id, pos""".stripMargin,
+
+    "d17_winnow_matches" ->
+      s"""$nearDupCte,
+         |${winnowCte("base")},
+         |docfp AS (SELECT DISTINCT doc_id, fp FROM fps),
+         |posting AS (
+         |  SELECT fp FROM docfp GROUP BY fp
+         |  HAVING count(*) BETWEEN 2 AND 64),
+         |pairs AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM docfp a JOIN docfp b ON a.fp = b.fp AND a.doc_id < b.doc_id
+         |  JOIN posting p ON p.fp = a.fp)
+         |SELECT id_a, id_b, count(*) AS n_shared
+         |FROM pairs GROUP BY 1, 2 HAVING count(*) >= 2
+         |ORDER BY id_a, id_b""".stripMargin,
+
+    "t19_pmi_phrases" ->
+      """WITH tk AS (
+        |  SELECT string_split_regex(lower(trim(text)), '\s+') AS t FROM documents),
+        |uni AS (
+        |  SELECT w, CAST(count(*) AS BIGINT) AS n_w
+        |  FROM (SELECT unnest(t) AS w FROM tk) WHERE w <> '' GROUP BY w),
+        |tot AS (SELECT CAST(sum(n_w) AS BIGINT) AS N FROM uni),
+        |bg AS (
+        |  SELECT t[i] AS w1, t[i+1] AS w2, CAST(count(*) AS BIGINT) AS n_pair
+        |  FROM tk CROSS JOIN LATERAL (SELECT unnest(generate_series(1, len(t) - 1)) AS i)
+        |  WHERE len(t) >= 2 AND t[i] <> '' AND t[i+1] <> ''
+        |  GROUP BY 1, 2 HAVING count(*) >= 3 AND count(*) > 1)
+        |SELECT w1, w2, n_pair, u1.n_w AS n_w1, u2.n_w AS n_w2,
+        |       ((n_pair - 1) * N * 1000000) // (u1.n_w * u2.n_w) AS score_micro
+        |FROM bg JOIN uni u1 ON u1.w = bg.w1 JOIN uni u2 ON u2.w = bg.w2
+        |CROSS JOIN tot
+        |WHERE ((n_pair - 1) * N * 1000000) // (u1.n_w * u2.n_w) >= 1000000
+        |ORDER BY w1, w2""".stripMargin,
+
+    "smp9_chunk_sequences" ->
+      """WITH tk AS (
+        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+        |  FROM documents),
+        |nc AS (
+        |  SELECT doc_id, t,
+        |         CASE WHEN len(t) <= 64 THEN 1
+        |              ELSE 1 + (len(t) - 64 + 47) // 48 END AS c
+        |  FROM tk)
+        |SELECT doc_id, j AS chunk_idx,
+        |       CAST(len(t[j*48+1 : j*48+64]) AS BIGINT) AS n_tokens,
+        |       array_to_string(t[j*48+1 : j*48+64], ' ') AS chunk
+        |FROM nc CROSS JOIN LATERAL (SELECT unnest(generate_series(0, c - 1)) AS j)
+        |ORDER BY doc_id, chunk_idx""".stripMargin,
 
     "smp4_token_budget" ->
       """WITH tk AS (

@@ -222,6 +222,31 @@ class SamplingSpec extends SparkSpec {
     assert(mass > 2800L && mass < 5200L, s"token mass $mass vs 4x1000 budget")
   }
 
+  test("chunkSequences: strided windows cover the doc, last reaches the end") {
+    val s = spark; import s.implicits._
+    val d = Seq(
+      (1L, (1 to 10).map(i => s"t$i").mkString(" ")), // 10 toks: starts 1,4,7
+      (2L, (1 to 12).map(i => s"t$i").mkString(" ")), // 12 toks: starts 1,4,7,10
+      (3L, "a b c")                                   // <= maxLen: one chunk
+    ).toDF("doc_id", "text")
+    val out = Sampling.chunkSequences(d, maxLen = 4, stride = 3).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("chunk_idx")) ->
+        (r.getAs[Long]("n_tokens"), r.getAs[String]("chunk"))).toMap
+    assert(out((1L, 0L)) == (4L, "t1 t2 t3 t4"))
+    assert(out((1L, 1L)) == (4L, "t4 t5 t6 t7"))
+    assert(out((1L, 2L)) == (4L, "t7 t8 t9 t10"))
+    assert(!out.contains((1L, 3L)))
+    // 12 tokens: ceil((12-4)/3) = 3 extra chunks; tail chunk is short
+    assert(out((2L, 3L)) == (3L, "t10 t11 t12"))
+    assert(out((3L, 0L)) == (3L, "a b c"))
+    assert(out.count(_._1._1 == 3L) == 1)
+    // stride == maxLen partitions exactly: concatenating chunks in order
+    // reproduces the input tokens
+    val exact = Sampling.chunkSequences(d.where($"doc_id" === 2L), maxLen = 4, stride = 4)
+      .orderBy("chunk_idx").collect().map(_.getAs[String]("chunk")).mkString(" ")
+    assert(exact == (1 to 12).map(i => s"t$i").mkString(" "))
+  }
+
   test("unimaxAllocation: water-filling matches the hand-computed greedy") {
     val s = spark; import s.implicits._
     // langs with 10 / 20 / 100 tokens; maxEpochs 2 -> caps 20 / 40 / 200

@@ -1,0 +1,70 @@
+package graft.datapipe
+
+import graft.SparkSpec
+
+class WinnowingSpec extends SparkSpec {
+
+  private val sharedRun =
+    "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
+
+  private def docs = {
+    val s = spark; import s.implicits._
+    Seq(
+      (1L, s"intro words here $sharedRun closing remark one"),
+      (2L, s"different opening tokens $sharedRun another distinct tail"),
+      (3L, "totally unrelated content about spark catalyst partitions shuffle"),
+      (4L, "tiny doc"),            // < k tokens: no fingerprints
+      (5L, "just four tokens here") // k tokens, 1 gram < w: one window
+    ).toDF("doc_id", "text")
+  }
+
+  private def fpsOf(portable: Boolean) =
+    Winnowing.fingerprints(docs, k = 4, w = 4, portable = portable).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("pos").toInt, r.getAs[Long]("fp")))
+
+  test("detection guarantee: docs sharing >= k+w-1 tokens share a fingerprint") {
+    for (portable <- Seq(false, true)) {
+      val fps = fpsOf(portable)
+      val f1 = fps.collect { case (1L, _, h) => h }.toSet
+      val f2 = fps.collect { case (2L, _, h) => h }.toSet
+      val f3 = fps.collect { case (3L, _, h) => h }.toSet
+      assert((f1 & f2).nonEmpty, s"shared 10-token run undetected (portable=$portable)")
+      assert((f1 & f3).isEmpty && (f2 & f3).isEmpty,
+        s"unrelated docs matched (portable=$portable)")
+    }
+  }
+
+  test("coverage: every window of w grams contains a selected position") {
+    val fps = fpsOf(portable = true)
+    val byDoc = fps.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    // doc 1: 16 tokens -> 13 grams -> windows start at 0..9
+    val sel1 = byDoc(1L)
+    for (s <- 0 to 9)
+      assert((s to s + 3).exists(sel1.contains), s"window at $s uncovered")
+    // density ~ 2/(w+1): far fewer fingerprints than grams
+    assert(sel1.size < 13 && sel1.size >= 3)
+  }
+
+  test("boundary docs: < k tokens none, < w grams exactly one") {
+    val fps = fpsOf(portable = true)
+    assert(!fps.exists(_._1 == 4L))
+    assert(fps.count(_._1 == 5L) == 1)
+  }
+
+  test("deterministic under repartition") {
+    val a = Winnowing.fingerprints(docs, k = 4, w = 4, portable = true)
+      .collect().map(_.toSeq).toSet
+    val b = Winnowing.fingerprints(docs.repartition(7), k = 4, w = 4, portable = true)
+      .collect().map(_.toSeq).toSet
+    assert(a == b)
+  }
+
+  test("matches: shared-run pair surfaces, unrelated pairs do not") {
+    val m = Winnowing.matches(docs, k = 4, w = 4, minShared = 2, portable = true)
+      .collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")) -> r.getAs[Long]("n_shared"))
+      .toMap
+    assert(m.contains((1L, 2L)) && m((1L, 2L)) >= 2L)
+    assert(m.keySet == Set((1L, 2L)), s"unexpected pairs: ${m.keySet}")
+  }
+}
