@@ -56,12 +56,26 @@ object Winnowing {
       .withColumn("__g", gramHashes(col("__t"), k, portable))
       // window starts are 1-based slice offsets; rightmost min via a
       // left-to-right fold with <= (later equal hash wins)
-      .withColumn("__sel", array_distinct(
-        transform(sequence(lit(1), greatest(size(col("__g")) - w + 1, lit(1))), s =>
+      .withColumn("__w", transform(
+        sequence(lit(1), greatest(size(col("__g")) - w + 1, lit(1))), s =>
           aggregate(slice(col("__g"), s, lit(w)), zero, (acc, g) =>
             when(acc.getField("pos") < 0 || g.getField("h") <= acc.getField("h"), g)
-              .otherwise(acc)))))
-      .select(col(idCol), explode(col("__sel")).as("__fp"))
+              .otherwise(acc))))
+      // dedup by ADJACENT inequality, not array_distinct: the rightmost-
+      // min position is monotone non-decreasing as the window slides, so
+      // equal selections are always consecutive — adjacent-dedup is exact
+      // and O(windows), where array_distinct on struct elements falls
+      // back to O(windows^2) pairwise comparison
+      .withColumn("__sel", filter(col("__w"), (x, i) =>
+        i === 0 || !(x === element_at(col("__w"), i))))
+      // explode_OUTER: a plain explode makes Catalyst infer a
+      // `size(__sel) > 0` filter and push it below the projections,
+      // INLINING the whole nested winnowing expression into an
+      // interpreted per-row Filter — the gram array gets recomputed per
+      // window and the token split per gram, turning the linear scan
+      // quadratic (432 s -> ~3 s at sf0.1). The >= k token guard already
+      // makes __sel non-empty, so outer semantics are identical here.
+      .select(col(idCol), explode_outer(col("__sel")).as("__fp"))
       .select(col(idCol), col("__fp.pos").cast("long").as("pos"), col("__fp.h").as("fp"))
   }
 
