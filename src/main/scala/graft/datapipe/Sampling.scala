@@ -217,6 +217,15 @@ object Sampling {
       .groupBy(stratumCol).agg(count(lit(1)).cast("double").as("__n"))
       .withColumn("__w", element_at(wmap, col(stratumCol)))
       .where(col("__w").isNotNull)
+    applyMixture(docs, perSource, stratumCol, seed, idCol)
+  }
+
+  /** Shared mixture core: `perSource` carries (stratumCol, __n double,
+    * __w double); keep fraction f_s = C·w_s/n_s with C = min(n/w), the
+    * binding source kept whole.
+    */
+  private def applyMixture(docs: DataFrame, perSource: DataFrame,
+                           stratumCol: String, seed: Long, idCol: String): DataFrame = {
     val c = perSource.agg(min(col("__n") / col("__w")).as("__c"))
     val fractions = perSource.crossJoin(broadcast(c))
       // *2^24 is exact in doubles (power-of-two scale), so the only
@@ -234,6 +243,45 @@ object Sampling {
     docs.join(broadcast(fractions), Seq(stratumCol))
       .where(inclusionHash(col(idCol), seed) < col("__thr"))
       .drop("__thr")
+  }
+
+  /** Temperature (α-power) source weights — the multilingual sampling
+    * rule of Arivazhagan et al. 2019 / mT5 (Xue et al. 2021): sample
+    * source s proportionally to n_s^alpha. alpha = 1 is proportional
+    * (no rebalance), alpha → 0 approaches uniform; published pipelines
+    * use 0.2–0.7 to lift low-resource sources. Output: (stratumCol,
+    * n_docs, weight_micro) with weight_micro = round(n^alpha · 1e6) —
+    * unnormalized (the mixture formula is scale-invariant in w).
+    *
+    * Scale shape: one dimension-scale count aggregate; pow runs on the
+    * per-SOURCE table only. Cross-engine note: pow is libm-backed with
+    * the same ~1-ulp slack as quantLog; alpha = 0.5 routes through
+    * correctly-rounded sqrt, which the oracle row pins.
+    */
+  def temperatureWeights(docs: DataFrame, alpha: Double,
+                         stratumCol: String = "source"): DataFrame = {
+    require(alpha > 0.0 && alpha <= 1.0, "alpha must be in (0, 1]")
+    docs.groupBy(stratumCol)
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("weight_micro",
+        floor(pow(col("n_docs").cast("double"), lit(alpha)) * 1e6 + 0.5)
+          .cast("long"))
+  }
+
+  /** Temperature-rebalanced deterministic sub-corpus: [[mixture]] whose
+    * target weights are n_s^alpha computed FROM the data — the largest
+    * corpus whose composition matches the temperature distribution; the
+    * binding source (always the smallest after flattening) is kept
+    * whole. Same scale shape as [[mixture]]: dimension-scale aggregate +
+    * broadcast thresholds; the corpus streams through one map filter.
+    */
+  def temperatureMixture(docs: DataFrame, alpha: Double, seed: Long = 42L,
+                         stratumCol: String = "source",
+                         idCol: String = "doc_id"): DataFrame = {
+    val perSource = temperatureWeights(docs, alpha, stratumCol)
+      .select(col(stratumCol), col("n_docs").cast("double").as("__n"),
+        col("weight_micro").cast("double").as("__w"))
+    applyMixture(docs, perSource, stratumCol, seed, idCol)
   }
 
   /** UniMax budget allocation (Chung et al. 2023, "UniMax: Fairer and

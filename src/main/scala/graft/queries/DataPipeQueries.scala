@@ -589,6 +589,16 @@ object DataPipeQueries {
       Sampling.chunkSequences(docs(s, dir), maxLen = 64, stride = 48)
         .orderBy("doc_id", "chunk_idx")),
 
+    // Temperature (alpha-power) rebalanced mixture: target weights
+    // n_s^0.5 computed from the data (alpha 0.5 routes pow through
+    // correctly-rounded sqrt, pinning the oracle), binding source kept
+    // whole, every other source down-sampled by deterministic hash.
+    "smp10_temperature_mixture" -> ((s, dir) =>
+      Sampling.temperatureMixture(docs(s, dir), alpha = 0.5, seed = 7)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum(col("doc_id")).as("id_sum"))
+        .orderBy("source")),
+
     // Exact per-source token-budget prefix (ordered by doc_id).
     "smp4_token_budget" -> ((s, dir) =>
       Sampling.tokenBudget(docs(s, dir), budget = 300L)
@@ -1992,6 +2002,27 @@ object DataPipeQueries {
         |       array_to_string(t[j*48+1 : j*48+64], ' ') AS chunk
         |FROM nc CROSS JOIN LATERAL (SELECT unnest(generate_series(0, c - 1)) AS j)
         |ORDER BY doc_id, chunk_idx""".stripMargin,
+
+    "smp10_temperature_mixture" ->
+      s"""WITH per AS (
+         |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+         |  FROM documents GROUP BY source),
+         |wt AS (
+         |  SELECT source, CAST(n_docs AS DOUBLE) AS n,
+         |         CAST(CAST(floor(pow(CAST(n_docs AS DOUBLE), 0.5) * 1000000.0 + 0.5)
+         |              AS BIGINT) AS DOUBLE) AS w
+         |  FROM per),
+         |c AS (SELECT min(n / w) AS c FROM wt),
+         |thr AS (SELECT source,
+         |          CASE WHEN n / w = c THEN 16777216
+         |               ELSE CAST(floor(c * w / n * 16777216.0) AS BIGINT) END AS thr
+         |        FROM wt CROSS JOIN c),
+         |h AS (SELECT source, doc_id,
+         |        md5('7|' || CAST(doc_id AS VARCHAR)) AS h FROM documents)
+         |SELECT source, count(*) AS n_docs, CAST(sum(doc_id) AS BIGINT) AS id_sum
+         |FROM h JOIN thr USING(source)
+         |WHERE ${hex6("h")} < thr
+         |GROUP BY source ORDER BY source""".stripMargin,
 
     "smp4_token_budget" ->
       """WITH tk AS (

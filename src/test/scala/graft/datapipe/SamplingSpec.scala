@@ -247,6 +247,31 @@ class SamplingSpec extends SparkSpec {
     assert(exact == (1 to 12).map(i => s"t$i").mkString(" "))
   }
 
+  test("temperatureMixture: alpha flattens toward uniform; alpha=1 keeps all") {
+    val s = spark; import s.implicits._
+    val d = ((1 to 50).map(i => (i.toLong, "small")) ++
+      (101 to 300).map(i => (i.toLong, "large"))).toDF("doc_id", "source")
+    // weights n^0.5: small 50 -> 7071068, large 200 -> 14142136
+    val w = Sampling.temperatureWeights(d, alpha = 0.5).collect()
+      .map(r => r.getAs[String]("source") -> r.getAs[Long]("weight_micro")).toMap
+    assert(w == Map("small" -> 7071068L, "large" -> 14142136L))
+    // binding source (small) kept whole; large's keep fraction is
+    // C*w/n = (50*sqrt(200))/(200*sqrt(50)) = 0.5 -> ~100 of 200
+    val out = Sampling.temperatureMixture(d, alpha = 0.5, seed = 7)
+      .groupBy("source").count().collect()
+      .map(r => r.getAs[String]("source") -> r.getAs[Long]("count")).toMap
+    assert(out("small") == 50L)
+    assert(out("large") > 70L && out("large") < 130L, s"large=${out("large")}")
+    // alpha = 1: w proportional to n -> every source binding -> identity
+    assert(Sampling.temperatureMixture(d, alpha = 1.0).count() == 250L)
+    // layout independence
+    val a = Sampling.temperatureMixture(d, 0.5, seed = 7).collect()
+      .map(_.getAs[Long]("doc_id")).toSet
+    val b = Sampling.temperatureMixture(d.repartition(13), 0.5, seed = 7).collect()
+      .map(_.getAs[Long]("doc_id")).toSet
+    assert(a == b)
+  }
+
   test("unimaxAllocation: water-filling matches the hand-computed greedy") {
     val s = spark; import s.implicits._
     // langs with 10 / 20 / 100 tokens; maxEpochs 2 -> caps 20 / 40 / 200
