@@ -58,6 +58,61 @@ object Decontaminate {
         benchTextCol, benchIdCol).select(idCol),
       Seq(idCol), "left_anti")
 
+  /** Semantic benchmark decontamination — the embedding-space twin of
+    * [[contaminated]]: flag every corpus vector whose cosine similarity
+    * to ANY benchmark/eval vector reaches `threshold`. Lexical n-gram
+    * overlap (the classic method above) misses paraphrased or
+    * reformatted eval leakage; embedding similarity catches it — the
+    * published complement (e.g. the contamination audits run on modern
+    * pretraining corpora score train-vs-eval pairs in embedding space).
+    *
+    * Output: (idCol, n_bench_hits, max_cosine) for flagged vectors.
+    * Benchmark members present in the corpus flag themselves (cosine 1)
+    * — they ARE the contamination.
+    *
+    * Scale shape: the benchmark side is small by nature (eval suites are
+    * thousands of rows) → broadcast; the corpus streams map-side through
+    * |bench| quantized-integer dot products per row (codegen'd
+    * [[Vectors.dotQN]], norms computed once per side), and only flagged
+    * pairs reach the (id) partial agg. The corpus itself never
+    * shuffles. For a benchmark side too big to broadcast, assign BOTH
+    * sides to trained IVF centroids ([[Similarity.ivfTrain]] /
+    * `ivfAssignIds`) and run this per cluster — same recall trade as any
+    * ANN probe.
+    *
+    * Determinism: quantized dots are exact integers; cosine = intdot /
+    * (sqrt·sqrt) over identical values in any engine, so `max_cosine`
+    * is reproducible bit-for-bit (the sim1 discipline).
+    */
+  def semanticContaminated(
+      vecs: DataFrame, benchmark: DataFrame, threshold: Double,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      benchIdCol: String = "bench_id", benchVecCol: String = "embedding"): DataFrame = {
+    graft.functions.GraftFunctions.register(vecs.sparkSession)
+    val corpus = vecs
+      .select(col(idCol), Vectors.quantize(col(vecCol)).as("__q"))
+      .withColumn("__n", sqrt(Vectors.dotQN(col("__q"), col("__q")).cast("double")))
+    val bench = benchmark
+      .select(col(benchIdCol), Vectors.quantize(col(benchVecCol)).as("__bq"))
+      .withColumn("__bn", sqrt(Vectors.dotQN(col("__bq"), col("__bq")).cast("double")))
+    corpus.crossJoin(broadcast(bench))
+      .withColumn("__cos",
+        Vectors.dotQN(col("__q"), col("__bq")).cast("double") / (col("__n") * col("__bn")))
+      .where(col("__cos") >= threshold)
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_bench_hits"), max(col("__cos")).as("max_cosine"))
+  }
+
+  /** Corpus vectors surviving semantic decontamination. */
+  def semanticClean(
+      vecs: DataFrame, benchmark: DataFrame, threshold: Double,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      benchIdCol: String = "bench_id", benchVecCol: String = "embedding"): DataFrame =
+    vecs.join(
+      semanticContaminated(vecs, benchmark, threshold, idCol, vecCol,
+        benchIdCol, benchVecCol).select(idCol),
+      Seq(idCol), "left_anti")
+
   /** TF-IDF top-k terms per document: tf = in-doc term count, idf =
     * ln(N / df) over the corpus, top-k by score with term tie-break,
     * rendered as an ordered comma-joined string.

@@ -85,6 +85,54 @@ object Dedup {
       TextAnalysis.fingerprintMd5(col(textCol)).as("content_hash"),
       col(idCol).as("canonical_id"))
 
+  /** Bloom-prefiltered incremental exact dedup — same result set as
+    * [[incrementalExactKeep]], cheaper at scale: a Bloom sketch of the
+    * seen-hash store screens the batch map-side, so only rows the sketch
+    * flags as *maybe seen* (true hits + the fpp sliver of false
+    * positives) enter the hash-keyed anti-join; definitely-new rows
+    * never shuffle against the store at all. With a mature corpus most
+    * of each new crawl batch is new content — the anti-join shrinks from
+    * |batch| to roughly |dupes| + fpp·|batch|.
+    *
+    * Exactness: Bloom filters have NO false negatives, so every truly-seen row
+    * reaches the anti-join and the output is bit-identical to the
+    * unfiltered path (the oracle row proves it on the d7 fixture).
+    *
+    * Mechanics: the sketch is built DISTRIBUTED by Spark's own
+    * `BloomFilterAggregate` (partial per-partition sketches OR-merged in
+    * one exchange — the engine's runtime-join-filter machinery, exposed
+    * via [[graft.functions.GraftFunctions]]); only the serialized sketch
+    * (numBits/8 bytes, metadata-scale — never the hashes) returns to the
+    * driver, then rides to executors as a broadcast literal probed by the
+    * codegen'd `BloomFilterMightContain`. Size `numBits` ≈ 10–15 bits per
+    * expected store entry for ~1% fpp; a 1e9-hash store at 12 bits/item
+    * is a 1.5 GB sketch — at that scale raise fpp or shard the store by
+    * hash prefix and run one sketch per shard.
+    */
+  def incrementalExactKeepBloom(
+      incoming: DataFrame, seenHashes: DataFrame,
+      expectedItems: Long = 1L << 22, numBits: Long = 1L << 26,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    import graft.functions.GraftFunctions
+    GraftFunctions.register(incoming.sparkSession)
+    val bloomRow = seenHashes
+      .agg(call_function(GraftFunctions.bloomAggName, col("content_hash"),
+        lit(expectedItems), lit(numBits)).as("__bf"))
+      .head()
+    val inBatch = exactKeep(incoming, textCol, idCol)
+      .withColumn("content_hash", TextAnalysis.fingerprintMd5(col(textCol)))
+    val accepted =
+      if (bloomRow.isNullAt(0)) inBatch // empty store: everything is new
+      else {
+        val might = call_function(GraftFunctions.bloomMightName,
+          lit(bloomRow.getAs[Array[Byte]](0)), col("content_hash"))
+        inBatch.where(!might).unionByName(
+          inBatch.where(might)
+            .join(seenHashes.select("content_hash"), Seq("content_hash"), "left_anti"))
+      }
+    accepted.drop("content_hash")
+  }
+
   /** Distinct word n-gram shingle *array* per document (one row per doc):
     * dedup happens inside the row via array_distinct — no shuffle.
     */

@@ -71,6 +71,23 @@ case class DotProductLong(left: Expression, right: Expression)
 object GraftFunctions {
   val dotQName = "graft_dot_q"
 
+  /** Distributed Bloom-filter build over xxhash64 of the argument —
+    * Spark's own `BloomFilterAggregate` (the engine uses it for runtime
+    * join filtering; it is not in the public function registry, so we
+    * register it ourselves). Args: (value, estimatedNumItems, numBits).
+    * Partial-merges like any aggregate; evaluates to the serialized
+    * sketch (binary), or null on empty input.
+    */
+  val bloomAggName = "graft_bloom_agg"
+
+  /** Membership probe against a serialized Bloom sketch literal —
+    * Spark's `BloomFilterMightContain` (codegen'd; requires the sketch
+    * side foldable, which is why callers pass it as `lit(bytes)`).
+    * Args: (bloomBinary, value); hashes the value with the same xxhash64
+    * the build side used. No false negatives.
+    */
+  val bloomMightName = "graft_bloom_might_contain"
+
   private def info = new ExpressionInfo(
     classOf[DotProductLong].getName, dotQName)
 
@@ -82,5 +99,19 @@ object GraftFunctions {
     val registry = spark.sessionState.functionRegistry
     registry.createOrReplaceTempFunction(
       dotQName, (args: Seq[Expression]) => DotProductLong(args(0), args(1)), "built-in")
+    registry.createOrReplaceTempFunction(
+      bloomAggName,
+      (args: Seq[Expression]) => new org.apache.spark.sql.catalyst.expressions.aggregate
+        .BloomFilterAggregate(
+          new org.apache.spark.sql.catalyst.expressions.XxHash64(Seq(args(0))),
+          args(1), args(2)),
+      "built-in")
+    registry.createOrReplaceTempFunction(
+      bloomMightName,
+      (args: Seq[Expression]) => new org.apache.spark.sql.catalyst.expressions
+        .BloomFilterMightContain(
+          args(0),
+          new org.apache.spark.sql.catalyst.expressions.XxHash64(Seq(args(1)))),
+      "built-in")
   }
 }

@@ -167,6 +167,24 @@ object DataPipeQueries {
           min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
     }),
 
+    // Bloom-prefiltered incremental dedup: the d7 scenario routed through
+    // the sketch pre-screen — definitely-new rows skip the anti-join
+    // entirely; no false negatives means the result is bit-identical to
+    // d7's (the oracle is the same exact-semantics SQL, no bloom).
+    "d19_bloom_incremental_dedup" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val existing = Dedup.fingerprints(d.where(col("doc_id") < 300))
+      val incoming0 = d.where(col("doc_id") >= 250 && col("doc_id") < 550)
+        .select("doc_id", "text")
+      val incoming = incoming0.unionByName(
+        incoming0.where(col("doc_id") < 400)
+          .withColumn("doc_id", col("doc_id") + 100000L))
+      Dedup.incrementalExactKeepBloom(incoming, existing)
+        .agg(count(lit(1)).as("n_accepted"),
+          sum(col("doc_id")).as("id_sum"),
+          min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
+    }),
+
     // Incremental LSH: the mutated near-copies arrive as a NEW batch and
     // join the stored corpus's persisted band index — (stored, incoming)
     // candidate pairs without touching corpus text (portable md5 twin).
@@ -191,6 +209,19 @@ object DataPipeQueries {
         .select(col("doc_id").as("bench_id"), col("text"))
       Decontaminate.contaminated(d, bench, n = 8)
         .orderBy("doc_id")
+    }),
+
+    // Semantic decontamination: the embedding-space twin of d6 — every
+    // 83rd vector doubles as an "eval set" row; corpus vectors whose
+    // cosine to any bench vector reaches the threshold are flagged with
+    // hit counts (bench members flag themselves at cosine 1). Broadcast
+    // bench side; the corpus never shuffles.
+    "d18_semantic_decon" -> ((s, dir) => {
+      val e = embs(s, dir)
+      val bench = e.where(col("vec_id") % 83 === 0)
+        .select(col("vec_id").as("bench_id"), col("embedding"))
+      Decontaminate.semanticContaminated(e, bench, threshold = 0.3)
+        .orderBy("vec_id")
     }),
 
     // TF-IDF top-3 terms per doc over a corpus slice — the quantized
@@ -858,6 +889,34 @@ object DataPipeQueries {
       s"(strpos('0123456789abcdef', substr($h, ${i + 1}, 1)) - 1) * ${1L << (4 * (5 - i))}")
       .mkString("(", " + ", ")")
 
+  /** Shared by d7 and d19: the bloom pre-screen is an optimization with
+    * no false negatives, so both paths must reproduce this one
+    * exact-semantics result.
+    */
+  private val incrementalDedupSql =
+    """WITH ex AS (
+      |  SELECT DISTINCT md5(lower(trim(text))) AS h
+      |  FROM documents WHERE doc_id < 300),
+      |inc0 AS (
+      |  SELECT doc_id, text FROM documents
+      |  WHERE doc_id >= 250 AND doc_id < 550),
+      |inc AS (
+      |  SELECT * FROM inc0
+      |  UNION ALL
+      |  SELECT doc_id + 100000 AS doc_id, text FROM inc0 WHERE doc_id < 400),
+      |keep AS (
+      |  SELECT doc_id FROM (
+      |    SELECT doc_id, text,
+      |           row_number() OVER (PARTITION BY md5(lower(trim(text)))
+      |                              ORDER BY doc_id) AS rn
+      |    FROM inc)
+      |  WHERE rn = 1
+      |    AND md5(lower(trim(text))) NOT IN (SELECT h FROM ex))
+      |SELECT count(*) AS n_accepted,
+      |       CAST(sum(doc_id) AS BIGINT) AS id_sum,
+      |       min(doc_id) AS min_id, max(doc_id) AS max_id
+      |FROM keep""".stripMargin
+
   /** Doc-quality oracle pieces interpolated from the SAME sources of truth
     * the engine reads — `QualityRules.Config()` thresholds and
     * `TextAnalysis.markers("en")` — so a config change cannot silently
@@ -1257,29 +1316,9 @@ object DataPipeQueries {
          |SELECT vec_id, centroid_id FROM assigned
          |WHERE vec_id NOT IN (SELECT vec_id FROM dup)
          |ORDER BY vec_id""".stripMargin,
-    "d7_incremental_dedup" ->
-      """WITH ex AS (
-        |  SELECT DISTINCT md5(lower(trim(text))) AS h
-        |  FROM documents WHERE doc_id < 300),
-        |inc0 AS (
-        |  SELECT doc_id, text FROM documents
-        |  WHERE doc_id >= 250 AND doc_id < 550),
-        |inc AS (
-        |  SELECT * FROM inc0
-        |  UNION ALL
-        |  SELECT doc_id + 100000 AS doc_id, text FROM inc0 WHERE doc_id < 400),
-        |keep AS (
-        |  SELECT doc_id FROM (
-        |    SELECT doc_id, text,
-        |           row_number() OVER (PARTITION BY md5(lower(trim(text)))
-        |                              ORDER BY doc_id) AS rn
-        |    FROM inc)
-        |  WHERE rn = 1
-        |    AND md5(lower(trim(text))) NOT IN (SELECT h FROM ex))
-        |SELECT count(*) AS n_accepted,
-        |       CAST(sum(doc_id) AS BIGINT) AS id_sum,
-        |       min(doc_id) AS min_id, max(doc_id) AS max_id
-        |FROM keep""".stripMargin,
+    "d7_incremental_dedup" -> incrementalDedupSql,
+    // same exact semantics: the bloom pre-screen must be invisible in the result
+    "d19_bloom_incremental_dedup" -> incrementalDedupSql,
     "d6_decontaminate" ->
       """WITH dsh AS (
         |  SELECT DISTINCT doc_id,
@@ -1297,6 +1336,16 @@ object DataPipeQueries {
         |       count(DISTINCT b.bench_id) AS n_benchmarks
         |FROM dsh d JOIN bsh b ON d.shingle = b.shingle
         |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin,
+    "d18_semantic_decon" ->
+      s"""WITH $quantCte,
+         |b AS (SELECT vec_id AS bench_id, q AS bq FROM qv WHERE vec_id % 83 = 0),
+         |p AS (
+         |  SELECT qv.vec_id, b.bench_id,
+         |         ${dotD("qv.q", "b.bq")}
+         |           / (sqrt(${dotD("qv.q", "qv.q")}) * sqrt(${dotD("b.bq", "b.bq")})) AS c
+         |  FROM qv CROSS JOIN b)
+         |SELECT vec_id, count(*) AS n_bench_hits, max(c) AS max_cosine
+         |FROM p WHERE c >= 0.3 GROUP BY vec_id ORDER BY vec_id""".stripMargin,
     "t6_tfidf_topterms" ->
       """WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 30),
         |terms AS (

@@ -61,4 +61,32 @@ class DecontaminateSpec extends SparkSpec {
     assert(exact(1L).startsWith("alpha"))
     assert(exact.keySet == Set(1L, 2L, 3L, 4L))
   }
+
+  test("semanticContaminated flags cosine hits vs the bench set; corpus never shuffles") {
+    val s = spark; import s.implicits._
+    val corpus = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f)),   // = bench 100
+      (2L, Array(0.9f, 0.1f, 0.0f)),   // near bench 100
+      (3L, Array(0.0f, 1.0f, 0.0f)),   // orthogonal to both
+      (4L, Array(0.0f, 0.6f, 0.8f))    // near bench 101
+    ).toDF("vec_id", "embedding")
+    val bench = Seq(
+      (100L, Array(1.0f, 0.0f, 0.0f)),
+      (101L, Array(0.0f, 0.5f, 0.9f))
+    ).toDF("bench_id", "embedding")
+    val out = Decontaminate.semanticContaminated(corpus, bench, threshold = 0.9)
+      .collect().map(r => r.getAs[Long]("vec_id") ->
+        (r.getAs[Long]("n_bench_hits"), r.getAs[Double]("max_cosine"))).toMap
+    assert(out.keySet == Set(1L, 2L, 4L))
+    assert(out(1L)._1 == 1L && out(1L)._2 == 1.0)
+    assert(out(2L)._2 > 0.9 && out(2L)._2 < 1.0)
+    // clean keeps only the orthogonal vector
+    assert(Decontaminate.semanticClean(corpus, bench, threshold = 0.9)
+      .collect().map(_.getAs[Long]("vec_id")).toSet == Set(3L))
+    // bench side broadcasts: the plan has a BroadcastNestedLoopJoin and
+    // no shuffle on the corpus side of the join
+    val plan = Decontaminate.semanticContaminated(corpus, bench, threshold = 0.9)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin"), s"plan:\n$plan")
+  }
 }

@@ -87,6 +87,36 @@ class DedupSpec extends SparkSpec {
     assert(Dedup.incrementalExactKeep(incoming, advanced).count() == 0L)
   }
 
+  test("bloom-prefiltered incremental dedup is bit-identical to the plain path") {
+    val s = spark; import s.implicits._
+    val existing = Dedup.fingerprints(
+      (1L to 200L).map(i => (i, s"stored doc number $i")).toDF("doc_id", "text"))
+    val incoming = (
+      (150L to 250L).map(i => (i + 1000L, s"stored doc number $i")) ++ // 51 seen
+      (300L to 400L).map(i => (i + 1000L, s"fresh doc number $i")) ++  // new
+      Seq((9001L, "fresh doc number 300"))                             // in-batch copy
+    ).toDF("doc_id", "text")
+    val plain = Dedup.incrementalExactKeep(incoming, existing)
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    val bloomed = Dedup.incrementalExactKeepBloom(incoming, existing)
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(bloomed == plain)
+    // 1150..1200 seen (51 dropped), 1201..1250 new (50), 1300..1400 new
+    // (101), 9001 in-batch copy of 1300 (dropped) -> 151 accepted
+    assert(plain.size == 151)
+    assert(!bloomed.contains(1150L) && bloomed.contains(1201L))
+    // a tiny sketch (high fpp) still yields the exact result — false
+    // positives only route extra rows through the anti-join
+    val tiny = Dedup.incrementalExactKeepBloom(incoming, existing,
+      expectedItems = 4L, numBits = 64L)
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(tiny == plain)
+    // empty store: everything (in-batch deduped) is accepted
+    val empty = existing.limit(0)
+    assert(Dedup.incrementalExactKeepBloom(incoming, empty).count() ==
+      Dedup.incrementalExactKeep(incoming, empty).count())
+  }
+
   test("incremental LSH via the band index agrees with the batch variant") {
     val s = spark; import s.implicits._
     val base = Seq(
