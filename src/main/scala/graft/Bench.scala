@@ -104,7 +104,10 @@ object Bench {
       "curate_pipeline", "curate_ruleset_pipeline",
       "d12_dup_components", "d12_component_keep",
       // deliberately-skewed synthetic rows
-      "skew_salted_agg", "skew_salted_join")
+      "skew_salted_agg", "skew_salted_join",
+      // driver-side sketch build + broadcast probe: swung 42 s one-shot
+      // in r7 (constant-size sketch since fixed, but keep the median)
+      "d19_bloom_incremental_dedup")
     var extraRuns = Seq.empty[(String, Double)]
     // noop sink, not count(): count() lets Catalyst prune every unused
     // column, so a no-filter pure-projection query (fingerprints, line

@@ -20,6 +20,10 @@ object Verify {
     val only: Set[String] = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
       .getOrElse(Set.empty)
+    // A query that throws must be VISIBLE in the artifact — an absent
+    // output dir is otherwise indistinguishable from never-run, and the
+    // round's correctness gate would pass by omission (round-7 lesson).
+    val failed = scala.collection.mutable.LinkedHashMap.empty[String, String]
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }
       .foreach { case (name, fn) =>
@@ -27,6 +31,7 @@ object Verify {
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        failed(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
@@ -44,6 +49,15 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // always written (empty object when clean) so its ABSENCE means the
+    // run died before finishing, not "no failures"
+    val failedJson = failed
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/_failed.json"), failedJson)
+    if (failed.nonEmpty) {
+      System.err.println(
+        s"[verify] ${failed.size} queries FAILED: ${failed.keys.mkString(", ")}")
+    }
     spark.stop()
   }
 }

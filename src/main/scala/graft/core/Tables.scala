@@ -2,6 +2,7 @@ package graft.core
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Loaders for the driver-provided testdata tables (see TESTDATA.md). */
 object Tables {
@@ -20,11 +21,35 @@ object Tables {
   /** events with both a ns long (`ts_ns`, truncated to µs precision to
     * match engines whose TIMESTAMP is µs, e.g. the DuckDB oracle) and a
     * proper timestamp column (`ts`).
+    *
+    * The driver's parquet has shipped `ts` as TIMESTAMP(NANOS) (loaded as
+    * a raw ns long under `nanosAsLong=true`) in some generations and as
+    * `timestamp[us]` (loaded as TIMESTAMP_NTZ) in others — dispatch on the
+    * loaded dtype so both keep working.
     */
-  def events(spark: SparkSession, dir: String): DataFrame =
-    load(spark, dir, "events")
-      .withColumn("ts_ns", (col("ts") - (col("ts") % 1000L)).cast("long"))
-      .withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    val raw = load(spark, dir, "events")
+    raw.schema("ts").dataType match {
+      case LongType =>
+        // legacy ns-as-long: truncate to µs precision, derive timestamp
+        raw
+          .withColumn("ts_ns", (col("ts") - (col("ts") % 1000L)).cast("long"))
+          .withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+      case TimestampType =>
+        raw.withColumn("ts_ns", unix_micros(col("ts")) * lit(1000L))
+      case TimestampNTZType =>
+        // session tz is UTC everywhere in this project, so NTZ→TZ cast is
+        // value-preserving; keep `ts` as TimestampType for downstream parity
+        raw
+          .withColumn("ts_ns",
+            unix_micros(col("ts").cast(TimestampType)) * lit(1000L))
+          .withColumn("ts", col("ts").cast(TimestampType))
+      case other =>
+        throw new IllegalStateException(
+          s"events.ts has unsupported type $other (expected long ns, " +
+            "timestamp, or timestamp_ntz)")
+    }
+  }
 
   /** Register every table as a temp view so spark.sql can use the same
     * table names as the DuckDB oracle.

@@ -108,16 +108,30 @@ object Dedup {
     * expected store entry for ~1% fpp; a 1e9-hash store at 12 bits/item
     * is a 1.5 GB sketch — at that scale raise fpp or shard the store by
     * hash prefix and run one sketch per shard.
+    *
+    * Sizing: pass `expectedItems`/`numBits` when the caller knows the
+    * store size (the production path — a store's own metadata tracks its
+    * count); with the -1 defaults the sketch is sized from a cheap
+    * `seenHashes.count()` at 12 bits/item (~1% fpp). A parquet-backed
+    * store answers that count from footer metadata, so auto-sizing costs
+    * one metadata action — a 300-row fixture must not pay for a 2^26-bit
+    * sketch (round-7 lesson: the constant default made d19 the slowest
+    * row of the whole sweep).
     */
   def incrementalExactKeepBloom(
       incoming: DataFrame, seenHashes: DataFrame,
-      expectedItems: Long = 1L << 22, numBits: Long = 1L << 26,
+      expectedItems: Long = -1L, numBits: Long = -1L,
       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     import graft.functions.GraftFunctions
     GraftFunctions.register(incoming.sparkSession)
+    val items =
+      if (expectedItems > 0L) expectedItems
+      else math.max(seenHashes.count(), 1L)
+    val bits =
+      if (numBits > 0L) numBits else math.max(items * 12L, 256L)
     val bloomRow = seenHashes
       .agg(call_function(GraftFunctions.bloomAggName, col("content_hash"),
-        lit(expectedItems), lit(numBits)).as("__bf"))
+        lit(items), lit(bits)).as("__bf"))
       .head()
     val inBatch = exactKeep(incoming, textCol, idCol)
       .withColumn("content_hash", TextAnalysis.fingerprintMd5(col(textCol)))
@@ -377,18 +391,25 @@ object Dedup {
     * 2022; RefinedWeb). Output: (doc_id, cluster_id); singletons (docs in
     * no pair) are absent — they are their own cluster by definition.
     *
-    * Algorithm: min-label propagation to fixpoint — each round every node
-    * takes the min of its own and its neighbors' labels. Per round: one
-    * edge-side join + one (node) min-aggregate, both keyed shuffles of
-    * (id, label) longs; text never enters. Rounds = component diameter.
-    * Near-dup graphs are star-shaped (a cluster's members all collide in
-    * some shared band bucket), so 2-4 rounds close real corpora; for
-    * adversarially long chains the alternating star-contraction variant
+    * Algorithm: alternating large-star / small-star contraction
     * (Kiveris et al., "Connected Components in MapReduce and Beyond",
-    * SoCC 2014) bounds rounds at O(log² n) — the documented upgrade path
-    * if a corpus ever presents chain-of-length-1000 duplicate topology.
-    * Each round's labels pass through [[Materialize.frontier]] so lineage
-    * stays flat (the [[graft.datapipe.Similarity.ivfTrain]] pattern).
+    * SoCC 2014) — the round bound is O(log² n) in the component size,
+    * NOT the component diameter that one-hop min-label propagation pays
+    * (a chain of 1000 duplicates closes in ~10 rounds instead of ~999).
+    *   - large-star, per node u: connect every strictly-larger neighbor
+    *     to m(u) = min(N(u) ∪ {u});
+    *   - small-star, edges oriented src>dst, per node u: connect u and
+    *     its (all smaller) neighbors to their minimum.
+    * Per round: two (node)-keyed min-aggregates + two edge-side joins,
+    * all shuffles of id-pair longs; text never enters. Both passes
+    * preserve connectivity and only ever re-point edges at smaller ids,
+    * so the fixpoint is one star per component rooted at its minimum id.
+    * Near-dup graphs are already star-shaped (a cluster's members all
+    * collide in some shared band bucket), so 1-3 rounds close real
+    * corpora; the contraction bound is for adversarial chain topologies.
+    * Each round's edge set passes through [[Materialize.frontier]] so
+    * lineage stays flat (the [[graft.datapipe.Similarity.ivfTrain]]
+    * pattern).
     *
     * Deterministic: the fixpoint (min id per component) does not depend
     * on iteration order. Throws if `maxIters` rounds don't converge
@@ -397,33 +418,64 @@ object Dedup {
   def duplicateComponents(pairs: DataFrame,
                           aCol: String = "id_a", bCol: String = "id_b",
                           maxIters: Int = 25,
-                          idCol: String = "doc_id"): DataFrame = {
-    val fwd = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
-    val rev = pairs.select(col(bCol).as("src"), col(aCol).as("dst"))
-    val edges = Materialize.frontier(fwd.union(rev).distinct())
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("label", col("id"))
+                          idCol: String = "doc_id"): DataFrame =
+    duplicateComponentsRounds(pairs, aCol, bCol, maxIters, idCol)._1
+
+  /** [[duplicateComponents]] plus the number of contraction rounds it
+    * took to converge — exposed so specs can pin the O(log n) bound.
+    */
+  def duplicateComponentsRounds(pairs: DataFrame,
+                                aCol: String = "id_a", bCol: String = "id_b",
+                                maxIters: Int = 25,
+                                idCol: String = "doc_id"): (DataFrame, Int) = {
+    // every id that appears in a pair gets a label, including self-pairs
+    val nodes = pairs.select(col(aCol).as("id"))
+      .union(pairs.select(col(bCol).as("id"))).distinct()
+    // canonical orientation src > dst; both passes preserve it
+    var edges = Materialize.frontier(
+      pairs.select(greatest(col(aCol), col(bCol)).as("src"),
+          least(col(aCol), col(bCol)).as("dst"))
+        .where(col("src") =!= col("dst")).distinct())
     var round = 0
-    var converged = false
+    var converged = edges.isEmpty
     while (!converged && round < maxIters) {
-      val neighborMin = edges
-        .join(labels.withColumnRenamed("id", "src"), Seq("src"))
-        .groupBy(col("dst").as("id"))
-        .agg(min(col("label")).as("__nmin"))
-      val next = Materialize.frontier(
-        labels.join(neighborMin, Seq("id"), "left")
-          .select(col("id"),
-            least(col("label"), coalesce(col("__nmin"), col("label"))).as("label"),
-            (coalesce(col("__nmin"), col("label")) < col("label")).as("__chg")))
-      converged = next.where(col("__chg")).isEmpty
-      labels = next.drop("__chg")
+      // large-star: symmetrize, m(u) = min(N(u) ∪ {u}); emit (v, m(u))
+      // for neighbors v > u. Output keeps src > dst (v > u >= m).
+      val und = edges.select("src", "dst")
+        .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+      val mins = und.groupBy("src").agg(min(col("dst")).as("__mn"))
+        .select(col("src").as("u"), least(col("__mn"), col("u")).as("m"))
+      val large = und.join(mins, und("src") === mins("u"))
+        .where(col("dst") > col("src"))
+        .select(col("dst").as("src"), col("m").as("dst"))
+        .distinct()
+      // small-star on src>dst edges: per u, m = min(N(u)); re-point u and
+      // every neighbor at m. Output again keeps src > dst.
+      val smins = large.groupBy("src").agg(min(col("dst")).as("m"))
+      val small = large.join(smins.withColumnRenamed("src", "u"),
+          large("src") === col("u"))
+        .where(col("dst") =!= col("m"))
+        .select(large("dst").as("src"), col("m").as("dst"))
+        .union(smins.select(col("src"), col("m").as("dst")))
+        .distinct()
+      val next = Materialize.frontier(small)
+      // fixpoint when the (distinct) edge set is unchanged: equal counts
+      // plus an empty next∖edges difference imply set equality
+      converged = next.count() == edges.count() &&
+        next.join(edges, Seq("src", "dst"), "left_anti").isEmpty
+      edges = next
       round += 1
     }
     if (!converged)
       throw new IllegalStateException(
         s"duplicateComponents did not converge in $maxIters rounds; " +
-          "raise maxIters (component diameter exceeds the bound)")
-    labels.select(col("id").as(idCol), col("label").as("cluster_id"))
+          "raise maxIters (star contraction needs O(log² n) rounds)")
+    // at fixpoint edges are (member, root) stars; roots + self-paired
+    // nodes label themselves
+    val labels = nodes.join(edges.withColumnRenamed("src", "id"), Seq("id"), "left")
+      .select(col("id").as(idCol),
+        coalesce(col("dst"), col("id")).as("cluster_id"))
+    (labels, round)
   }
 
   /** Transitive near-dup keep: one survivor (the minimum id) per

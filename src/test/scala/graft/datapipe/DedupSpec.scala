@@ -235,16 +235,19 @@ class DedupSpec extends SparkSpec {
       == Set(1L, 2L, 10L, 99L), "the pair rule misses the transitive B~C~A chain")
   }
 
-  test("duplicateComponents: long chain converges, layout-independent") {
+  test("duplicateComponents: long chain converges in O(log n) rounds, layout-independent") {
     val s = spark; import s.implicits._
-    // path graph 0-1-2-...-9: one component, diameter 9
-    val chain = (0L until 9L).map(i => (i, i + 1)).toDF("id_a", "id_b")
-    val comp = Dedup.duplicateComponents(chain.repartition(7)).collect()
+    // path graph 0-1-...-63: one component, diameter 63 — one-hop label
+    // propagation would need 63 rounds; star contraction is O(log² n)
+    val chain = (0L until 63L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val (labels, rounds) = Dedup.duplicateComponentsRounds(chain.repartition(7))
+    val comp = labels.collect()
       .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster_id")).toMap
-    assert(comp.size == 10 && comp.values.forall(_ == 0L))
+    assert(comp.size == 64 && comp.values.forall(_ == 0L))
+    assert(rounds <= 7, s"64-chain must close in <=7 contraction rounds, took $rounds")
     // non-convergence within maxIters must throw, not return garbage
     intercept[IllegalStateException] {
-      Dedup.duplicateComponents(chain, maxIters = 2)
+      Dedup.duplicateComponents(chain, maxIters = 1)
     }
   }
 
