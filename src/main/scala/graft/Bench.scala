@@ -107,7 +107,13 @@ object Bench {
       "skew_salted_agg", "skew_salted_join",
       // driver-side sketch build + broadcast probe: swung 42 s one-shot
       // in r7 (constant-size sketch since fixed, but keep the median)
-      "d19_bloom_incremental_dedup")
+      "d19_bloom_incremental_dedup",
+      // doc-query first-execution cliff (r8): t14 measured 37 s cold /
+      // 8.5 s warm and t15 swung 5x with unchanged code — one-shot
+      // position in the sweep decides which JVM/codegen state they pay.
+      // Median-of-3 separates the operator cost from the cold cliff; the
+      // DSIR model materialization fix shrinks the cold plan itself.
+      "t14_dsir_select", "t15_bpe_pair_counts", "t16_dsir_gumbel_sample")
     var extraRuns = Seq.empty[(String, Double)]
     // noop sink, not count(): count() lets Catalyst prune every unused
     // column, so a no-filter pure-projection query (fingerprints, line

@@ -31,10 +31,13 @@ object Tables {
     val raw = load(spark, dir, "events")
     raw.schema("ts").dataType match {
       case LongType =>
-        // legacy ns-as-long: truncate to µs precision, derive timestamp
+        // legacy ns-as-long: truncate to µs precision, derive timestamp.
+        // `div` (integer division), NOT `/`: Column./ is double division,
+        // and ns epoch values (~1.7e18) exceed double's 53-bit mantissa,
+        // so the truncating cast back to long can land 1 µs low.
         raw
           .withColumn("ts_ns", (col("ts") - (col("ts") % 1000L)).cast("long"))
-          .withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
       case TimestampType =>
         raw.withColumn("ts_ns", unix_micros(col("ts")) * lit(1000L))
       case TimestampNTZType =>

@@ -111,12 +111,14 @@ object Dedup {
     *
     * Sizing: pass `expectedItems`/`numBits` when the caller knows the
     * store size (the production path — a store's own metadata tracks its
-    * count); with the -1 defaults the sketch is sized from a cheap
-    * `seenHashes.count()` at 12 bits/item (~1% fpp). A parquet-backed
-    * store answers that count from footer metadata, so auto-sizing costs
-    * one metadata action — a 300-row fixture must not pay for a 2^26-bit
-    * sketch (round-7 lesson: the constant default made d19 the slowest
-    * row of the whole sweep).
+    * count). With the -1 defaults the sketch is sized from a
+    * `seenHashes.count()` at 12 bits/item (~1% fpp) — and because the
+    * store may be a COMPUTED projection (not a bare parquet scan whose
+    * count is footer metadata), the auto-sizing path first materializes
+    * `seenHashes` so its lineage is evaluated once, not three times
+    * (count, bloom aggregate, anti-join). A 300-row fixture must not pay
+    * for a 2^26-bit sketch (round-7 lesson: the constant default made
+    * d19 the slowest row of the whole sweep).
     */
   def incrementalExactKeepBloom(
       incoming: DataFrame, seenHashes: DataFrame,
@@ -124,12 +126,15 @@ object Dedup {
       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     import graft.functions.GraftFunctions
     GraftFunctions.register(incoming.sparkSession)
-    val items =
-      if (expectedItems > 0L) expectedItems
-      else math.max(seenHashes.count(), 1L)
+    val (seen, items) =
+      if (expectedItems > 0L) (seenHashes, expectedItems)
+      else {
+        val m = Materialize.frontier(seenHashes)
+        (m, math.max(m.count(), 1L))
+      }
     val bits =
       if (numBits > 0L) numBits else math.max(items * 12L, 256L)
-    val bloomRow = seenHashes
+    val bloomRow = seen
       .agg(call_function(GraftFunctions.bloomAggName, col("content_hash"),
         lit(items), lit(bits)).as("__bf"))
       .head()
@@ -142,7 +147,7 @@ object Dedup {
           lit(bloomRow.getAs[Array[Byte]](0)), col("content_hash"))
         inBatch.where(!might).unionByName(
           inBatch.where(might)
-            .join(seenHashes.select("content_hash"), Seq("content_hash"), "left_anti"))
+            .join(seen.select("content_hash"), Seq("content_hash"), "left_anti"))
       }
     accepted.drop("content_hash")
   }
@@ -436,8 +441,23 @@ object Dedup {
       pairs.select(greatest(col(aCol), col(bCol)).as("src"),
           least(col(aCol), col(bCol)).as("dst"))
         .where(col("src") =!= col("dst")).distinct())
+    // one-action set signature: (count, XOR of 64-bit pair hashes). Equal
+    // signatures between rounds are a CANDIDATE fixpoint — count alone
+    // misses same-size rewrites, and two equal-count DISTINCT sets with
+    // an equal hash-XOR collide with ~2^-64 probability — confirmed by
+    // the one left-anti set-equality check below, which thus runs ~once
+    // (at the real fixpoint) instead of every round. XOR, not sum: it is
+    // order-independent AND cannot overflow under ANSI arithmetic. The
+    // previous scheme paid next.count() + edges.count() + a full
+    // anti-join scan per round, doubling d12's wall time at sf0.1.
+    def sig(df: DataFrame): (Long, Long) = {
+      val r = df.agg(count(lit(1)),
+        coalesce(bit_xor(xxhash64(col("src"), col("dst"))), lit(0L))).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    var edgeSig = sig(edges)
     var round = 0
-    var converged = edges.isEmpty
+    var converged = edgeSig._1 == 0L
     while (!converged && round < maxIters) {
       // large-star: symmetrize, m(u) = min(N(u) ∪ {u}); emit (v, m(u))
       // for neighbors v > u. Output keeps src > dst (v > u >= m).
@@ -459,11 +479,13 @@ object Dedup {
         .union(smins.select(col("src"), col("m").as("dst")))
         .distinct()
       val next = Materialize.frontier(small)
-      // fixpoint when the (distinct) edge set is unchanged: equal counts
-      // plus an empty next∖edges difference imply set equality
-      converged = next.count() == edges.count() &&
+      // fixpoint when the (distinct) edge set is unchanged: signature
+      // match (one aggregate action) gates the definitive left-anti check
+      val nextSig = sig(next)
+      converged = nextSig == edgeSig &&
         next.join(edges, Seq("src", "dst"), "left_anti").isEmpty
       edges = next
+      edgeSig = nextSig
       round += 1
     }
     if (!converged)

@@ -65,6 +65,23 @@ object Dsir {
     hashedFeatures(docs, nBuckets, seed, textCol, idCol)
       .groupBy("bucket").agg(count(lit(1)).as("n"))
 
+  /** Fit = materialized [[featureCounts]] (the [[Similarity.ivfTrain]]
+    * pattern, via [[graft.core.Materialize.frontier]]). The count table is
+    * ≤`nBuckets` rows by construction, so the checkpoint is metadata-scale
+    * at ANY corpus size — and without it every downstream execution
+    * re-derives the whole model inline: [[select]] used to carry SIX
+    * explode legs over the corpora (candidates + target + raw, two legs
+    * each) in one plan, paying the model scans again per run plus a
+    * first-execution codegen cliff on the giant fused plan (measured
+    * 37 s cold / 8.5 s warm on 5 k docs vs ~3 s with the models
+    * materialized). Fitting once also matches the paper's shape: the
+    * model is an artifact you reuse across candidate batches.
+    */
+  def fitModel(docs: DataFrame, nBuckets: Int, seed: Long = 0L,
+               textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    graft.core.Materialize.frontier(
+      featureCounts(docs, nBuckets, seed, textCol, idCol))
+
   /** Per-document importance weight against target/raw count tables:
     * (id, n_features, logw_micro) where logw_micro sums quantized
     * ln((n_t+1)/(T_t+B)) − ln((n_r+1)/(T_r+B)) over feature occurrences
@@ -105,8 +122,8 @@ object Dsir {
              n: Int, nBuckets: Int = 4096, seed: Long = 0L,
              textCol: String = "text", idCol: String = "doc_id"): DataFrame =
     importanceWeights(candidates,
-      featureCounts(targetDocs, nBuckets, seed, textCol, idCol),
-      featureCounts(rawDocs, nBuckets, seed, textCol, idCol),
+      fitModel(targetDocs, nBuckets, seed, textCol, idCol),
+      fitModel(rawDocs, nBuckets, seed, textCol, idCol),
       nBuckets, seed, textCol, idCol)
       .orderBy(desc("logw_micro"), col(idCol))
       .limit(n)
@@ -129,8 +146,8 @@ object Dsir {
     val u = (Sampling.inclusionHash(col(idCol), gumbelSeed).cast("double") + 0.5) /
       Sampling.HashSpace.toDouble
     importanceWeights(candidates,
-      featureCounts(targetDocs, nBuckets, seed, textCol, idCol),
-      featureCounts(rawDocs, nBuckets, seed, textCol, idCol),
+      fitModel(targetDocs, nBuckets, seed, textCol, idCol),
+      fitModel(rawDocs, nBuckets, seed, textCol, idCol),
       nBuckets, seed, textCol, idCol)
       .withColumn("gumbel_micro",
         floor(-log(-log(u)) * 1000000d + lit(0.5)).cast("long"))

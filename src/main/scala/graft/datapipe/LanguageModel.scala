@@ -141,6 +141,57 @@ object LanguageModel {
       .select(col(idCol), col(byCol), col(scoreCol), col("ppl_bucket"))
   }
 
+  /** The 100 TB twin of [[perplexityBuckets]]: NO per-group corpus-scale
+    * sort. Scores are bucketed into at most `nBins` equal-width integer
+    * bins per group (one broadcast min/max/count aggregate decides the
+    * width); per-bin counts are cumulated top-down over the ≤`nBins`-row
+    * bin table (a metadata-scale window, corpus never sorted) and each
+    * BIN gets the tercile label its cumulative rank implies; labels join
+    * back broadcast. Three corpus passes, all map-shaped: stats
+    * aggregate, bin counts, label join — the scored projection is
+    * materialized once ([[graft.core.Materialize.frontier]]) so the
+    * upstream scoring lineage isn't re-derived per pass.
+    *
+    * Approximation contract (deterministic, engine-exact — integer bin
+    * arithmetic only, so an oracle reproduces the labeling bit-for-bit):
+    * tercile boundaries snap to bin edges — a bin straddling n/3 goes
+    * entirely to the lower bucket (inclusive cumulative rule). When every
+    * score in a group is distinct and the score range < `nBins`, bins are
+    * singletons and the labeling EQUALS the exact variant's (ties are the
+    * only other divergence: exact splits them by id, approx labels them
+    * alike — pinned by the spec).
+    */
+  def perplexityBucketsApprox(scored: DataFrame, byCol: String,
+                              nBins: Int = 1024,
+                              scoreCol: String = "mean_logp_micro",
+                              idCol: String = "doc_id"): DataFrame = {
+    require(nBins > 0, "nBins must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val s = graft.core.Materialize.frontier(
+      scored.select(col(idCol), col(byCol), col(scoreCol)))
+    val stats = s.groupBy(byCol).agg(
+      min(col(scoreCol)).as("__lo"), max(col(scoreCol)).as("__hi"),
+      count(lit(1)).as("__n"))
+    // integer `div` on both operands >= 0: truncation == floor, and both
+    // engines compute the identical bin id (no double rounding anywhere)
+    val binned = s.join(broadcast(stats), Seq(byCol))
+      .withColumn("__bin",
+        expr(s"($scoreCol - __lo) div (((__hi - __lo) div $nBins) + 1)"))
+    val w = Window.partitionBy(byCol).orderBy(col("__bin").desc)
+    val labels = binned.groupBy(col(byCol), col("__bin"))
+      .agg(count(lit(1)).as("__c"))
+      .withColumn("__cumtop", sum(col("__c")).over(w))
+      .join(broadcast(stats.select(col(byCol), col("__n"))), Seq(byCol))
+      .withColumn("ppl_bucket",
+        when(col("__cumtop") * 3 <= col("__n"), lit("head"))
+          .when(col("__cumtop") * 3 <= col("__n") * 2, lit("middle"))
+          .otherwise(lit("tail")))
+      .select(col(byCol), col("__bin"), col("ppl_bucket"))
+    binned.select(col(idCol), col(byCol), col(scoreCol), col("__bin"))
+      .join(broadcast(labels), Seq(byCol, "__bin"))
+      .select(col(idCol), col(byCol), col(scoreCol), col("ppl_bucket"))
+  }
+
   /** Moore-Lewis cross-entropy difference selection (Moore & Lewis, ACL
     * 2010) — the classic LM-contrast data-selection step: score every
     * candidate under an in-domain (target) bigram model and a general

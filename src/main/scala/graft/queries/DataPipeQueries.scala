@@ -416,6 +416,19 @@ object DataPipeQueries {
         .orderBy("doc_id")
     }),
 
+    // The no-sort 100 TB twin of t13: per-language tercile labels from
+    // integer equal-width score bins (metadata-scale bin window +
+    // broadcast label join — the corpus is never sorted). Deterministic
+    // bin arithmetic, so the oracle reproduces the labeling exactly.
+    "t13_perplexity_buckets_approx" -> ((s, dir) => {
+      val d = docs(s, dir)
+      LanguageModel.perplexityBucketsApprox(
+        LanguageModel.trainAndScore(d)
+          .join(d.select(col("doc_id"), col("lang")), Seq("doc_id")),
+        byCol = "lang", nBins = 64)
+        .orderBy("doc_id")
+    }),
+
     // Moore-Lewis cross-entropy difference selection: target model =
     // two sources' docs, general model = the whole corpus; rank every
     // doc by target-vs-general mean micro-nat contrast, keep top 40.
@@ -1767,6 +1780,38 @@ object DataPipeQueries {
          |       WHEN r * 3 <= n * 2 THEN 'middle'
          |       ELSE 'tail' END AS ppl_bucket
          |FROM rk ORDER BY doc_id""".stripMargin,
+    "t13_perplexity_buckets_approx" ->
+      s"""$lmScoredCte,
+         |ms AS (
+         |  SELECT doc_id,
+         |    CAST(floor(CAST(sum_logp_micro AS DOUBLE) / CAST(n_bigrams AS DOUBLE)) AS BIGINT)
+         |      AS mean_logp_micro
+         |  FROM sc),
+         |sl AS (
+         |  SELECT ms.doc_id, d.lang, ms.mean_logp_micro
+         |  FROM ms JOIN documents d USING (doc_id)),
+         |st AS (
+         |  SELECT lang, min(mean_logp_micro) AS lo, max(mean_logp_micro) AS hi,
+         |         count(*) AS n
+         |  FROM sl GROUP BY lang),
+         |binned AS (
+         |  SELECT sl.doc_id, sl.lang, sl.mean_logp_micro,
+         |    (sl.mean_logp_micro - st.lo) // (((st.hi - st.lo) // 64) + 1) AS bin
+         |  FROM sl JOIN st USING (lang)),
+         |bc AS (SELECT lang, bin, count(*) AS c FROM binned GROUP BY 1, 2),
+         |cum AS (
+         |  SELECT lang, bin,
+         |    sum(c) OVER (PARTITION BY lang ORDER BY bin DESC) AS cumtop
+         |  FROM bc),
+         |lab AS (
+         |  SELECT cum.lang, cum.bin,
+         |    CASE WHEN cumtop * 3 <= n THEN 'head'
+         |         WHEN cumtop * 3 <= n * 2 THEN 'middle'
+         |         ELSE 'tail' END AS ppl_bucket
+         |  FROM cum JOIN st USING (lang))
+         |SELECT b.doc_id, b.lang, b.mean_logp_micro, lab.ppl_bucket
+         |FROM binned b JOIN lab ON b.lang = lab.lang AND b.bin = lab.bin
+         |ORDER BY doc_id""".stripMargin,
     "t11_crossentropy_select" ->
       s"""WITH mlm AS (
          |  SELECT doc_id, source, string_split_regex(lower(trim(text)), '\\s+') AS t

@@ -139,4 +139,43 @@ class LanguageModelSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
     assert(out2 == out, "bucketing must be layout-independent")
   }
+
+  test("perplexityBucketsApprox: singleton bins equal exact; coarse bins stay monotone") {
+    val s = spark; import s.implicits._
+    val scored = ((1 to 6).map(i => (i.toLong, "a", 100L - i)) ++
+      (11 to 14).map(i => (i.toLong, "b", 100L - i)))
+      .toDF("doc_id", "lang", "mean_logp_micro")
+    // distinct scores, range < nBins -> singleton bins -> inclusive
+    // cumulative rank == exact rank, so approx must EQUAL exact
+    val exact = LanguageModel.perplexityBuckets(scored, byCol = "lang")
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    val approx = LanguageModel.perplexityBucketsApprox(scored, byCol = "lang")
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(approx == exact, "singleton-bin approx must match the exact labeling")
+
+    // coarse bins (nBins = 2 over range 0..99): boundaries snap to bin
+    // edges but labels must stay monotone in score and layout-independent
+    val wide = (1 to 30).map(i => (i.toLong, "a", (i * 17 % 100).toLong))
+      .toDF("doc_id", "lang", "mean_logp_micro")
+    val coarse = LanguageModel.perplexityBucketsApprox(wide, byCol = "lang", nBins = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getString(3)))
+    def rankOf(b: String): Int = b match {
+      case "head" => 0; case "middle" => 1; case _ => 2 }
+    for {
+      (_, s1, b1) <- coarse; (_, s2, b2) <- coarse
+      if s1 > s2
+    } assert(rankOf(b1) <= rankOf(b2),
+      s"higher score $s1=$b1 must never rank below lower score $s2=$b2")
+    val coarse2 = LanguageModel.perplexityBucketsApprox(
+      wide.repartition(5), byCol = "lang", nBins = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getString(3)))
+    assert(coarse2.sortBy(_._1).toSeq == coarse.sortBy(_._1).toSeq,
+      "approx bucketing must be layout-independent")
+    // ties all land in one bin -> one label (approx never splits a bin)
+    val ties = (1 to 9).map(i => (i.toLong, "a", 5L))
+      .toDF("doc_id", "lang", "mean_logp_micro")
+    val tieLabels = LanguageModel.perplexityBucketsApprox(ties, byCol = "lang")
+      .collect().map(_.getString(3)).distinct
+    assert(tieLabels.length == 1, "equal scores must share one bucket label")
+  }
 }
