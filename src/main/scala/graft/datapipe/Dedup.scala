@@ -433,12 +433,18 @@ object Dedup {
                                 aCol: String = "id_a", bCol: String = "id_b",
                                 maxIters: Int = 25,
                                 idCol: String = "doc_id"): (DataFrame, Int) = {
+    // materialize the (a, b) projection ONCE: both the node set and the
+    // initial edge set derive from it, and `pairs` is typically an
+    // expensive pipeline (an LSH candidate graph) that a union of two
+    // selects would otherwise re-evaluate per leg — measured as 2/3 of
+    // d12's post-fix wall time at sf0.1
+    val p0 = Materialize.frontier(pairs.select(col(aCol), col(bCol)))
     // every id that appears in a pair gets a label, including self-pairs
-    val nodes = pairs.select(col(aCol).as("id"))
-      .union(pairs.select(col(bCol).as("id"))).distinct()
+    val nodes = p0.select(col(aCol).as("id"))
+      .union(p0.select(col(bCol).as("id"))).distinct()
     // canonical orientation src > dst; both passes preserve it
     var edges = Materialize.frontier(
-      pairs.select(greatest(col(aCol), col(bCol)).as("src"),
+      p0.select(greatest(col(aCol), col(bCol)).as("src"),
           least(col(aCol), col(bCol)).as("dst"))
         .where(col("src") =!= col("dst")).distinct())
     // one-action set signature: (count, XOR of 64-bit pair hashes). Equal
