@@ -28,7 +28,8 @@ object LoadOhlcv {
     new ParquetStore(spark, root)
       .load(FrameSpec.byName(timeframe), upper, Some(startNs), Some(endNs))
       .select("symbol", "ts_ns", "open", "high", "low", "close", "volume")
-      .withColumn("timestamp", timestamp_micros((col("ts_ns") / 1000L).cast("long")))
+      // integer `div`: double division of ns epochs can land 1 µs low
+      .withColumn("timestamp", timestamp_micros(expr("ts_ns div 1000")))
       .orderBy("symbol", "ts_ns")
   }
 }

@@ -254,7 +254,7 @@ object OrchestrationQueries {
       val bars = mem.toDF()
         .toDF("symbol", "ts_ns", "open", "high", "low", "close", "volume")
         .withColumn("timestamp",
-          timestamp_micros((col("ts_ns") / 1000L).cast("long")))
+          timestamp_micros(expr("ts_ns div 1000")))
         .drop("ts_ns")
       val out = graft.streaming.StreamingIngest.streamingResample(bars, FrameSpec.F5m)
       val q = out.writeStream.format("memory").queryName("t2_stream_sink")

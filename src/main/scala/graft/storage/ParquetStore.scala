@@ -41,9 +41,10 @@ final class ParquetStore(spark: SparkSession, root: String) {
     */
   def writeFrames(bars: DataFrame, mode: SaveMode = SaveMode.Overwrite,
                   compactPartitions: Boolean = false): Unit = {
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     val partitioned = bars
-      .withColumn("date", to_date(timestamp_micros((col("ts_ns") / 1000L).cast("long"))))
+      // `div`, not `/`: double division of ns epochs (> 2^53) can land
+      // 1 µs low, which flips the date partition exactly at midnight
+      .withColumn("date", to_date(timestamp_micros(expr("ts_ns div 1000"))))
     val placed =
       if (compactPartitions) partitioned.repartition(col("frame"), col("symbol"), col("date"))
       else partitioned
@@ -51,6 +52,11 @@ final class ParquetStore(spark: SparkSession, root: String) {
       .sortWithinPartitions("symbol", "ts_ns")
       .write
       .mode(mode)
+      // per-WRITE option, not session conf: a foreachBatch DataFrame
+      // belongs to the micro-batch's CLONED session, where a conf set on
+      // the outer session is invisible — static overwrite would then wipe
+      // every partition under the root on each micro-batch
+      .option("partitionOverwriteMode", "dynamic")
       .option("compression", "zstd")
       .partitionBy("frame", "symbol", "date")
       .parquet(root)

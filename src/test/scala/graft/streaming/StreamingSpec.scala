@@ -120,4 +120,54 @@ class StreamingSpec extends SparkSpec {
       assert(gaps.toSeq == Seq(("AAPL", 2L, 3L), ("AAPL", 6L, 2L)))
     } finally q.stop()
   }
+
+  test("file-source e2e: raw files -> foreachBatch -> bars_5m view matches batch resample") {
+    // the full streaming ingest loop of the reference's real-aggregation
+    // e2e (ref: tests/integration/test_real_aggregation_e2e.py:95-343):
+    // raw 1m-bar parquet files LAND in a source directory across two
+    // micro-batches (two trading days), foreachBatch reuses the batch
+    // Resampler and writes the 5m aggregate store, and the refreshed
+    // bars_5m view must match the batch Resampler run over the same bars
+    // row-for-row.
+    import graft.gen.SyntheticSource
+    import graft.storage.ParquetStore
+    import graft.views.ViewCatalog
+    val s = spark
+    val dayNs = 86400L * 1000000000L
+    val day1Start = 1704202200000000000L // 2024-01-02 14:30 UTC
+    val day1 = SyntheticSource.bars(s, Seq("AAPL", "MSFT"), day1Start, 30)
+    val day2 = SyntheticSource.bars(s, Seq("AAPL", "MSFT"), day1Start + dayNs, 30, seed = 43L)
+    val srcDir = tmpDir("stream_src")
+    day1.coalesce(1).write.mode("append").parquet(srcDir)
+
+    val aggRoot = tmpDir("stream_agg")
+    val aggStore = new ParquetStore(s, aggRoot)
+    val views = new ViewCatalog(s, aggRoot)
+    val streamBars = s.readStream.schema(day1.schema)
+      .option("maxFilesPerTrigger", 1).parquet(srcDir)
+    val q = StreamingIngest.pipelineSink(
+      streamBars, Seq(FrameSpec.F5m), tmpDir("ckpt6")) {
+      (_, _, resampled, _) =>
+        // per-day micro-batches touch disjoint (frame, symbol, date)
+        // partitions, so dynamic overwrite keeps the sink idempotent
+        aggStore.write(resampled("5m"), FrameSpec.F5m, compactPartitions = true)
+    }.start()
+    try {
+      q.processAllAvailable()
+      day2.coalesce(1).write.mode("append").parquet(srcDir) // day 2 lands later
+      q.processAllAvailable()
+    } finally q.stop()
+
+    views.refreshViews()
+    val cols = Seq("symbol", "ts_ns", "open", "high", "low", "close", "volume")
+    val streamed = s.table("bars_5m")
+      .selectExpr(cols: _*).orderBy("symbol", "ts_ns").collect().map(_.toSeq)
+    val batch = graft.agg.Resampler
+      .resample(day1.unionByName(day2), FrameSpec.F5m)
+      .selectExpr(cols: _*).orderBy("symbol", "ts_ns").collect().map(_.toSeq)
+    assert(streamed.length == 2 * 2 * 6, // 2 symbols x 2 days x 30min/5m
+      s"expected 24 5m bars, got ${streamed.length}")
+    assert(streamed.toSeq == batch.toSeq,
+      "streamed bars_5m view must equal the batch resample row-for-row")
+  }
 }
