@@ -178,4 +178,27 @@ class LanguageModelSpec extends SparkSpec {
       .collect().map(_.getString(3)).distinct
     assert(tieLabels.length == 1, "equal scores must share one bucket label")
   }
+
+  test("perplexityBucketsApprox plan: sort/window only on the bin table, labels broadcast") {
+    val s = spark; import s.implicits._
+    val scored = (1 to 100).map(i => (i.toLong, s"l${i % 3}", (i * 31 % 97).toLong))
+      .toDF("doc_id", "lang", "mean_logp_micro")
+    val plan = LanguageModel.perplexityBucketsApprox(scored, byCol = "lang", nBins = 8)
+      .queryExecution.executedPlan.toString
+    // the whole point of the approx twin: the corpus-scale side must never
+    // be sorted. Every Sort/Window in the plan has to sit UNDER a
+    // BroadcastExchange (the <=nBins-row label branch); a corpus sort
+    // would appear above/outside it.
+    val lines = plan.linesIterator.toVector
+    def indent(l: String): Int = l.indexWhere(c => c.isLetter)
+    val bIdx = lines.indexWhere(_.contains("BroadcastExchange"))
+    assert(bIdx >= 0, s"expected a broadcast label join:\n$plan")
+    lines.zipWithIndex.filter(_._1.matches(".*\\b(Sort|Window)\\b.*")).foreach {
+      case (l, i) =>
+        val owner = lines.take(i).reverse
+          .find(p => p.contains("BroadcastExchange") && indent(p) < indent(l))
+        assert(owner.isDefined,
+          s"Sort/Window outside the broadcast label branch (corpus-scale sort):\n$l\n$plan")
+    }
+  }
 }
