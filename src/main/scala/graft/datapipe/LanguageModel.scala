@@ -97,6 +97,19 @@ object LanguageModel {
 
   /** Rules-seeded end-to-end: train the bigram model on the
     * [[QualityRules]]-kept slice and score every document.
+    *
+    * The count tables are deliberately LAZY here (contrast
+    * [[Dsir.fitModel]]): measured at sf0.1, materializing them made the
+    * one-shot path strictly worse (warm 1.8 s → 3.1 s, cold 13.7 s →
+    * 15.6 s) — the training scans run once either way, and the
+    * checkpoint only adds write/read overhead while the dominant cold
+    * cost is the codegen compile of the annotate pipeline, which
+    * materialization cannot remove. A caller scoring MANY candidate
+    * batches against one model should fit once and reuse:
+    * `Materialize.frontier(unigramCounts(good))` /
+    * `frontier(bigramCounts(good))`, then [[score]] per batch — the
+    * [[Dsir.fitModel]] pattern, which pays off exactly when the model is
+    * consumed by more than one execution.
     */
   def trainAndScore(docs: DataFrame, cfg: QualityRules.Config = QualityRules.Config(),
                     textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
