@@ -65,4 +65,20 @@ class DsirSpec extends SparkSpec {
       .collect().map(r => r.getAs[Long]("gkey_micro")).toSeq
     assert(k1 != k2, "gumbelSeed must change the noise draw")
   }
+
+  test("select plan: models are fit, not re-derived — only the candidate explode legs remain") {
+    val s = spark; import s.implicits._
+    val cands = Seq((100L, "the party shall indemnify the second part"))
+      .toDF("doc_id", "text")
+    val plan = Dsir.select(cands,
+        corpus.where(col("source") === "legal"), corpus, n = 2, nBuckets = 64)
+      .queryExecution.executedPlan.toString
+    // fitModel materializes both count tables, so the execution plan must
+    // carry exactly the candidate corpus's two feature legs (unigram +
+    // bigram Generate) — the r8 regression shape was SIX legs (candidates
+    // + target + raw), re-training both models inside every execution
+    val generates = plan.linesIterator.count(_.contains("Generate "))
+    assert(generates == 2,
+      s"expected 2 explode legs (candidates only), found $generates:\n$plan")
+  }
 }
