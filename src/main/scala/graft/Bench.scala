@@ -113,7 +113,9 @@ object Bench {
       // position in the sweep decides which JVM/codegen state they pay.
       // Median-of-3 separates the operator cost from the cold cliff; the
       // DSIR model materialization fix shrinks the cold plan itself.
-      "t14_dsir_select", "t15_bpe_pair_counts", "t16_dsir_gumbel_sample")
+      "t14_dsir_select", "t15_bpe_pair_counts", "t16_dsir_gumbel_sample",
+      // model-artifact parquet roundtrip (temp-dir write class)
+      "t14b_dsir_fit_reuse")
     var extraRuns = Seq.empty[(String, Double)]
     // noop sink, not count(): count() lets Catalyst prune every unused
     // column, so a no-filter pure-projection query (fingerprints, line

@@ -429,6 +429,25 @@ object DataPipeQueries {
         .orderBy("doc_id")
     }),
 
+    // DSIR fit-once / score-later (the production shape the fitModel
+    // materialization enables): both hashed-n-gram models are fit on the
+    // full corpora, PERSISTED as parquet model artifacts, reloaded, and a
+    // later candidate batch (doc_id < 100) is weighted against the stored
+    // models — no re-training in the scoring plan (the d7/d8
+    // incremental-store pattern applied to model artifacts).
+    "t14b_dsir_fit_reuse" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val root = java.nio.file.Files.createTempDirectory("graft_dsir_model").toString
+      Dsir.fitModel(d.where(col("source").isin("src0", "src1")), nBuckets = 1024)
+        .write.mode("overwrite").parquet(s"$root/target")
+      Dsir.fitModel(d, nBuckets = 1024)
+        .write.mode("overwrite").parquet(s"$root/raw")
+      Dsir.importanceWeights(d.where(col("doc_id") < 100),
+          s.read.parquet(s"$root/target"), s.read.parquet(s"$root/raw"),
+          nBuckets = 1024)
+        .orderBy("doc_id")
+    }),
+
     // Moore-Lewis cross-entropy difference selection: target model =
     // two sources' docs, general model = the whole corpus; rank every
     // doc by target-vs-general mean micro-nat contrast, keep top 40.
@@ -1838,6 +1857,10 @@ object DataPipeQueries {
       s"""$dsirWeightCte
          |SELECT doc_id, n_features, logw_micro FROM w
          |ORDER BY logw_micro DESC, doc_id LIMIT 40""".stripMargin,
+    "t14b_dsir_fit_reuse" ->
+      s"""$dsirWeightCte
+         |SELECT doc_id, n_features, logw_micro FROM w
+         |WHERE doc_id < 100 ORDER BY doc_id""".stripMargin,
     "t16_dsir_gumbel_sample" ->
       s"""$dsirWeightCte,
          |g AS (
