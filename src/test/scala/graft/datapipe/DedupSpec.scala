@@ -251,6 +251,44 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("duplicateComponents: random graphs equal a driver-side union-find") {
+    // property pin for the contraction + signature-gated convergence:
+    // labels on arbitrary random graphs must equal the min-id component
+    // labeling of a trusted union-find (protects against a false-early
+    // fixpoint from the one-action signature check)
+    val s = spark; import s.implicits._
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val edgesGen = for {
+      n <- Gen.choose(2, 40)
+      m <- Gen.choose(1, 80)
+      es <- Gen.listOfN(m, for {
+        a <- Gen.choose(0L, n.toLong - 1)
+        b <- Gen.choose(0L, n.toLong - 1)
+      } yield (a, b))
+    } yield es
+    def unionFind(pairs: Seq[(Long, Long)]): Map[Long, Long] = {
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      pairs.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      parent.keys.map(k => k -> find(k)).toMap
+    }
+    (1 to 8).foreach { trial =>
+      val pairs = edgesGen(Gen.Parameters.default, Seed(trial.toLong)).get
+      val expected = unionFind(pairs)
+      val got = Dedup.duplicateComponents(pairs.toDF("id_a", "id_b"))
+        .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster_id"))
+        .toMap
+      assert(got == expected, s"trial $trial: $got != $expected (pairs=$pairs)")
+    }
+  }
+
   test("dupWeights: geometric worth of copies, canonical = min id") {
     val s = spark; import s.implicits._
     val d = Seq(
