@@ -228,4 +228,59 @@ object Similarity {
     }
     c
   }
+
+  /** Scalar int8 quantization of the embedding column — the standard
+    * vector-compression step before ANN at corpus scale (an fp32 dim
+    * becomes one byte: 8× less storage, shuffle, and cache footprint; the
+    * published SQ8 scheme of the FAISS/ScaNN family). One global
+    * symmetric scale s = max |component| (a single partial-aggregate
+    * action, broadcast back), then code = floor(x·127/s + 0.5) clamped to
+    * [-127, 127].
+    *
+    * Determinism: codes derive from the repo's micro-quantized integers
+    * (`Vectors.quantize`), and the only floating step is one double
+    * multiply/divide per component with floor rounding — every engine
+    * reproduces the exact code vector, so downstream integer dot products
+    * are engine-exact (the d4/sim1 discipline applied to compression).
+    * Codes are emitted as `array<tinyint>` — the compressed form IS the
+    * point; [[int8TopK]] widens per element inside its integer fold.
+    */
+  def quantizeInt8(vecs: DataFrame, idCol: String = "vec_id",
+                   vecCol: String = "embedding",
+                   codesCol: String = "codes"): DataFrame = {
+    val micro = vecs.select(col(idCol), Vectors.quantize(col(vecCol)).as("__q"))
+    val scale = micro.agg(
+      coalesce(max(array_max(transform(col("__q"), x => abs(x)))), lit(1L))
+        .as("__s"))
+    micro.crossJoin(broadcast(scale))
+      .select(col(idCol),
+        transform(col("__q"), x =>
+          greatest(lit(-127L), least(lit(127L),
+            floor(x.cast("double") * 127.0 / col("__s").cast("double") + 0.5)
+              .cast("long")))
+            .cast("byte")).as(codesCol))
+  }
+
+  /** Exact top-k by integer dot product over int8 codes against one query
+    * (1-row DataFrame with `codesCol`). Ranking by raw quantized dot —
+    * for the ~unit-norm embeddings this column carries, dot order is
+    * cosine order up to quantization error (the recall trade the
+    * compression buys; spec pins recall on clustered fixtures).
+    * Per-element widening inside the fold keeps the arithmetic in longs
+    * (byte×byte would overflow at ANSI semantics).
+    */
+  def int8TopK(codes: DataFrame, query: DataFrame, k: Int,
+               idCol: String = "vec_id", codesCol: String = "codes"): DataFrame = {
+    val q = query.limit(1).select(col(codesCol).as("__qc"))
+    codes
+      .crossJoin(broadcast(q))
+      .withColumn("qdot",
+        aggregate(
+          zip_with(col(codesCol), col("__qc"),
+            (x, y) => x.cast("long") * y.cast("long")),
+          lit(0L), (acc, x) => acc + x))
+      .select(col(idCol), col("qdot"))
+      .orderBy(desc("qdot"), col(idCol))
+      .limit(k)
+  }
 }

@@ -237,6 +237,15 @@ object DataPipeQueries {
       Similarity.bruteForceTopK(e, e.where(col("vec_id") === 0), k = 20)
     }),
 
+    // SQ8 vector compression + search: embeddings scalar-quantized to
+    // int8 codes (one global max-|component| scale), top-20 by exact
+    // integer code dot product. The qdot values pin every code byte, so
+    // the oracle verifies the whole compression, not just the ranking.
+    "sim5_int8_topk" -> ((s, dir) => {
+      val c = Similarity.quantizeInt8(embs(s, dir))
+      Similarity.int8TopK(c, c.where(col("vec_id") === 0), k = 20)
+    }),
+
     "sim2_lsh_topk" -> ((s, dir) => {
       // portable LCG hyperplane signs: oracle recomputes identical buckets
       val e = embs(s, dir)
@@ -1407,6 +1416,23 @@ object DataPipeQueries {
          |         / (sqrt(${dotD("qv.q", "qv.q")}) * sqrt(${dotD("q.qq", "q.qq")})) AS cosine
          |FROM qv, q
          |ORDER BY cosine DESC, vec_id LIMIT 20""".stripMargin,
+    "sim5_int8_topk" ->
+      s"""WITH $quantCte,
+         |sc AS (
+         |  SELECT greatest(max(list_max(list_transform(q, x -> abs(x)))), 1) AS s
+         |  FROM qv),
+         |c AS (
+         |  SELECT vec_id,
+         |    list_transform(q, x ->
+         |      greatest(-127, least(127,
+         |        CAST(floor(CAST(x AS DOUBLE) * 127.0 / CAST(s AS DOUBLE) + 0.5)
+         |          AS BIGINT)))) AS c
+         |  FROM qv CROSS JOIN sc),
+         |qq AS (SELECT c AS qc FROM c WHERE vec_id = 0)
+         |SELECT vec_id,
+         |  CAST(list_sum(list_transform(list_zip(c.c, qq.qc), p -> p[1] * p[2]))
+         |    AS BIGINT) AS qdot
+         |FROM c, qq ORDER BY qdot DESC, vec_id LIMIT 20""".stripMargin,
     "sim2_lsh_topk" ->
       s"""WITH $quantCte,
          |planes AS (SELECT unnest(range(0, 6)) AS p),

@@ -111,4 +111,28 @@ class SimilaritySpec extends SparkSpec {
       .select(Vectors.cosineQ(col("q"), col("q")).as("c"))
     assert(math.abs(df.first().getDouble(0) - 1.0) < 1e-12)
   }
+
+  test("int8 quantization: codes bounded, layout-independent, recall matches float top-k") {
+    val codes = Similarity.quantizeInt8(embs)
+    // every code within the int8 symmetric range
+    val outOfRange = codes.select(explode(col("codes")).as("c"))
+      .where(col("c") > 127 || col("c") < -127).count()
+    assert(outOfRange == 0, "codes must stay in [-127, 127]")
+    // deterministic: a layout change produces identical codes
+    val a = codes.orderBy("vec_id").collect().map(r =>
+      r.getLong(0) -> r.getSeq[Byte](1)).toMap
+    val b = Similarity.quantizeInt8(embs.repartition(7)).collect().map(r =>
+      r.getLong(0) -> r.getSeq[Byte](1)).toMap
+    assert(a == b, "int8 codes must be layout-independent")
+    // recall: quantized top-10 overlaps float cosine top-10 heavily (the
+    // embeddings are ~unit-norm, so dot order tracks cosine order up to
+    // quantization error)
+    val floatTop = Similarity.bruteForceTopK(embs, embs.where(col("vec_id") === 7), k = 10)
+      .collect().map(_.getAs[Long]("vec_id")).toSet
+    val q8Top = Similarity.int8TopK(codes, codes.where(col("vec_id") === 7), k = 10)
+      .collect().map(_.getAs[Long]("vec_id")).toSet
+    assert(q8Top.head == 7L || q8Top.contains(7L), "query must retrieve itself")
+    val recall = (floatTop & q8Top).size
+    assert(recall >= 8, s"int8 recall@10 must be >= 0.8, got $recall/10")
+  }
 }
