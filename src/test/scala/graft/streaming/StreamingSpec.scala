@@ -170,4 +170,48 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.toSeq == batch.toSeq,
       "streamed bars_5m view must equal the batch resample row-for-row")
   }
+
+  test("file-source restart: a new query on the same checkpoint resumes without loss or dup") {
+    // T3 at the Spark level: the stream STOPS between the two days; a
+    // fresh query object on the SAME checkpoint must pick up only the
+    // unseen file — no re-processing of day 1 (the store write is also
+    // dynamic-overwrite idempotent, but the checkpoint is what prevents
+    // re-reading), no loss of day 2.
+    import graft.gen.SyntheticSource
+    import graft.storage.ParquetStore
+    val s = spark
+    val dayNs = 86400L * 1000000000L
+    val start = 1704202200000000000L
+    val day1 = SyntheticSource.bars(s, Seq("AAPL"), start, 10)
+    val day2 = SyntheticSource.bars(s, Seq("AAPL"), start + dayNs, 10, seed = 43L)
+    val srcDir = tmpDir("restart_src")
+    val aggRoot = tmpDir("restart_agg")
+    val ckpt = tmpDir("restart_ckpt")
+    val aggStore = new ParquetStore(s, aggRoot)
+    @volatile var batches = 0
+    def startQuery() = StreamingIngest.pipelineSink(
+      s.readStream.schema(day1.schema).option("maxFilesPerTrigger", 1).parquet(srcDir),
+      Seq(FrameSpec.F5m), ckpt) { (_, _, resampled, _) =>
+        batches += 1
+        aggStore.write(resampled("5m"), FrameSpec.F5m, compactPartitions = true)
+    }.start()
+
+    day1.coalesce(1).write.mode("append").parquet(srcDir)
+    val q1 = startQuery()
+    try q1.processAllAvailable() finally q1.stop()
+    val afterDay1 = batches
+
+    day2.coalesce(1).write.mode("append").parquet(srcDir) // lands while DOWN
+    val q2 = startQuery() // fresh query, same checkpoint
+    try q2.processAllAvailable() finally q2.stop()
+
+    assert(batches == afterDay1 + 1,
+      s"restart must process exactly the one unseen file, ran ${batches - afterDay1} batches")
+    val got = s.read.option("basePath", aggRoot).parquet(aggRoot)
+      .selectExpr("symbol", "ts_ns", "volume").orderBy("ts_ns").collect().map(_.toSeq)
+    val want = graft.agg.Resampler.resample(day1.unionByName(day2), FrameSpec.F5m)
+      .selectExpr("symbol", "ts_ns", "volume").orderBy("ts_ns").collect().map(_.toSeq)
+    assert(got.toSeq == want.toSeq,
+      "post-restart store must equal the batch resample (no loss, no dup)")
+  }
 }
