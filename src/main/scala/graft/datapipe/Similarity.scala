@@ -261,6 +261,112 @@ object Similarity {
             .cast("byte")).as(codesCol))
   }
 
+  /** Product quantization codebooks (Jégou et al., "Product Quantization
+    * for Nearest Neighbor Search", TPAMI 2011) — the other standard
+    * compression scheme next to [[quantizeInt8]], and the half of IVF+PQ
+    * that makes billion-vector ANN tractable: dimensions split into `m`
+    * subspaces, each with its own `ksub`-entry codebook, so a vector
+    * stores m small codes (one byte each at ksub ≤ 256) instead of D
+    * floats.
+    *
+    * Codebook entries are seeded from the first `ksub` vectors in
+    * hashed-id order (the [[ivfCentroids]] discipline; `portable` = the
+    * md5 oracle twin) and sub-sliced — micro-quantized integer
+    * sub-centroids, so assignment and ADC distances below are exact
+    * integer arithmetic any engine reproduces. Refinement (k-means over
+    * sub-vectors) composes via [[kmeansIter]] per subspace if a caller
+    * wants trained codebooks; the seeded form is the deterministic
+    * baseline the oracle can check.
+    *
+    * Output: (m, code, qc) — `m` the subspace, `code` 0..ksub−1 dense by
+    * hash order, `qc` the quantized sub-centroid. m·ksub rows total:
+    * broadcast-size at any corpus scale.
+    */
+  def pqCodebooks(vecs: DataFrame, m: Int = 4, ksub: Int = 16,
+                  idCol: String = "vec_id", vecCol: String = "embedding",
+                  portable: Boolean = false): DataFrame = {
+    require(m > 0 && ksub > 0, "m and ksub must be positive")
+    val seeds = ivfCentroids(vecs, ksub, idCol, vecCol, "centroid_id", portable)
+    val h: Column =
+      if (portable) md5(col("centroid_id").cast("string").cast("binary"))
+      else xxhash64(col("centroid_id"))
+    // dense 0..ksub-1 codes in the same hash order (ksub rows: the window
+    // is codebook-scale, not corpus-scale)
+    val coded = seeds
+      .withColumn("code",
+        row_number().over(Window.orderBy(h, col("centroid_id"))) - 1)
+      .select(col("code"), Vectors.quantize(col(vecCol)).as("__qv"))
+    coded
+      .select(col("code"), col("__qv"),
+        explode(sequence(lit(0), lit(m - 1))).as("m"),
+        expr(s"(size(__qv) + ${m - 1}) div $m").as("__L"))
+      .select(col("m"), col("code"),
+        slice(col("__qv"), col("m") * col("__L") + 1, col("__L")).as("qc"))
+  }
+
+  /** Integer L2 contrast for PQ argmin/ADC: ||c||² − 2·x·c in quantized
+    * micro units — the rank-equivalent part of ||x − c||² (the ||x||²
+    * term is constant per sub-vector and cancels in both the argmin and
+    * the per-query ranking).
+    */
+  private def pqDist(qx: Column, qc: Column): Column =
+    Vectors.dotQ(qc, qc) - lit(2L) * Vectors.dotQ(qx, qc)
+
+  /** PQ assignment: per vector and subspace, the code of the nearest
+    * codebook entry (integer L2, ties to the smaller code). One broadcast
+    * join against the m·ksub codebook and one (id, m)-keyed partial
+    * aggregate — the n·m·ksub candidate rows combine map-side, so the
+    * shuffle carries n·m rows. Output: (id, codes array<int>, ordered by
+    * subspace) — the compressed representation.
+    */
+  def pqAssign(vecs: DataFrame, codebooks: DataFrame,
+               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val m = codebooks.agg(max(col("m"))).head().getInt(0) + 1
+    val sub = vecs
+      .select(col(idCol), Vectors.quantize(col(vecCol)).as("__qv"))
+      .select(col(idCol), col("__qv"),
+        explode(sequence(lit(0), lit(m - 1))).as("m"),
+        expr(s"(size(__qv) + ${m - 1}) div $m").as("__L"))
+      .select(col(idCol), col("m"),
+        slice(col("__qv"), col("m") * col("__L") + 1, col("__L")).as("qx"))
+    sub
+      .join(broadcast(codebooks), Seq("m"))
+      .withColumn("__d", pqDist(col("qx"), col("qc")))
+      .groupBy(col(idCol), col("m"))
+      .agg(min_by(col("code"), struct(col("__d"), col("code"))).as("code"))
+      .groupBy(idCol)
+      .agg(transform(
+        sort_array(collect_list(struct(col("m"), col("code")))),
+        s => s.getField("code")).as("codes"))
+  }
+
+  /** Asymmetric-distance (ADC) top-k over PQ codes: the query's exact
+    * distance to every codebook entry forms an m·ksub lookup table
+    * (broadcast); each stored vector's score is the sum of its m looked-up
+    * entries — no decompression, one broadcast join + one (id) partial
+    * aggregate. Returns (id, pq_dist) ascending (ties to smaller id).
+    */
+  def pqTopK(codes: DataFrame, codebooks: DataFrame, query: DataFrame, k: Int,
+             idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val m = codebooks.agg(max(col("m"))).head().getInt(0) + 1
+    val qsub = query.limit(1)
+      .select(Vectors.quantize(col(vecCol)).as("__qv"))
+      .select(col("__qv"),
+        explode(sequence(lit(0), lit(m - 1))).as("m"),
+        expr(s"(size(__qv) + ${m - 1}) div $m").as("__L"))
+      .select(col("m"),
+        slice(col("__qv"), col("m") * col("__L") + 1, col("__L")).as("qx"))
+    val table = qsub.join(codebooks, Seq("m"))
+      .select(col("m"), col("code"), pqDist(col("qx"), col("qc")).as("__d"))
+    codes
+      .select(col(idCol), posexplode(col("codes")).as(Seq("m", "code")))
+      .join(broadcast(table), Seq("m", "code"))
+      .groupBy(idCol)
+      .agg(sum(col("__d")).as("pq_dist"))
+      .orderBy(col("pq_dist"), col(idCol))
+      .limit(k)
+  }
+
   /** Exact top-k by integer dot product over int8 codes against one query
     * (1-row DataFrame with `codesCol`). Ranking by raw quantized dot —
     * for the ~unit-norm embeddings this column carries, dot order is

@@ -246,6 +246,18 @@ object DataPipeQueries {
       Similarity.int8TopK(c, c.where(col("vec_id") === 0), k = 20)
     }),
 
+    // Product quantization + ADC search (the IVF+PQ code half): portable
+    // hashed-id-seeded sub-codebooks (m=4, ksub=16), integer-L2 code
+    // assignment, and asymmetric-distance top-20 via the query's m x ksub
+    // lookup table. pq_dist values pin codebooks, codes, and ADC.
+    "sim6_pq_adc" -> ((s, dir) => {
+      val e = embs(s, dir)
+      val cb = graft.core.Materialize.frontier(
+        Similarity.pqCodebooks(e, m = 4, ksub = 16, portable = true))
+      Similarity.pqTopK(Similarity.pqAssign(e, cb), cb,
+        e.where(col("vec_id") === 0), k = 20)
+    }),
+
     "sim2_lsh_topk" -> ((s, dir) => {
       // portable LCG hyperplane signs: oracle recomputes identical buckets
       val e = embs(s, dir)
@@ -1416,6 +1428,39 @@ object DataPipeQueries {
          |         / (sqrt(${dotD("qv.q", "qv.q")}) * sqrt(${dotD("q.qq", "q.qq")})) AS cosine
          |FROM qv, q
          |ORDER BY cosine DESC, vec_id LIMIT 20""".stripMargin,
+    "sim6_pq_adc" ->
+      s"""WITH $quantCte,
+         |msub AS (SELECT unnest(range(0, 4)) AS m),
+         |meta AS (SELECT (len(q) + 3) // 4 AS L FROM qv LIMIT 1),
+         |seeds AS (
+         |  SELECT code, q FROM (
+         |    SELECT q, row_number() OVER (
+         |      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS code
+         |    FROM qv)
+         |  WHERE code < 16),
+         |cb AS (
+         |  SELECT m, code, q[m * L + 1 : (m + 1) * L] AS qc
+         |  FROM seeds CROSS JOIN meta CROSS JOIN msub),
+         |sub AS (
+         |  SELECT vec_id, m, q[m * L + 1 : (m + 1) * L] AS qx
+         |  FROM qv CROSS JOIN meta CROSS JOIN msub),
+         |dist AS (
+         |  SELECT vec_id, m, code,
+         |    CAST(list_sum(list_transform(list_zip(qc, qc), s -> s[1] * s[2]))
+         |      AS BIGINT)
+         |    - 2 * CAST(list_sum(list_transform(list_zip(qx, qc), s -> s[1] * s[2]))
+         |      AS BIGINT) AS d
+         |  FROM sub JOIN cb USING (m)),
+         |assign AS (
+         |  SELECT vec_id, m, code FROM (
+         |    SELECT vec_id, m, code,
+         |      row_number() OVER (PARTITION BY vec_id, m ORDER BY d, code) AS rn
+         |    FROM dist)
+         |  WHERE rn = 1),
+         |qtab AS (SELECT m, code, d FROM dist WHERE vec_id = 0)
+         |SELECT a.vec_id, CAST(sum(q.d) AS BIGINT) AS pq_dist
+         |FROM assign a JOIN qtab q USING (m, code)
+         |GROUP BY a.vec_id ORDER BY pq_dist, vec_id LIMIT 20""".stripMargin,
     "sim5_int8_topk" ->
       s"""WITH $quantCte,
          |sc AS (

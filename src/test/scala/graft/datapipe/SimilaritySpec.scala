@@ -112,6 +112,32 @@ class SimilaritySpec extends SparkSpec {
     assert(math.abs(df.first().getDouble(0) - 1.0) < 1e-12)
   }
 
+  test("PQ: seed vectors own their codes; ADC retrieves the query first; layout-independent") {
+    val s = spark; import s.implicits._
+    // n == ksub: every vector seeds the codebook, so each sub-vector's
+    // nearest entry is its own slice (||c||^2 - 2x.c is minimized at
+    // c = x when x is a candidate) -> codes are the vector's own rank and
+    // ADC must retrieve the query itself at distance -(sum ||q_m||^2)
+    val vecs = (0 until 8).map { i =>
+      (i.toLong, (0 until 6).map(d => ((i * 7 + d * 3) % 11 - 5) / 5.0f))
+    }.toDF("vec_id", "embedding")
+    val cb = Similarity.pqCodebooks(vecs, m = 2, ksub = 8)
+    assert(cb.count() == 16, "codebook must hold m x ksub entries")
+    val codes = Similarity.pqAssign(vecs, cb)
+    (0 until 8).foreach { i =>
+      val top = Similarity.pqTopK(codes, cb,
+        vecs.where(col("vec_id") === i), k = 1).collect().head
+      assert(top.getAs[Long]("vec_id") == i.toLong,
+        s"query $i must retrieve itself, got ${top.getAs[Long]("vec_id")}")
+    }
+    val a = codes.collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    val b = Similarity.pqAssign(vecs.repartition(5), cb)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(a == b, "PQ codes must be layout-independent")
+    assert(a.values.forall(c => c.length == 2 && c.forall(x => x >= 0 && x < 8)),
+      "codes must be m entries in [0, ksub)")
+  }
+
   test("int8 quantization: codes bounded, layout-independent, recall matches float top-k") {
     val codes = Similarity.quantizeInt8(embs)
     // every code within the int8 symmetric range
