@@ -367,6 +367,36 @@ object Similarity {
       .limit(k)
   }
 
+  /** IVF + PQ — the composed billion-vector ANN architecture (Jégou 2011
+    * §IV): IVF routes the query to `nProbe` probed cells, PQ's
+    * asymmetric-distance table ranks the candidates inside them — the
+    * corpus is touched only through the id-only assignment and the
+    * byte-code table; full vectors are never fetched OR decompressed in
+    * the search path. Probe selection mirrors [[ivfTopK]] (cosine,
+    * centroid-id tie-break); ranking is [[pqTopK]]'s broadcast m·ksub
+    * lookup restricted to candidates in probed cells. All-integer, so an
+    * oracle reproduces cell choice, codes, and distances exactly.
+    */
+  def ivfPqTopK(vecs: DataFrame, centroids: DataFrame, codebooks: DataFrame,
+                query: DataFrame, k: Int, nProbe: Int = 2,
+                idCol: String = "vec_id", vecCol: String = "embedding",
+                centroidIdCol: String = "centroid_id"): DataFrame = {
+    graft.functions.GraftFunctions.register(vecs.sparkSession)
+    val qq = query.limit(1).select(Vectors.quantize(col(vecCol)).as("q_query"))
+    val probes = centroids
+      .select(col(centroidIdCol), Vectors.quantize(col(vecCol)).as("q_cent"))
+      .crossJoin(broadcast(qq))
+      .withColumn("cosine", Vectors.cosineQN(col("q_cent"), col("q_query")))
+      .orderBy(desc("cosine"), col(centroidIdCol))
+      .limit(nProbe)
+      .select(col(centroidIdCol))
+    val candidates = ivfAssignIds(vecs, centroids, idCol, vecCol, centroidIdCol)
+      .join(broadcast(probes), Seq(centroidIdCol))
+      .select(idCol)
+    pqTopK(pqAssign(vecs, codebooks, idCol, vecCol).join(candidates, Seq(idCol)),
+      codebooks, query, k, idCol, vecCol)
+  }
+
   /** Exact top-k by integer dot product over int8 codes against one query
     * (1-row DataFrame with `codesCol`). Ranking by raw quantized dot —
     * for the ~unit-norm embeddings this column carries, dot order is

@@ -258,6 +258,20 @@ object DataPipeQueries {
         e.where(col("vec_id") === 0), k = 20)
     }),
 
+    // IVF + PQ composed — the billion-vector ANN architecture: IVF
+    // routes the query to 3 probed cells, PQ's ADC table ranks the
+    // candidates inside them; full vectors never fetched or decompressed
+    // in the search path.
+    "sim7_ivfpq_topk" -> ((s, dir) => {
+      val e = embs(s, dir)
+      val centroids = e.where(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("centroid_id"), col("embedding"))
+      val cb = graft.core.Materialize.frontier(
+        Similarity.pqCodebooks(e, m = 4, ksub = 16, portable = true))
+      Similarity.ivfPqTopK(e, centroids, cb,
+        e.where(col("vec_id") === 0), k = 20, nProbe = 3)
+    }),
+
     "sim2_lsh_topk" -> ((s, dir) => {
       // portable LCG hyperplane signs: oracle recomputes identical buckets
       val e = embs(s, dir)
@@ -1428,6 +1442,57 @@ object DataPipeQueries {
          |         / (sqrt(${dotD("qv.q", "qv.q")}) * sqrt(${dotD("q.qq", "q.qq")})) AS cosine
          |FROM qv, q
          |ORDER BY cosine DESC, vec_id LIMIT 20""".stripMargin,
+    "sim7_ivfpq_topk" ->
+      s"""WITH $quantCte,
+         |cents AS (SELECT vec_id AS centroid_id, q AS qc FROM qv WHERE vec_id % 50 = 0),
+         |qq AS (SELECT q AS qy FROM qv WHERE vec_id = 0),
+         |ac AS (
+         |  SELECT v.vec_id, c.centroid_id,
+         |         ${dotD("v.q", "c.qc")}
+         |           / (sqrt(${dotD("v.q", "v.q")}) * sqrt(${dotD("c.qc", "c.qc")})) AS cosine
+         |  FROM qv v CROSS JOIN cents c),
+         |assigned AS (
+         |  SELECT vec_id, centroid_id FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cosine DESC, centroid_id) AS rn
+         |    FROM ac)
+         |  WHERE rn = 1),
+         |probes AS (
+         |  SELECT centroid_id FROM cents CROSS JOIN qq
+         |  ORDER BY ${dotD("qc", "qy")} / (sqrt(${dotD("qc", "qc")}) * sqrt(${dotD("qy", "qy")})) DESC,
+         |           centroid_id
+         |  LIMIT 3),
+         |msub AS (SELECT unnest(range(0, 4)) AS m),
+         |meta AS (SELECT (len(q) + 3) // 4 AS L FROM qv LIMIT 1),
+         |seeds AS (
+         |  SELECT code, q FROM (
+         |    SELECT q, row_number() OVER (
+         |      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS code
+         |    FROM qv)
+         |  WHERE code < 16),
+         |cb AS (
+         |  SELECT m, code, q[m * L + 1 : (m + 1) * L] AS qc
+         |  FROM seeds CROSS JOIN meta CROSS JOIN msub),
+         |sub AS (
+         |  SELECT vec_id, m, q[m * L + 1 : (m + 1) * L] AS qx
+         |  FROM qv CROSS JOIN meta CROSS JOIN msub),
+         |dist AS (
+         |  SELECT vec_id, m, code,
+         |    CAST(list_sum(list_transform(list_zip(qc, qc), s -> s[1] * s[2]))
+         |      AS BIGINT)
+         |    - 2 * CAST(list_sum(list_transform(list_zip(qx, qc), s -> s[1] * s[2]))
+         |      AS BIGINT) AS d
+         |  FROM sub JOIN cb USING (m)),
+         |pqassign AS (
+         |  SELECT vec_id, m, code FROM (
+         |    SELECT vec_id, m, code,
+         |      row_number() OVER (PARTITION BY vec_id, m ORDER BY d, code) AS rn
+         |    FROM dist)
+         |  WHERE rn = 1),
+         |qtab AS (SELECT m, code, d FROM dist WHERE vec_id = 0),
+         |cand AS (SELECT vec_id FROM assigned JOIN probes USING (centroid_id))
+         |SELECT p.vec_id, CAST(sum(q.d) AS BIGINT) AS pq_dist
+         |FROM pqassign p JOIN cand USING (vec_id) JOIN qtab q USING (m, code)
+         |GROUP BY p.vec_id ORDER BY pq_dist, vec_id LIMIT 20""".stripMargin,
     "sim6_pq_adc" ->
       s"""WITH $quantCte,
          |msub AS (SELECT unnest(range(0, 4)) AS m),

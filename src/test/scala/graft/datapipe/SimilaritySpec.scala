@@ -138,6 +138,31 @@ class SimilaritySpec extends SparkSpec {
       "codes must be m entries in [0, ksub)")
   }
 
+  test("IVF+PQ: results come from probed cells and equal PQ ranking of the candidate set") {
+    val e = embs
+    val centroids = e.where(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("centroid_id"), col("embedding"))
+    val cb = Similarity.pqCodebooks(e, m = 4, ksub = 16)
+    val query = e.where(col("vec_id") === 7)
+    val out = Similarity.ivfPqTopK(e, centroids, cb, query, k = 10, nProbe = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(out.nonEmpty, "probed cells must yield candidates")
+    // every result must belong to one of the 3 probed cells
+    val assigned = Similarity.ivfAssignIds(e, centroids)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val cellsUsed = out.map { case (id, _) => assigned(id) }.toSet
+    assert(cellsUsed.size <= 3, s"results span ${cellsUsed.size} cells, probe was 3")
+    // consistency: the composed search IS the PQ ranking of the IVF
+    // candidate set (same distances, same order)
+    val codes = Similarity.pqAssign(e, cb)
+    val candIds = assigned.filter { case (_, c) => cellsUsed.contains(c) }.keys.toSeq
+    val direct = Similarity.pqTopK(
+        codes.where(col("vec_id").isin(candIds: _*)), cb, query, k = 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(out.toSeq == direct.toSeq,
+      "composed IVF+PQ must equal PQ ranking of the probed candidates")
+  }
+
   test("int8 quantization: codes bounded, layout-independent, recall matches float top-k") {
     val codes = Similarity.quantizeInt8(embs)
     // every code within the int8 symmetric range
