@@ -1,0 +1,116 @@
+package graft.joins
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** As-of (point-in-time) join — for each left row, the single right row
+  * with the greatest ordering value at-or-before (backward) or the least
+  * at-or-after (forward) the left row's, per equality key. The canonical
+  * market-data operation (trade ← latest quote), and the generalization
+  * of the reference's point-in-time SCD lookup
+  * (`create_symbol_views.sql:10-18` — interval containment against
+  * `valid_from`/`valid_to`) to event-vs-event matching where the right
+  * side has no precomputed intervals.
+  *
+  * Spark-first shape: NOT a range join. Both sides are union-tagged and a
+  * single per-key window (`last(_, ignoreNulls)` over rows unbounded
+  * preceding) carries the most recent right payload forward onto each
+  * left row. Cost: ONE shuffle on the `by` keys and one sort — identical
+  * to the sort-merge work a dedicated as-of operator (Flink temporal
+  * join, pandas merge_asof, QuestDB ASOF) performs, with no O(n·m)
+  * per-key blowup and no interval self-join. At 100 TB the plan is a
+  * single Exchange+Sort per side; skewed keys cost what their row count
+  * costs (window is streaming, no buffering beyond the frame's single
+  * carried struct). Equal-ordering ties between the two sides are
+  * resolved by the tag's secondary sort (right-before-left for inclusive
+  * matches, left-before-right for strict), so the result is deterministic
+  * and engine-exact — verified bit-for-bit against DuckDB's native
+  * ASOF LEFT JOIN at sf0.01.
+  */
+object AsofJoin {
+
+  /** Left as-of join.
+    *
+    * @param left      probe side; all its columns are preserved
+    * @param right     build side; only `rightCols` are carried
+    * @param on        ordering column name, present in BOTH frames (any
+    *                  orderable type: numeric, date, timestamp)
+    * @param by        equality-key column names, present in both frames
+    * @param rightCols right payload columns; names must not collide with
+    *                  left's
+    * @param direction "backward" (greatest right.on <= left.on, the
+    *                  default) or "forward" (least right.on >= left.on)
+    * @param allowExactMatches true = at-or-before/after (<=/>=); false =
+    *                  strictly before/after (</>)
+    * @param tolerance optional max distance |left.on - right.on|; a match
+    *                  farther than this is nulled out. For timestamp `on`
+    *                  pass an interval column (`expr("INTERVAL 1 HOUR")`),
+    *                  for numeric `on` a numeric column
+    * @param matchedOnAs if set, also emit the matched right row's `on`
+    *                  value under this name (null when no match)
+    */
+  def asofJoin(left: DataFrame, right: DataFrame,
+               on: String, by: Seq[String], rightCols: Seq[String],
+               direction: String = "backward",
+               allowExactMatches: Boolean = true,
+               tolerance: Option[Column] = None,
+               matchedOnAs: Option[String] = None): DataFrame = {
+    require(direction == "backward" || direction == "forward",
+      s"direction must be backward|forward, got $direction")
+    val clash = rightCols.toSet.intersect(left.columns.toSet)
+    require(clash.isEmpty, s"rightCols collide with left columns: $clash")
+    require(!rightCols.contains(on) && !by.exists(rightCols.contains),
+      "rightCols must not include the on/by columns")
+
+    val leftType = StructType(left.schema.fields)
+    val rightPayload = StructType(
+      right.select((on +: rightCols).map(col): _*).schema.fields)
+
+    val keyed = by.map(col)
+    val lSide = left.select(
+      keyed ++ Seq(
+        col(on).as("__on"),
+        struct(left.columns.map(col): _*).as("__l"),
+        lit(null).cast(rightPayload).as("__r"),
+        lit(1).as("__is_left")): _*)
+    val rSide = right.select(
+      keyed ++ Seq(
+        col(on).as("__on"),
+        lit(null).cast(leftType).as("__l"),
+        struct((col(on).as(on) +: rightCols.map(col)): _*).as("__r"),
+        lit(0).as("__is_left")): _*)
+
+    // Ordering: backward scans time ascending, forward descending (so
+    // "the closest right row not yet passed" is always the LAST carried
+    // value). Tie layer: inclusive wants the equal-ts right row visible
+    // to the left row => right sorts first; strict hides it => left
+    // first. Equal right duplicates are ordered by payload for a
+    // deterministic (max-payload) winner.
+    val onOrd = if (direction == "backward") col("__on").asc else col("__on").desc
+    val tieOrd = if (allowExactMatches) col("__is_left").asc else col("__is_left").desc
+    val w = Window.partitionBy(by.map(col): _*)
+      .orderBy(onOrd, tieOrd, col("__r").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    val matched = lSide.unionByName(rSide)
+      .withColumn("__m", last(col("__r"), ignoreNulls = true).over(w))
+      .where(col("__is_left") === 1)
+
+    val within: Column = tolerance match {
+      case None => col("__m").isNotNull
+      case Some(tol) =>
+        val dist =
+          if (direction == "backward") col("__on") - col("__m").getField(on)
+          else col("__m").getField(on) - col("__on")
+        col("__m").isNotNull && dist <= tol
+    }
+
+    val outCols =
+      left.columns.map(c => col(s"__l.$c").as(c)) ++
+        rightCols.map(c => when(within, col("__m").getField(c)).as(c)) ++
+        matchedOnAs.map(n => when(within, col("__m").getField(on)).as(n))
+    matched.select(outCols: _*)
+  }
+}

@@ -116,6 +116,61 @@ object RelQueries {
         .orderBy("version_key")
     }),
 
+    // J6: as-of join (backward, inclusive) — each view event matched to
+    // the user's latest purchase at-or-before it (trade ← latest-quote
+    // shape; see graft.joins.AsofJoin for the one-shuffle plan)
+    "j5_asof_join" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val views = ev.where(col("event_type") === "view")
+        .select("event_id", "user_id", "ts", "ts_ns")
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("value").as("last_purchase_value"))
+      graft.joins.AsofJoin.asofJoin(
+          views, purchases, on = "ts", by = Seq("user_id"),
+          rightCols = Seq("last_purchase_value"),
+          matchedOnAs = Some("purchase_ts"))
+        .select(col("event_id"), col("user_id"), col("ts_ns"),
+          col("last_purchase_value"),
+          (unix_micros(col("purchase_ts")) * lit(1000L)).as("purchase_ts_ns"))
+        .orderBy("event_id")
+    }),
+
+    // J7: as-of join (forward, strict, bounded) — click-to-purchase
+    // conversion: first purchase strictly after each click, within 24h
+    "j6_asof_forward_tolerance" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val clicks = ev.where(col("event_type") === "click")
+        .select("event_id", "user_id", "ts", "ts_ns")
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("value").as("conv_value"))
+      graft.joins.AsofJoin.asofJoin(
+          clicks, purchases, on = "ts", by = Seq("user_id"),
+          rightCols = Seq("conv_value"),
+          direction = "forward", allowExactMatches = false,
+          tolerance = Some(expr("INTERVAL 24 HOURS")),
+          matchedOnAs = Some("conv_ts"))
+        .select(col("event_id"), col("user_id"), col("ts_ns"),
+          col("conv_value"),
+          (unix_micros(col("conv_ts")) * lit(1000L)).as("conv_ts_ns"))
+        .orderBy("event_id")
+    }),
+
+    // W10: gap-based sessionization — 30-minute-gap sessions per user
+    // with per-session summaries (graft.agg.Sessionize)
+    "w10_sessionize" -> ((s, dir) =>
+      graft.agg.Sessionize.sessionSummary(
+          Tables.events(s, dir)
+            .select(col("user_id"), col("ts"), col("event_id"),
+              col("value").cast("decimal(18,4)").as("value")),
+          by = Seq("user_id"), tsCol = "ts",
+          gap = expr("INTERVAL 30 MINUTES"), tieCol = "event_id",
+          valueCol = "value")
+        .select(col("user_id"), col("session_seq"), col("n_events"),
+          (unix_micros(col("session_start")) * lit(1000L)).as("start_ns"),
+          (unix_micros(col("session_end")) * lit(1000L)).as("end_ns"),
+          col("sum_value").cast("double").as("sum_value"))
+        .orderBy("user_id", "session_seq")),
+
     // W1: dedup rank — keep latest order per customer, tie-break orderkey
     // (ref symbol_normalizer.sql:25-44)
     "w1_dedup_rank" -> ((s, dir) => {
@@ -289,6 +344,45 @@ object RelQueries {
         |FROM li JOIN versions ON o_custkey = v_custkey
         |  AND l_shipdate >= valid_from AND (valid_to IS NULL OR l_shipdate < valid_to)
         |GROUP BY version_key ORDER BY version_key""".stripMargin,
+    "j5_asof_join" ->
+      """SELECT l.event_id, l.user_id, epoch_ns(l.ts) AS ts_ns,
+        |       r.value AS last_purchase_value, epoch_ns(r.ts) AS purchase_ts_ns
+        |FROM (SELECT * FROM events WHERE event_type = 'view') l
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') r
+        |ON l.user_id = r.user_id AND l.ts >= r.ts
+        |ORDER BY l.event_id""".stripMargin,
+    "j6_asof_forward_tolerance" ->
+      """WITH u AS (
+        |  SELECT user_id, ts, NULL::BIGINT AS event_id, value, 0 AS is_left
+        |  FROM events WHERE event_type = 'purchase'
+        |  UNION ALL
+        |  SELECT user_id, ts, event_id, NULL::DOUBLE, 1 AS is_left
+        |  FROM events WHERE event_type = 'click'),
+        |m AS (
+        |  SELECT *,
+        |    last_value(CASE WHEN is_left = 0 THEN value END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY ts DESC, is_left DESC ROWS UNBOUNDED PRECEDING) AS mval,
+        |    last_value(CASE WHEN is_left = 0 THEN ts END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY ts DESC, is_left DESC ROWS UNBOUNDED PRECEDING) AS mts
+        |  FROM u)
+        |SELECT event_id, user_id, epoch_ns(ts) AS ts_ns,
+        |  CASE WHEN mts IS NOT NULL AND mts - ts <= INTERVAL 24 HOURS THEN mval END AS conv_value,
+        |  CASE WHEN mts IS NOT NULL AND mts - ts <= INTERVAL 24 HOURS THEN epoch_ns(mts) END AS conv_ts_ns
+        |FROM m WHERE is_left = 1 ORDER BY event_id""".stripMargin,
+    "w10_sessionize" ->
+      """WITH x AS (
+        |  SELECT user_id, ts, event_id, CAST(value AS DECIMAL(18,4)) AS value,
+        |         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        |  FROM events),
+        |s AS (
+        |  SELECT *, CAST(sum(CASE WHEN prev_ts IS NULL OR ts - prev_ts > INTERVAL 30 MINUTES THEN 1 ELSE 0 END)
+        |    OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+        |  FROM x)
+        |SELECT user_id, session_seq, count(*) AS n_events,
+        |       epoch_ns(min(ts)) AS start_ns, epoch_ns(max(ts)) AS end_ns,
+        |       CAST(sum(value) AS DOUBLE) AS sum_value
+        |FROM s GROUP BY user_id, session_seq
+        |ORDER BY user_id, session_seq""".stripMargin,
     "w1_dedup_rank" ->
       """SELECT o_custkey, o_orderkey, o_totalprice FROM (
         |  SELECT *, row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey ASC) AS rn
