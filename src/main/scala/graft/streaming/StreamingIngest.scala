@@ -43,6 +43,33 @@ object StreamingIngest {
         (unix_micros(col("window.start")) * 1000L).as("ts_ns"),
         col("open"), col("high"), col("low"), col("close"), col("volume"))
 
+  /** Gap-based sessionization on a *stream* — the live twin of
+    * [[graft.agg.Sessionize]], via Spark's `session_window` (merges an
+    * event into the current session when it arrives within `gap` of the
+    * session's latest event — the same inclusive-gap rule the batch
+    * operator uses, so a closed streaming session equals the batch
+    * session over the same rows: window.start = min ts, window.end =
+    * max ts + gap). Watermarking bounds session state: sessions older
+    * than the watermark close and evict, so state is O(open sessions),
+    * not O(history) — the property that makes this run forever at scale.
+    */
+  def streamingSessions(
+      events: DataFrame, by: Seq[String], tsCol: String, gap: String,
+      valueCol: String, watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(session_window(col(tsCol), gap) +: by.map(col): _*)
+      .agg(
+        count(lit(1)).as("n_events"),
+        min(col(tsCol)).as("session_start"),
+        max(col(tsCol)).as("session_end"),
+        sum(col(valueCol)).as("sum_value"))
+      .select(by.map(col) ++ Seq(
+        col("session_window.start").as("window_start"),
+        col("session_window.end").as("window_end"),
+        col("n_events"), col("session_start"), col("session_end"),
+        col("sum_value")): _*)
+
   /** T1: the event-driven pipeline as foreachBatch — each micro-batch runs
     * the same pure functions the batch path uses: validate -> write raw ->
     * resample -> write agg. `onBatch` receives (cleanBars, errors,

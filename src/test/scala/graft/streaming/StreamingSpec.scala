@@ -10,6 +10,7 @@ class StreamingSpec extends SparkSpec {
   final case class Bar(symbol: String, timestamp: java.sql.Timestamp,
                        open: Double, high: Double, low: Double, close: Double, volume: Long)
   final case class B(symbol: String, ts_ns: Long, volume: Long)
+  import StreamingSpec.Ev
 
   private def ts(minute: Int) =
     new java.sql.Timestamp(1640995800000L + minute * 60000L)
@@ -214,4 +215,48 @@ class StreamingSpec extends SparkSpec {
     assert(got.toSeq == want.toSeq,
       "post-restart store must equal the batch resample (no loss, no dup)")
   }
+
+  test("streaming session_window sessions equal the batch Sessionize sessions") {
+    val s = spark; import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    def evTs(sec: Int) = new java.sql.Timestamp(1640995200000L + sec * 1000L)
+    // u1: [0s, 5s] | gap 11s > 10s | [16s, 20s] | [40s]; u2: one event
+    val events = Seq(
+      Ev("u1", evTs(0), 1L, 1.0), Ev("u1", evTs(5), 2L, 2.0),
+      Ev("u1", evTs(16), 3L, 3.0), Ev("u1", evTs(20), 4L, 4.0),
+      Ev("u1", evTs(40), 5L, 5.0), Ev("u2", evTs(100), 6L, 6.0))
+
+    val mem = MemoryStream[Ev]
+    mem.addData(events)
+    val out = StreamingIngest.streamingSessions(
+      mem.toDF(), by = Seq("user"), tsCol = "ts", gap = "10 seconds",
+      valueCol = "v")
+    val q = out.writeStream.format("memory").queryName("sess")
+      .outputMode("complete")
+      .option("checkpointLocation", tmpDir("ckpt-sess")).start()
+    try {
+      q.processAllAvailable()
+      val streamed = s.sql(
+        """SELECT user, session_start, session_end, n_events, sum_value
+          |FROM sess ORDER BY user, session_start""".stripMargin)
+        .collect().map(_.toSeq)
+      val batch = graft.agg.Sessionize.sessionSummary(
+          events.toDF(), Seq("user"), "ts",
+          expr("INTERVAL 10 SECONDS"), "id", "v")
+        .select(col("user"), col("session_start"), col("session_end"),
+          col("n_events"), col("sum_value"))
+        .orderBy("user", "session_start")
+        .collect().map(_.toSeq)
+      assert(streamed.toSeq == batch.toSeq,
+        "streaming sessions must equal batch Sessionize on the same rows")
+      // session_window's end = last event + gap (state-eviction bound)
+      val bounds = s.sql("SELECT session_end, window_end FROM sess").collect()
+      assert(bounds.forall(r =>
+        r.getTimestamp(1).getTime - r.getTimestamp(0).getTime == 10000L))
+    } finally q.stop()
+  }
+}
+
+object StreamingSpec {
+  final case class Ev(user: String, ts: java.sql.Timestamp, id: Long, v: Double)
 }
