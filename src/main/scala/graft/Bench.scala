@@ -103,6 +103,7 @@ object Bench {
       // frontier-backed multi-stage pipelines (scratch parquet writes)
       "curate_pipeline", "curate_ruleset_pipeline",
       "d12_dup_components", "d12_component_keep",
+      "g1_graph_rank", "g2_rank_keep",
       // deliberately-skewed synthetic rows
       "skew_salted_agg", "skew_salted_join",
       // driver-side sketch build + broadcast probe: swung 42 s one-shot

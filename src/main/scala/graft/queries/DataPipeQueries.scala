@@ -113,6 +113,23 @@ object DataPipeQueries {
           Dedup.minhashLshCandidatesPortable(docsWithNearDups(s, dir), k = 16, bands = 4))
         .orderBy("doc_id")),
 
+    // Graph centrality over the SAME LSH pair graph: integer-micro
+    // PageRank (damping 0.85, 3 sweeps) — the graph-based quality
+    // signal (web-graph authority / most-central-duplicate selection).
+    "g1_graph_rank" -> ((s, dir) =>
+      GraphRank.pageRankMicro(
+          Dedup.minhashLshCandidatesPortable(docsWithNearDups(s, dir), k = 16, bands = 4))
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")),
+
+    // Centrality-aware canonical selection: per duplicate component keep
+    // the highest-ranked member (ties -> min id); unpaired docs keep
+    // themselves. The rank-based upgrade of d12_component_keep.
+    "g2_rank_keep" -> ((s, dir) =>
+      GraphRank.rankKeep(docsWithNearDups(s, dir),
+          Dedup.minhashLshCandidatesPortable(docsWithNearDups(s, dir), k = 16, bands = 4))
+        .orderBy("doc_id")),
+
     // ExactSubstr-style repeated-span removal on the RAW corpus (the
     // synthetic near-dup docs share long verbatim stretches — exactly
     // the within-different-documents repetition the operator targets).
@@ -1141,8 +1158,12 @@ object DataPipeQueries {
     * definition for BOTH d12 oracles so a shingling/banding/reach change
     * cannot desync them.
     */
-  private lazy val d12ReachCte: String =
-    s"""${nearDupCte.replaceFirst("^WITH", "WITH RECURSIVE")},
+  /** The portable-LSH pair graph over the near-dup fixture, up through
+    * the symmetrized `edges` CTE — shared by the d12 reach chain and the
+    * g1/g2 rank chain so the graph definition cannot desync.
+    */
+  private lazy val d12PairsCte: String =
+    s"""$nearDupCte,
        |sh AS (
        |  SELECT DISTINCT doc_id,
        |         concat_ws(' ', t[i], t[i+1], t[i+2]) AS shingle
@@ -1164,11 +1185,35 @@ object DataPipeQueries {
        |  FROM banded x JOIN banded y
        |    ON x.b = y.b AND x.bucket = y.bucket AND x.doc_id < y.doc_id),
        |edges AS (SELECT id_a AS src, id_b AS dst FROM prs
-       |          UNION SELECT id_b, id_a FROM prs),
+       |          UNION SELECT id_b, id_a FROM prs)""".stripMargin
+
+  private lazy val d12ReachCte: String =
+    s"""${d12PairsCte.replaceFirst("^WITH", "WITH RECURSIVE")},
        |reach(id, r) AS (
        |  SELECT src, src FROM edges
        |  UNION
        |  SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.id)""".stripMargin
+
+  /** Integer-micro PageRank iteration CTEs over `edges` (from
+    * [[d12PairsCte]]): mirrors [[graft.datapipe.GraphRank.pageRankMicro]]
+    * exactly — `r div deg` integer contributions, damping as
+    * `150000 + (85*s) div 100`, all BIGINT.
+    */
+  private def rankCtes(iters: Int): String = {
+    val head =
+      """deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+        |rk0 AS (SELECT src AS id, CAST(1000000 AS BIGINT) AS r FROM deg)""".stripMargin
+    val its = (1 to iters).map { k =>
+      s"""rk$k AS (
+         |  SELECT e.dst AS id,
+         |    CAST(150000 + (85 * sum(rk${k - 1}.r // d.deg)) // 100 AS BIGINT) AS r
+         |  FROM edges e
+         |  JOIN deg d ON e.src = d.src
+         |  JOIN rk${k - 1} ON rk${k - 1}.id = e.src
+         |  GROUP BY e.dst)""".stripMargin
+    }
+    (head +: its).mkString(",\n")
+  }
 
   /** Shared DSIR CTE chain: hashed uni+bigram features, target/raw
     * bucket counts, and the per-doc quantized importance weight `w`
@@ -1265,6 +1310,25 @@ object DataPipeQueries {
          |SELECT b.doc_id, b.text FROM base b
          |WHERE b.doc_id NOT IN (
          |  SELECT id FROM reach GROUP BY id HAVING id <> min(r))
+         |ORDER BY b.doc_id""".stripMargin,
+    "g1_graph_rank" ->
+      s"""$d12PairsCte,
+         |${rankCtes(3)}
+         |SELECT id AS doc_id, r AS rank_micro FROM rk3 ORDER BY doc_id""".stripMargin,
+    "g2_rank_keep" ->
+      s"""$d12ReachCte,
+         |${rankCtes(3)},
+         |lab AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id),
+         |keepers AS (
+         |  SELECT cluster_id, id AS keep_id FROM (
+         |    SELECT lab.cluster_id, lab.id,
+         |           row_number() OVER (PARTITION BY lab.cluster_id
+         |                              ORDER BY rk3.r DESC, lab.id ASC) AS rn
+         |    FROM lab JOIN rk3 ON rk3.id = lab.id)
+         |  WHERE rn = 1)
+         |SELECT b.doc_id, b.text FROM base b
+         |LEFT JOIN lab ON b.doc_id = lab.id
+         |WHERE lab.id IS NULL OR b.doc_id IN (SELECT keep_id FROM keepers)
          |ORDER BY b.doc_id""".stripMargin,
     "d13_span_dedup" ->
       """WITH tk AS (
