@@ -87,7 +87,24 @@ object MiscQueries {
           hour(col("ts")).cast("long").as("h"),
           minute(col("ts")).cast("long").as("m"),
           date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ss").as("iso_sec"))
-        .orderBy("event_id"))
+        .orderBy("event_id")),
+
+    // F14: semi-structured extraction — schema-on-read over the JSON
+    // props column (the engine-side twin of the providers' wire-JSON
+    // parsing, which the S13 clients do row-wise off-engine). from_json
+    // keeps extraction inside codegen; no UDF, no driver parsing.
+    "f14_json_extract" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .select(col("event_type"),
+          from_json(col("props"),
+            org.apache.spark.sql.types.StructType(Seq(
+              org.apache.spark.sql.types.StructField("k",
+                org.apache.spark.sql.types.LongType))))
+            .getField("k").as("k"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
+          min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+        .orderBy("event_type"))
   )
 
   def oracles: Map[String, String] = Map(
@@ -142,6 +159,12 @@ object MiscQueries {
       """SELECT event_id, epoch_ns(ts) AS ts_ns, CAST(ts AS DATE) AS d,
         |       hour(ts) AS h, minute(ts) AS m,
         |       strftime(ts, '%Y-%m-%dT%H:%M:%S') AS iso_sec
-        |FROM events ORDER BY event_id""".stripMargin
+        |FROM events ORDER BY event_id""".stripMargin,
+    "f14_json_extract" ->
+      """SELECT event_type, count(*) AS n,
+        |  CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+        |  min(CAST(json_extract(props, '$.k') AS BIGINT)) AS min_k,
+        |  max(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
   )
 }
