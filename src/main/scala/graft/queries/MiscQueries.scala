@@ -104,8 +104,28 @@ object MiscQueries {
         .groupBy("event_type")
         .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
           min(col("k")).as("min_k"), max(col("k")).as("max_k"))
-        .orderBy("event_type"))
+        .orderBy("event_type")),
+
+    // Z1: Morton/z-order curve values over (user_id, ts_ns) — the
+    // data-layout operator (storage.ZOrder) whose integer quantize +
+    // bit-interleave the oracle reproduces exactly. The layout itself
+    // (zorderWrite) is exercised by ZOrderSpec's per-file bounding-box
+    // assertions; this row pins the curve arithmetic.
+    "z1_zorder_curve" -> ((s, dir) =>
+      graft.storage.ZOrder.withZValue(
+          Tables.events(s, dir).select("event_id", "user_id", "ts_ns"),
+          Seq("user_id", "ts_ns"), bits = 8)
+        .select(col("event_id"), col("__z").as("zval"))
+        .orderBy("event_id"))
   )
+
+  /** Unrolled Morton interleave for the z1 oracle: bit j of `qi` lands
+    * at position 2j+i, mirroring [[graft.storage.ZOrder.interleave]].
+    */
+  private def zInterleaveSql(q0: String, q1: String, bits: Int): String =
+    (0 until bits).flatMap(j => Seq(
+      s"((($q0 >> $j) & 1) << ${2 * j})",
+      s"((($q1 >> $j) & 1) << ${2 * j + 1})")).mkString(" + ")
 
   def oracles: Map[String, String] = Map(
     "s13_provider_ingest" ->
@@ -165,6 +185,20 @@ object MiscQueries {
         |  CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
         |  min(CAST(json_extract(props, '$.k') AS BIGINT)) AS min_k,
         |  max(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k
-        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "z1_zorder_curve" ->
+      s"""WITH mm AS (
+         |  SELECT min(user_id) AS a0, max(user_id) AS b0,
+         |         min(epoch_ns(ts)) AS a1, max(epoch_ns(ts)) AS b1
+         |  FROM events),
+         |q AS (
+         |  SELECT event_id,
+         |    CASE WHEN b0 > a0 THEN ((user_id - a0) * 255) // (b0 - a0)
+         |         ELSE 0 END AS q0,
+         |    CASE WHEN b1 > a1 THEN ((epoch_ns(ts) - a1) * 255) // (b1 - a1)
+         |         ELSE 0 END AS q1
+         |  FROM events, mm)
+         |SELECT event_id, CAST(${zInterleaveSql("q0", "q1", 8)} AS BIGINT) AS zval
+         |FROM q ORDER BY event_id""".stripMargin
   )
 }

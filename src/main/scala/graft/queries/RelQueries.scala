@@ -255,6 +255,29 @@ object RelQueries {
         .agg(max(col("ts_ns")).as("max_ts_ns"), count(lit(1)).as("n"))
         .orderBy("user_id")),
 
+    // A15: multi-level aggregation — ROLLUP over (event_type, day) with
+    // grouping_id disambiguating subtotal levels (OLAP hierarchy rollup;
+    // one shuffle, Spark expands grouping sets map-side)
+    "a15_rollup" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .select(col("event_type"), to_date(col("ts")).as("d"),
+          col("value").cast("decimal(18,4)").as("v"))
+        .rollup("event_type", "d")
+        .agg(count(lit(1)).as("n"),
+          sum(col("v")).cast("double").as("sum_value"),
+          grouping_id().cast("long").as("gid"))
+        .orderBy(col("gid"), col("event_type"), col("d"))),
+
+    // A16: pivot — fixed category list to wide conditional aggregates
+    // (engine-neutral: the oracle states it as FILTERed counts)
+    "a16_pivot" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .groupBy("user_id")
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .orderBy("user_id")),
+
     // F4/F6: natural-key construction + regex validation
     // (ref symbol_normalizer.sql:29-33; value_objects.py:33-41)
     "f4_natural_key" -> ((s, dir) =>
@@ -421,6 +444,24 @@ object RelQueries {
       "SELECT DISTINCT event_type FROM events ORDER BY event_type",
     "a13_point_aggregates" ->
       """SELECT user_id, max(epoch_ns(ts)) AS max_ts_ns, count(*) AS n
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "a15_rollup" ->
+      """WITH e AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS d,
+        |         CAST(value AS DECIMAL(18,4)) AS v
+        |  FROM events)
+        |SELECT event_type, d, count(*) AS n,
+        |       CAST(sum(v) AS DOUBLE) AS sum_value,
+        |       CAST(GROUPING(event_type, d) AS BIGINT) AS gid
+        |FROM e GROUP BY ROLLUP(event_type, d)
+        |ORDER BY gid, event_type, d""".stripMargin,
+    "a16_pivot" ->
+      """SELECT user_id,
+        |  count(*) FILTER (event_type = 'click') AS click,
+        |  count(*) FILTER (event_type = 'error') AS error,
+        |  count(*) FILTER (event_type = 'purchase') AS purchase,
+        |  count(*) FILTER (event_type = 'signup') AS signup,
+        |  count(*) FILTER (event_type = 'view') AS view
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
     "f4_natural_key" ->
       """SELECT c_custkey,
