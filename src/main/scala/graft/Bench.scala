@@ -104,6 +104,9 @@ object Bench {
       "curate_pipeline", "curate_ruleset_pipeline",
       "d12_dup_components", "d12_component_keep",
       "g1_graph_rank", "g2_rank_keep",
+      // one-shot position swing (3.4 s vs 8.4 s on unchanged code in
+      // back-to-back r9 sweeps) — same cold-position class as t14/t15
+      "d13_span_dedup",
       // deliberately-skewed synthetic rows
       "skew_salted_agg", "skew_salted_join",
       // driver-side sketch build + broadcast probe: swung 42 s one-shot

@@ -278,6 +278,16 @@ object RelQueries {
         .na.fill(0L)
         .orderBy("user_id")),
 
+    // W11: ntile quartile assignment within each key's events — the
+    // windowed bucketing primitive (per-key, so no global sort at scale)
+    "w11_ntile" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy(col("value"), col("event_id"))
+      Tables.events(s, dir)
+        .select(col("event_id"), col("user_id"),
+          ntile(4).over(w).cast("long").as("quartile"))
+        .orderBy("event_id")
+    }),
+
     // F4/F6: natural-key construction + regex validation
     // (ref symbol_normalizer.sql:29-33; value_objects.py:33-41)
     "f4_natural_key" -> ((s, dir) =>
@@ -463,6 +473,10 @@ object RelQueries {
         |  count(*) FILTER (event_type = 'signup') AS signup,
         |  count(*) FILTER (event_type = 'view') AS view
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "w11_ntile" ->
+      """SELECT event_id, user_id,
+        |  CAST(ntile(4) OVER (PARTITION BY user_id ORDER BY value, event_id) AS BIGINT) AS quartile
+        |FROM events ORDER BY event_id""".stripMargin,
     "f4_natural_key" ->
       """SELECT c_custkey,
         |  concat_ws('|', upper(c_name), c_mktsegment) AS natural_key,
