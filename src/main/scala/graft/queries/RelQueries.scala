@@ -278,6 +278,19 @@ object RelQueries {
         .na.fill(0L)
         .orderBy("user_id")),
 
+    // A17: unpivot/melt — wide numeric columns to long (field, v) rows,
+    // the inverse of a16 (stated in the oracle as a UNION ALL, the
+    // engine-neutral definition)
+    "a17_unpivot" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .where(col("l_orderkey") <= 2000)
+        .unpivot(
+          Array(col("l_orderkey"), col("l_linenumber")),
+          Array(col("l_quantity").cast("double").as("l_quantity"),
+            col("l_discount").cast("double").as("l_discount")),
+          "field", "v")
+        .orderBy("l_orderkey", "l_linenumber", "field")),
+
     // W11: ntile quartile assignment within each key's events — the
     // windowed bucketing primitive (per-key, so no global sort at scale)
     "w11_ntile" -> ((s, dir) => {
@@ -473,6 +486,13 @@ object RelQueries {
         |  count(*) FILTER (event_type = 'signup') AS signup,
         |  count(*) FILTER (event_type = 'view') AS view
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "a17_unpivot" ->
+      """SELECT l_orderkey, l_linenumber, 'l_quantity' AS field, CAST(l_quantity AS DOUBLE) AS v
+        |FROM lineitem WHERE l_orderkey <= 2000
+        |UNION ALL
+        |SELECT l_orderkey, l_linenumber, 'l_discount' AS field, CAST(l_discount AS DOUBLE) AS v
+        |FROM lineitem WHERE l_orderkey <= 2000
+        |ORDER BY l_orderkey, l_linenumber, field""".stripMargin,
     "w11_ntile" ->
       """SELECT event_id, user_id,
         |  CAST(ntile(4) OVER (PARTITION BY user_id ORDER BY value, event_id) AS BIGINT) AS quartile
