@@ -70,6 +70,37 @@ object StreamingIngest {
         col("n_events"), col("session_start"), col("session_end"),
         col("sum_value")): _*)
 
+  /** Stream-stream time-interval enrichment — the live twin of
+    * [[graft.joins.AsofJoin]]'s backward match: each left event joined
+    * to the right-stream events within `[left.ts - maxLag, left.ts]`
+    * for the same key. Both sides are watermarked, and the interval
+    * condition bounds the join state Spark must retain (right rows
+    * older than `watermark + maxLag` are evicted) — the property that
+    * lets this run indefinitely. Emits ALL in-window right rows
+    * (downstream picks latest, counts, or averages); an exact
+    * latest-only as-of needs the batch operator or a
+    * flatMapGroupsWithState reduction — Spark caps chained stateful
+    * ops, and an unbounded "latest ever" would mean unbounded state
+    * anyway, which is exactly what the lag bound exists to forbid.
+    *
+    * Column contract: left has (key, ts, ...), right has (key, ts,
+    * payload...); right's columns are suffixed `_r` to avoid collisions.
+    */
+  def streamIntervalJoin(
+      left: DataFrame, right: DataFrame, key: String,
+      maxLag: String,
+      watermark: String = "10 minutes"): DataFrame = {
+    val l = left.withWatermark("ts", watermark)
+    val r0 = right.columns.foldLeft(right)((df, c) =>
+      df.withColumnRenamed(c, s"${c}_r"))
+    val r = r0.withWatermark("ts_r", watermark)
+    l.join(r,
+      col(key) === col(s"${key}_r") &&
+        col("ts_r") >= col("ts") - expr(s"INTERVAL $maxLag") &&
+        col("ts_r") <= col("ts"),
+      "leftOuter")
+  }
+
   /** T1: the event-driven pipeline as foreachBatch — each micro-batch runs
     * the same pure functions the batch path uses: validate -> write raw ->
     * resample -> write agg. `onBatch` receives (cleanBars, errors,

@@ -255,6 +255,42 @@ class StreamingSpec extends SparkSpec {
         r.getTimestamp(1).getTime - r.getTimestamp(0).getTime == 10000L))
     } finally q.stop()
   }
+
+  test("stream-stream interval join enriches within the lag bound, nulls after watermark") {
+    val s = spark; import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    def t(sec: Int) = new java.sql.Timestamp(1640995200000L + sec * 1000L)
+    val trades = MemoryStream[(String, java.sql.Timestamp, Long)]
+    val quotes = MemoryStream[(String, java.sql.Timestamp, Double)]
+    val out = StreamingIngest.streamIntervalJoin(
+      trades.toDF().toDF("sym", "ts", "qty"),
+      quotes.toDF().toDF("sym", "ts", "px"),
+      key = "sym", maxLag = "10 SECONDS", watermark = "10 seconds")
+    val q = out.writeStream.format("memory").queryName("ssj")
+      .outputMode("append")
+      .option("checkpointLocation", tmpDir("ckpt-ssj")).start()
+    try {
+      // AAPL trade@100 with quotes@95,98 (in window) and @50 (stale);
+      // MSFT trade@100 with no quotes at all
+      trades.addData(("AAPL", t(100), 10L), ("MSFT", t(100), 5L))
+      quotes.addData(("AAPL", t(50), 1.0), ("AAPL", t(95), 2.0), ("AAPL", t(98), 3.0))
+      q.processAllAvailable()
+      // advance both watermarks far past 100s so the unmatched MSFT row
+      // is emitted as a left-outer null
+      trades.addData(("FLUSH", t(1000), 0L))
+      quotes.addData(("FLUSH", t(1000), 0.0))
+      q.processAllAvailable()
+      val rows = s.sql(
+        """SELECT sym, qty, px_r FROM ssj WHERE sym <> 'FLUSH'
+          |ORDER BY sym, px_r NULLS FIRST""".stripMargin)
+        .collect().map(r => (r.getString(0), r.getLong(1),
+          Option(r.get(2)).map(_.asInstanceOf[Double])))
+      assert(rows.toSeq === Seq(
+        ("AAPL", 10L, Some(2.0)), // quote@95 within [90, 100]
+        ("AAPL", 10L, Some(3.0)), // quote@98
+        ("MSFT", 5L, None)))      // no quote: outer null after watermark
+    } finally q.stop()
+  }
 }
 
 object StreamingSpec {
