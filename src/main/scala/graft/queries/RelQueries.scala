@@ -278,6 +278,23 @@ object RelQueries {
         .na.fill(0L)
         .orderBy("user_id")),
 
+    // A18: HLL approximate distinct — the 100 TB cardinality path
+    // (countDistinct shuffles every distinct value; HLL++ ships a
+    // constant-size sketch). The oracle can't reproduce another engine's
+    // sketch, so the accuracy CONTRACT is the checked output: the query
+    // emits exact counts plus a bound assertion the oracle states as
+    // `true` — a sketch drifting past 5% flips the boolean and fails
+    // the hash compare.
+    "a18_approx_distinct" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .groupBy("event_type")
+        .agg(countDistinct(col("user_id")).as("exact_users"),
+          approx_count_distinct(col("user_id"), rsd = 0.02).as("__a"))
+        .select(col("event_type"), col("exact_users"),
+          (abs(col("__a") - col("exact_users")) <=
+            col("exact_users") * 0.05).as("approx_within_5pct"))
+        .orderBy("event_type")),
+
     // A17: unpivot/melt — wide numeric columns to long (field, v) rows,
     // the inverse of a16 (stated in the oracle as a UNION ALL, the
     // engine-neutral definition)
@@ -486,6 +503,10 @@ object RelQueries {
         |  count(*) FILTER (event_type = 'signup') AS signup,
         |  count(*) FILTER (event_type = 'view') AS view
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "a18_approx_distinct" ->
+      """SELECT event_type, count(DISTINCT user_id) AS exact_users,
+        |       true AS approx_within_5pct
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "a17_unpivot" ->
       """SELECT l_orderkey, l_linenumber, 'l_quantity' AS field, CAST(l_quantity AS DOUBLE) AS v
         |FROM lineitem WHERE l_orderkey <= 2000
