@@ -54,6 +54,32 @@ object Sampling {
              idCol: String = "doc_id"): DataFrame =
     docs.where(inclusionHash(col(idCol), seed) < lit(thresholdFor(fraction)))
 
+  /** Leakage-safe (group-aware) train/holdout split: the split key is
+    * the document's near-dup COMPONENT label, not its id, so every
+    * member of a duplicate cluster lands in the SAME split — the
+    * standard guard against train/eval contamination that a plain
+    * per-doc split silently violates (a near-copy of a training doc in
+    * the holdout set is leakage, not evaluation). Docs in no pair split
+    * by their own id. Deterministic via the portable inclusion hash, so
+    * re-runs and other engines draw the identical split. Cost: the
+    * component contraction ([[Dedup.duplicateComponents]]) + one
+    * left join + a hash predicate; at 100 TB the split itself is
+    * map-shaped once the cluster labels exist.
+    */
+  def leakageSafeSplit(docs: DataFrame, pairs: DataFrame,
+                       holdoutFraction: Double, seed: Long = 42L,
+                       idCol: String = "doc_id"): DataFrame = {
+    val comp = Dedup.duplicateComponents(pairs, idCol = idCol)
+      .withColumnRenamed(idCol, "__cid")
+    val thr = thresholdFor(holdoutFraction)
+    docs
+      .join(comp, docs(idCol) === col("__cid"), "left")
+      .withColumn("split",
+        when(inclusionHash(coalesce(col("cluster_id"), docs(idCol)), seed) < thr,
+          "holdout").otherwise("train"))
+      .drop("__cid", "cluster_id")
+  }
+
   /** Stratified deterministic sample: per-stratum fractions; strata absent
     * from the map are dropped (threshold 0).
     */

@@ -130,6 +130,17 @@ object DataPipeQueries {
           Dedup.minhashLshCandidatesPortable(docsWithNearDups(s, dir), k = 16, bands = 4))
         .orderBy("doc_id")),
 
+    // Leakage-safe split: hash the near-dup COMPONENT label, not the
+    // doc id, so clusters never straddle train/holdout (contamination
+    // guard; the no-straddle property is spec-pinned in SamplingSpec).
+    "smp11_leakage_safe_split" -> ((s, dir) =>
+      Sampling.leakageSafeSplit(docsWithNearDups(s, dir),
+          Dedup.minhashLshCandidatesPortable(docsWithNearDups(s, dir), k = 16, bands = 4),
+          holdoutFraction = 0.2, seed = 5)
+        .groupBy("split")
+        .agg(count(lit(1)).as("n_docs"), sum(col("doc_id")).as("id_sum"))
+        .orderBy("split")),
+
     // ExactSubstr-style repeated-span removal on the RAW corpus (the
     // synthetic near-dup docs share long verbatim stretches — exactly
     // the within-different-documents repetition the operator targets).
@@ -1330,6 +1341,18 @@ object DataPipeQueries {
          |LEFT JOIN lab ON b.doc_id = lab.id
          |WHERE lab.id IS NULL OR b.doc_id IN (SELECT keep_id FROM keepers)
          |ORDER BY b.doc_id""".stripMargin,
+    "smp11_leakage_safe_split" ->
+      s"""$d12ReachCte,
+         |lab AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id),
+         |a AS (
+         |  SELECT b.doc_id,
+         |    CASE WHEN ${hex6(
+        "md5('5|' || CAST(coalesce(lab.cluster_id, b.doc_id) AS VARCHAR))")}
+         |      < ${Sampling.thresholdFor(0.2)}
+         |    THEN 'holdout' ELSE 'train' END AS split
+         |  FROM base b LEFT JOIN lab ON b.doc_id = lab.id)
+         |SELECT split, count(*) AS n_docs, CAST(sum(doc_id) AS BIGINT) AS id_sum
+         |FROM a GROUP BY split ORDER BY split""".stripMargin,
     "d13_span_dedup" ->
       """WITH tk AS (
         |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t

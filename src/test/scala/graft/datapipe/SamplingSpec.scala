@@ -299,4 +299,30 @@ class SamplingSpec extends SparkSpec {
       .map(r => r.getAs[String]("lang") -> r.getAs[Long]("alloc_tokens")).toMap
     assert(re == Map("a" -> 20L, "b" -> 40L, "c" -> 40L))
   }
+
+  test("leakageSafeSplit: no near-dup component ever straddles the split") {
+    val s = spark; import s.implicits._
+    val docs = (1L to 200L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    // chain components {1..4}, {10,11}, plus transitive {20,21,22}
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L),
+      (20L, 21L), (21L, 22L)).toDF("id_a", "id_b")
+    val out = Sampling.leakageSafeSplit(docs, pairs, holdoutFraction = 0.3, seed = 9)
+    assert(out.count() === 200L, "split must preserve every doc exactly once")
+    // every clustered doc shares its cluster's split
+    val comp = Dedup.duplicateComponents(pairs)
+    val straddling = out.join(comp, Seq("doc_id"))
+      .groupBy("cluster_id")
+      .agg(org.apache.spark.sql.functions.countDistinct("split").as("k"))
+      .where($"k" > 1).count()
+    assert(straddling === 0L, "a component in two splits is leakage")
+    // both splits are non-trivially populated at fraction 0.3 over 200 docs
+    val sizes = out.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(sizes.getOrElse("holdout", 0L) > 20L && sizes("train") > 100L, sizes.toString)
+    // determinism across layouts
+    val re = Sampling.leakageSafeSplit(docs.repartition(13), pairs, 0.3, seed = 9)
+      .orderBy("doc_id").select("split").as[String].collect()
+    val first = out.orderBy("doc_id").select("split").as[String].collect()
+    assert(re.toSeq == first.toSeq)
+  }
 }
