@@ -278,6 +278,21 @@ object RelQueries {
         .na.fill(0L)
         .orderBy("user_id")),
 
+    // A19: hopping (sliding) event-time windows — 10-minute windows
+    // every 5 minutes, each event lands in exactly two (SURVEY §2.9
+    // lists sliding windows as a reference non-goal; built here as the
+    // Spark-native extension, same map-side bucket expansion as the
+    // oracle's two UNION legs)
+    "a19_hopping_window" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(window(col("ts"), "10 minutes", "5 minutes"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,4)")).cast("double").as("sum_v"))
+        .select(
+          (unix_micros(col("window.start")) * lit(1000L)).as("win_start_ns"),
+          col("event_type"), col("n"), col("sum_v"))
+        .orderBy("win_start_ns", "event_type")),
+
     // A18: HLL approximate distinct — the 100 TB cardinality path
     // (countDistinct shuffles every distinct value; HLL++ ships a
     // constant-size sketch). The oracle can't reproduce another engine's
@@ -503,6 +518,18 @@ object RelQueries {
         |  count(*) FILTER (event_type = 'signup') AS signup,
         |  count(*) FILTER (event_type = 'view') AS view
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "a19_hopping_window" ->
+      """WITH b AS (
+        |  SELECT epoch_ns(ts) AS tn, event_type, CAST(value AS DECIMAL(18,4)) AS v
+        |  FROM events),
+        |w AS (
+        |  SELECT tn - tn % 300000000000 AS ws, event_type, v FROM b
+        |  UNION ALL
+        |  SELECT tn - tn % 300000000000 - 300000000000 AS ws, event_type, v FROM b)
+        |SELECT ws AS win_start_ns, event_type, count(*) AS n,
+        |       CAST(sum(v) AS DOUBLE) AS sum_v
+        |FROM w GROUP BY ws, event_type
+        |ORDER BY win_start_ns, event_type""".stripMargin,
     "a18_approx_distinct" ->
       """SELECT event_type, count(DISTINCT user_id) AS exact_users,
         |       true AS approx_within_5pct
