@@ -116,4 +116,42 @@ object Calculations {
         col("avg_pos_vol_last20").isNotNull &&
           col("volume").cast("double") > col("avg_pos_vol_last20") * 10.0)
   }
+
+  /** Exact pair-covariance sufficient statistics per trading day — the
+    * pushdown-friendly correlation "sketch": instead of a rolling
+    * Pearson (whose FP sqrt/summation order is engine- and
+    * partitioning-dependent), emit the six exact sums (n, Σx, Σy, Σxy,
+    * Σx², Σy²) from which any consumer derives covariance/correlation at
+    * its own precision. Prices are quantized to integer 1e-4 units
+    * (the VWAP micro-unit discipline), so every sum is an
+    * order-independent exact long — bit-stable under any partitioning
+    * and engine-exact vs the oracle. Magnitudes stay well inside both
+    * long and double-exact range for day-sized groups (≤288 5-minute
+    * buckets × ~1e12 per product term).
+    *
+    * Alignment: per symbol, last close of each `bucketNs` bucket
+    * (row_number, ties broken by close desc — deterministic), inner
+    * join on the shared buckets, one global aggregate row. One window +
+    * one equi-join + one partial aggregate; per-pair cost is the two
+    * symbols' row counts, so a 100 TB store prices pairs independently.
+    */
+  def pairCovarianceSums(bars: DataFrame, symA: String, symB: String,
+                         bucketNs: Long = 3600000000000L): DataFrame = {
+    def leg(sym: String, out: String): DataFrame = {
+      val w = Window.partitionBy("bucket")
+        .orderBy(col("ts_ns").desc, col("close").desc)
+      bars.where(col("symbol") === sym)
+        .withColumn("bucket", col("ts_ns") - col("ts_ns") % bucketNs)
+        .withColumn("__rn", row_number().over(w))
+        .where(col("__rn") === 1)
+        .select(col("bucket"),
+          floor(col("close") * 10000.0 + 0.5).cast("long").as(out))
+    }
+    leg(symA, "x").join(leg(symB, "y"), Seq("bucket"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("x")).as("sum_x"), sum(col("y")).as("sum_y"),
+        sum(col("x") * col("y")).as("sum_xy"),
+        sum(col("x") * col("x")).as("sum_xx"),
+        sum(col("y") * col("y")).as("sum_yy"))
+  }
 }

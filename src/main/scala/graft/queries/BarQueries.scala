@@ -100,6 +100,12 @@ object BarQueries {
         .groupBy("reason").agg(count(lit(1)).as("n"))
         .orderBy("reason")),
 
+    // W12: exact pair-covariance sufficient statistics between two
+    // symbols' hourly-bucket closes — the FP-free correlation sketch
+    // (consumers derive cov/corr at their own precision)
+    "w12_pair_covariance" -> ((s, dir) =>
+      Calculations.pairCovarianceSums(eventBars(s, dir), "7", "11")),
+
     "w9_trailing_patterns" -> ((s, dir) => {
       // volume reshaped to exercise both flags: every 7th event zero-vol,
       // every 101st a 50x spike (same derivation in the oracle CTE)
@@ -202,6 +208,27 @@ object BarQueries {
            |  UNION ALL SELECT 'unreasonable_volume' FROM ctx WHERE volume > 1000000000
            |  UNION ALL SELECT 'duplicate_timestamp' FROM ctx WHERE dup_count > 1)
            |SELECT reason, count(*) AS n FROM errs GROUP BY reason ORDER BY reason""".stripMargin,
+      "w12_pair_covariance" ->
+        s"""$barsCte,
+           |la AS (
+           |  SELECT bucket, CAST(floor(close * 10000 + 0.5) AS BIGINT) AS x FROM (
+           |    SELECT ts_ns - ts_ns % 3600000000000 AS bucket, close,
+           |           row_number() OVER (PARTITION BY ts_ns - ts_ns % 3600000000000
+           |                              ORDER BY ts_ns DESC, close DESC) AS rn
+           |    FROM bars WHERE symbol = '7') WHERE rn = 1),
+           |lb AS (
+           |  SELECT bucket, CAST(floor(close * 10000 + 0.5) AS BIGINT) AS y FROM (
+           |    SELECT ts_ns - ts_ns % 3600000000000 AS bucket, close,
+           |           row_number() OVER (PARTITION BY ts_ns - ts_ns % 3600000000000
+           |                              ORDER BY ts_ns DESC, close DESC) AS rn
+           |    FROM bars WHERE symbol = '11') WHERE rn = 1),
+           |j AS (SELECT la.bucket, x, y FROM la JOIN lb ON la.bucket = lb.bucket)
+           |SELECT count(*) AS n,
+           |       CAST(sum(x) AS BIGINT) AS sum_x, CAST(sum(y) AS BIGINT) AS sum_y,
+           |       CAST(sum(x * y) AS BIGINT) AS sum_xy,
+           |       CAST(sum(x * x) AS BIGINT) AS sum_xx,
+           |       CAST(sum(y * y) AS BIGINT) AS sum_yy
+           |FROM j""".stripMargin,
       "w9_trailing_patterns" ->
         s"""$barsCte, vb AS (
            |  SELECT symbol, ts_ns,
