@@ -41,7 +41,10 @@ object AsofJoin {
     * @param rightCols right payload columns; names must not collide with
     *                  left's
     * @param direction "backward" (greatest right.on <= left.on, the
-    *                  default) or "forward" (least right.on >= left.on)
+    *                  default), "forward" (least right.on >= left.on),
+    *                  or "nearest" (closer of the two, backward on
+    *                  distance ties — the pandas merge_asof convention;
+    *                  two window frames over ONE partitioning)
     * @param allowExactMatches true = at-or-before/after (<=/>=); false =
     *                  strictly before/after (</>)
     * @param tolerance optional max distance |left.on - right.on|; a match
@@ -57,8 +60,8 @@ object AsofJoin {
                allowExactMatches: Boolean = true,
                tolerance: Option[Column] = None,
                matchedOnAs: Option[String] = None): DataFrame = {
-    require(direction == "backward" || direction == "forward",
-      s"direction must be backward|forward, got $direction")
+    require(Set("backward", "forward", "nearest")(direction),
+      s"direction must be backward|forward|nearest, got $direction")
     val clash = rightCols.toSet.intersect(left.columns.toSet)
     require(clash.isEmpty, s"rightCols collide with left columns: $clash")
     require(!rightCols.contains(on) && !by.exists(rightCols.contains),
@@ -88,29 +91,51 @@ object AsofJoin {
     // to the left row => right sorts first; strict hides it => left
     // first. Equal right duplicates are ordered by payload for a
     // deterministic (max-payload) winner.
-    val onOrd = if (direction == "backward") col("__on").asc else col("__on").desc
-    val tieOrd = if (allowExactMatches) col("__is_left").asc else col("__is_left").desc
-    val w = Window.partitionBy(by.map(col): _*)
-      .orderBy(onOrd, tieOrd, col("__r").asc)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-
-    val matched = lSide.unionByName(rSide)
-      .withColumn("__m", last(col("__r"), ignoreNulls = true).over(w))
-      .where(col("__is_left") === 1)
-
-    val within: Column = tolerance match {
-      case None => col("__m").isNotNull
+    def spec(dir: String) = {
+      val onOrd = if (dir == "backward") col("__on").asc else col("__on").desc
+      val tieOrd = if (allowExactMatches) col("__is_left").asc else col("__is_left").desc
+      Window.partitionBy(by.map(col): _*)
+        .orderBy(onOrd, tieOrd, col("__r").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    }
+    def within(m: Column, dir: String): Column = tolerance match {
+      case None => m.isNotNull
       case Some(tol) =>
         val dist =
-          if (direction == "backward") col("__on") - col("__m").getField(on)
-          else col("__m").getField(on) - col("__on")
-        col("__m").isNotNull && dist <= tol
+          if (dir == "backward") col("__on") - m.getField(on)
+          else m.getField(on) - col("__on")
+        m.isNotNull && dist <= tol
+    }
+
+    val union = lSide.unionByName(rSide)
+    val (matched, ok) = direction match {
+      case "backward" | "forward" =>
+        val df = union
+          .withColumn("__m", last(col("__r"), ignoreNulls = true).over(spec(direction)))
+          .where(col("__is_left") === 1)
+        (df, within(col("__m"), direction))
+      case "nearest" =>
+        // both carries over ONE partitioning (two sorts, one Exchange);
+        // pick the closer in-tolerance side, backward on distance ties
+        // (the pandas merge_asof convention)
+        val df = union
+          .withColumn("__mb", last(col("__r"), ignoreNulls = true).over(spec("backward")))
+          .withColumn("__mf", last(col("__r"), ignoreNulls = true).over(spec("forward")))
+          .where(col("__is_left") === 1)
+        val okB = within(col("__mb"), "backward")
+        val okF = within(col("__mf"), "forward")
+        val db = col("__on") - col("__mb").getField(on)
+        val df2 = col("__mf").getField(on) - col("__on")
+        val pickB = okB && (!okF || db <= df2)
+        val picked = df.withColumn("__m",
+          when(pickB, col("__mb")).when(okF, col("__mf")))
+        (picked, col("__m").isNotNull)
     }
 
     val outCols =
       left.columns.map(c => col(s"__l.$c").as(c)) ++
-        rightCols.map(c => when(within, col("__m").getField(c)).as(c)) ++
-        matchedOnAs.map(n => when(within, col("__m").getField(on)).as(n))
+        rightCols.map(c => when(ok, col("__m").getField(c)).as(c)) ++
+        matchedOnAs.map(n => when(ok, col("__m").getField(on)).as(n))
     matched.select(outCols: _*)
   }
 }

@@ -32,8 +32,8 @@ class AsofJoinPropertySpec extends SparkSpec {
     // equal right timestamps is value-visible
     rs.zipWithIndex.map { case ((k, t), i) => R(k, t, 1000L + t * 100L + i) })
 
-  private def bruteForce(ls: List[L], rs: List[R], forward: Boolean,
-                         inclusive: Boolean, tol: Option[Long]): Map[Long, Option[Long]] =
+  private def directed(ls: List[L], rs: List[R], forward: Boolean,
+                       inclusive: Boolean, tol: Option[Long]): Map[Long, Option[Long]] =
     ls.map { l =>
       val eligible = rs.filter(_.k == l.k).filter { r =>
         if (forward) { if (inclusive) r.t >= l.t else r.t > l.t }
@@ -54,28 +54,61 @@ class AsofJoinPropertySpec extends SparkSpec {
       l.lid -> bounded
     }.toMap
 
+  private def bruteForce(ls: List[L], rs: List[R], direction: String,
+                         inclusive: Boolean, tol: Option[Long]): Map[Long, Option[Long]] =
+    direction match {
+      case "forward" => directed(ls, rs, forward = true, inclusive, tol)
+      case "backward" => directed(ls, rs, forward = false, inclusive, tol)
+      case "nearest" =>
+        // closer in-tolerance side wins; distance ties go backward
+        // (pandas merge_asof convention)
+        val b = directed(ls, rs, forward = false, inclusive, tol)
+        val f = directed(ls, rs, forward = true, inclusive, tol)
+        def bestT(l: L, forward: Boolean): Option[Long] = {
+          val e = rs.filter(_.k == l.k).filter { r =>
+            if (forward) { if (inclusive) r.t >= l.t else r.t > l.t }
+            else { if (inclusive) r.t <= l.t else r.t < l.t }
+          }
+          if (e.isEmpty) None
+          else Some(if (forward) e.map(_.t).min else e.map(_.t).max)
+        }
+        ls.map { l =>
+          val bv = b(l.lid); val fv = f(l.lid)
+          l.lid -> ((bv, fv) match {
+            case (Some(_), Some(_)) =>
+              val db = l.t - bestT(l, forward = false).get
+              val dfw = bestT(l, forward = true).get - l.t
+              if (db <= dfw) bv else fv
+            case (Some(_), None) => bv
+            case (None, x) => x
+          })
+        }.toMap
+    }
+
   test("asofJoin equals the brute-force definition over random data") {
     val cases = for {
       seed <- 0 until 12
-      (forward, inclusive, tol) <- Seq(
-        (false, true, None), (false, false, None),
-        (true, true, None), (true, false, None),
-        (false, true, Some(5L)), (true, false, Some(3L)))
-    } yield (seed, forward, inclusive, tol)
+      (direction, inclusive, tol) <- Seq(
+        ("backward", true, None), ("backward", false, None),
+        ("forward", true, None), ("forward", false, None),
+        ("backward", true, Some(5L)), ("forward", false, Some(3L)),
+        ("nearest", true, None), ("nearest", false, None),
+        ("nearest", true, Some(4L)))
+    } yield (seed, direction, inclusive, tol)
 
-    cases.foreach { case (seed, forward, inclusive, tol) =>
+    cases.foreach { case (seed, direction, inclusive, tol) =>
       val (ls, rs) = genData(Gen.Parameters.default, Seed(seed.toLong)).get
       val left = ls.toDF()
       val right = rs.toDF().withColumnRenamed("v", "rv")
       val got = AsofJoin.asofJoin(left, right, on = "t", by = Seq("k"),
           rightCols = Seq("rv"),
-          direction = if (forward) "forward" else "backward",
+          direction = direction,
           allowExactMatches = inclusive,
           tolerance = tol.map(lit(_)))
         .select("lid", "rv").as[(Long, Option[Long])].collect().toMap
-      val want = bruteForce(ls, rs, forward, inclusive, tol)
+      val want = bruteForce(ls, rs, direction, inclusive, tol)
       assert(got === want,
-        s"mismatch at seed=$seed forward=$forward inclusive=$inclusive tol=$tol")
+        s"mismatch at seed=$seed direction=$direction inclusive=$inclusive tol=$tol")
     }
   }
 }
