@@ -419,4 +419,39 @@ object Similarity {
       .orderBy(desc("qdot"), col(idCol))
       .limit(k)
   }
+
+  /** Johnson-Lindenstrauss sign-matrix random projection (Achlioptas
+    * 2001): each micro-quantized vector becomes `dims` exact integer
+    * coordinates, coordinate p = the ±1-weighted component sum under the
+    * SAME portable LCG hyperplanes the SRP bucketing uses
+    * ([[Vectors.portablePlaneSign]]) — so projections are engine-exact
+    * and bit-reproducible anywhere. dims=16 turns a 64-float vector into
+    * 16 longs (4× fewer multiplies per distance); inner products are
+    * preserved up to the JL distortion, making this the standard
+    * cheap-first-pass before exact re-rank at corpus scale.
+    */
+  def jlProject(vecs: DataFrame, dims: Int = 16,
+                idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    vecs
+      .select(col(idCol), Vectors.quantize(col(vecCol)).as("__q"))
+      .select(col(idCol),
+        array((0 until dims).map(p => Vectors.projectPortable(col("__q"), p)): _*)
+          .as("proj"))
+
+  /** Approximate top-k by exact integer dot product in the projected
+    * space — a map-side scan over `dims`-long vectors plus one
+    * TakeOrderedAndProject; re-rank the result with [[bruteForceTopK]]
+    * when exact cosine order matters.
+    */
+  def jlTopK(vecs: DataFrame, query: DataFrame, k: Int, dims: Int = 16,
+             idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val pq = broadcast(jlProject(query.limit(1), dims, idCol, vecCol)
+      .select(col("proj").as("__qp")))
+    jlProject(vecs, dims, idCol, vecCol)
+      .crossJoin(pq)
+      .withColumn("pdot", Vectors.dotQ(col("proj"), col("__qp")))
+      .select(col(idCol), col("pdot"))
+      .orderBy(desc("pdot"), col(idCol))
+      .limit(k)
+  }
 }

@@ -81,14 +81,20 @@ object Vectors {
     shiftright(h, 16).bitwiseAND(lit(1L))
   }
 
-  /** Portable twin of [[hyperplaneBit]] over [[portablePlaneSign]]. */
-  def hyperplaneBitPortable(q: Column, plane: Int): Column = {
-    val signedSum = aggregate(
+  /** Signed projection coordinate for plane `p`: the ±1-weighted
+    * component sum (the pre-threshold value of
+    * [[hyperplaneBitPortable]]) — one exact integer coordinate of an
+    * Achlioptas/JL sign-matrix random projection.
+    */
+  def projectPortable(q: Column, plane: Int): Column =
+    aggregate(
       transform(q, (x, i) =>
         when(portablePlaneSign(plane, i.cast("long")) === 0L, x).otherwise(-x)),
       lit(0L), (acc, x) => acc + x)
-    when(signedSum >= 0, lit(1L)).otherwise(lit(0L))
-  }
+
+  /** Portable twin of [[hyperplaneBit]] over [[portablePlaneSign]]. */
+  def hyperplaneBitPortable(q: Column, plane: Int): Column =
+    when(projectPortable(q, plane) >= 0, lit(1L)).otherwise(lit(0L))
 
   /** Portable twin of [[lshSignature]] — cross-engine-verifiable buckets. */
   def lshSignaturePortable(q: Column, nPlanes: Int): Column =

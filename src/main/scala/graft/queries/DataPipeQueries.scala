@@ -265,6 +265,15 @@ object DataPipeQueries {
       Similarity.bruteForceTopK(e, e.where(col("vec_id") === 0), k = 20)
     }),
 
+    // JL sign-matrix projection search: 64-dim floats -> 16 exact integer
+    // coordinates (the SRP hyperplanes without the threshold), top-20 by
+    // projected integer dot. The pdot values pin every projected
+    // coordinate, so the oracle verifies the whole projection.
+    "sim8_jl_topk" -> ((s, dir) => {
+      val e = embs(s, dir)
+      Similarity.jlTopK(e, e.where(col("vec_id") === 0), k = 20, dims = 16)
+    }),
+
     // SQ8 vector compression + search: embeddings scalar-quantized to
     // int8 codes (one global max-|component| scale), top-20 by exact
     // integer code dot product. The qdot values pin every code byte, so
@@ -1529,6 +1538,20 @@ object DataPipeQueries {
          |         / (sqrt(${dotD("qv.q", "qv.q")}) * sqrt(${dotD("q.qq", "q.qq")})) AS cosine
          |FROM qv, q
          |ORDER BY cosine DESC, vec_id LIMIT 20""".stripMargin,
+    "sim8_jl_topk" ->
+      s"""WITH $quantCte,
+         |planes AS (SELECT unnest(range(0, 16)) AS p),
+         |coords AS (
+         |  SELECT vec_id, p,
+         |    CAST(list_sum(list_transform(q, (x, i) ->
+         |      CASE WHEN ((((1103515245::BIGINT * (p * 65537 + (i - 1)) + 12345) % 2147483648) >> 16) & 1) = 0
+         |           THEN x ELSE -x END)) AS BIGINT) AS y
+         |  FROM qv CROSS JOIN planes),
+         |pv AS (SELECT vec_id, list(y ORDER BY p) AS proj FROM coords GROUP BY vec_id),
+         |pq AS (SELECT proj AS qproj FROM pv WHERE vec_id = 0)
+         |SELECT pv.vec_id,
+         |       CAST(list_sum(list_transform(list_zip(pv.proj, pq.qproj), s -> s[1] * s[2])) AS BIGINT) AS pdot
+         |FROM pv, pq ORDER BY pdot DESC, vec_id LIMIT 20""".stripMargin,
     "sim7_ivfpq_topk" ->
       s"""WITH $quantCte,
          |cents AS (SELECT vec_id AS centroid_id, q AS qc FROM qv WHERE vec_id % 50 = 0),

@@ -186,4 +186,50 @@ class SimilaritySpec extends SparkSpec {
     val recall = (floatTop & q8Top).size
     assert(recall >= 8, s"int8 recall@10 must be >= 0.8, got $recall/10")
   }
+
+  test("JL projection: coordinates sign-consistent with SRP bits, layout-independent, useful recall") {
+    val proj = Similarity.jlProject(embs, dims = 16)
+    // internal consistency: the sign of coordinate p IS hyperplane bit p
+    val qd = embs.select(col("vec_id"),
+        graft.datapipe.Vectors.quantize(col("embedding")).as("q"))
+      .withColumn("sig", graft.datapipe.Vectors.lshSignaturePortable(col("q"), 16))
+      .select("vec_id", "sig")
+    val joined = proj.join(qd, "vec_id").collect()
+    joined.foreach { r =>
+      val coords = r.getSeq[Long](r.fieldIndex("proj"))
+      val sig = r.getAs[Long]("sig")
+      coords.zipWithIndex.foreach { case (y, p) =>
+        val bit = (sig >> p) & 1L
+        assert((y >= 0) == (bit == 1L),
+          s"coordinate $p sign must match SRP bit (y=$y, bit=$bit)")
+      }
+    }
+    // layout independence
+    val a = proj.orderBy("vec_id").collect().map(r =>
+      r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val b = Similarity.jlProject(embs.repartition(5), dims = 16)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(a == b, "projections must be layout-independent")
+    // the projected order is a useful first-pass: self retrieved, and
+    // recall grows with dims (the JL tradeoff): on these near-random
+    // unit vectors a 3x pool at 16 dims catches a few of the float
+    // top-10, at 32 dims most of it; exact re-rank is the documented
+    // second stage either way
+    val floatTop = Similarity.bruteForceTopK(embs, embs.where(col("vec_id") === 7), k = 10)
+      .collect().map(_.getAs[Long]("vec_id")).toSet
+    def pool(dims: Int) =
+      Similarity.jlTopK(embs, embs.where(col("vec_id") === 7), k = 30, dims = dims)
+        .collect().map(_.getAs[Long]("vec_id"))
+    val p16 = pool(16)
+    assert(p16.contains(7L), "query must retrieve itself")
+    val r16 = (floatTop & p16.toSet).size
+    val r32 = (floatTop & pool(32).toSet).size
+    // the fixture's vectors are ~uniform on the sphere (no cluster
+    // structure), the hardest case for any projection — the pin is
+    // "clearly better than the ~7% random-pool baseline", not high
+    // absolute recall (real corpora have neighborhoods; re-rank is the
+    // second stage regardless)
+    assert(r16 >= 2 && r32 >= 2,
+      s"JL pools must beat the random baseline, got $r16/10 and $r32/10")
+  }
 }
