@@ -431,12 +431,12 @@ object Similarity {
     * cheap-first-pass before exact re-rank at corpus scale.
     */
   def jlProject(vecs: DataFrame, dims: Int = 16,
-                idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+                idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    graft.functions.GraftFunctions.register(vecs.sparkSession)
     vecs
       .select(col(idCol), Vectors.quantize(col(vecCol)).as("__q"))
-      .select(col(idCol),
-        array((0 until dims).map(p => Vectors.projectPortable(col("__q"), p)): _*)
-          .as("proj"))
+      .select(col(idCol), Vectors.jlProjectN(col("__q"), dims).as("proj"))
+  }
 
   /** Approximate top-k by exact integer dot product in the projected
     * space — a map-side scan over `dims`-long vectors plus one
@@ -449,7 +449,7 @@ object Similarity {
       .select(col("proj").as("__qp")))
     jlProject(vecs, dims, idCol, vecCol)
       .crossJoin(pq)
-      .withColumn("pdot", Vectors.dotQ(col("proj"), col("__qp")))
+      .withColumn("pdot", Vectors.dotQN(col("proj"), col("__qp")))
       .select(col(idCol), col("pdot"))
       .orderBy(desc("pdot"), col(idCol))
       .limit(k)

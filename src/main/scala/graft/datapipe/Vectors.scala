@@ -96,6 +96,13 @@ object Vectors {
   def hyperplaneBitPortable(q: Column, plane: Int): Column =
     when(projectPortable(q, plane) >= 0, lit(1L)).otherwise(lit(0L))
 
+  /** Native codegen'd twin of `dims` × [[projectPortable]] in one pass
+    * (graft.functions.JlProjectLong); requires
+    * `GraftFunctions.register(spark)`. Bit-identical coordinates.
+    */
+  def jlProjectN(q: Column, dims: Int): Column =
+    call_function(graft.functions.GraftFunctions.jlProjectName, q, lit(dims))
+
   /** Portable twin of [[lshSignature]] — cross-engine-verifiable buckets. */
   def lshSignaturePortable(q: Column, nPlanes: Int): Column =
     (0 until nPlanes)

@@ -210,6 +210,16 @@ class SimilaritySpec extends SparkSpec {
     val b = Similarity.jlProject(embs.repartition(5), dims = 16)
       .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
     assert(a == b, "projections must be layout-independent")
+    // the native codegen'd expression is bit-identical to the
+    // higher-order-function twin, coordinate for coordinate
+    val hof = embs
+      .select(col("vec_id"),
+        graft.datapipe.Vectors.quantize(col("embedding")).as("__q"))
+      .select(col("vec_id"),
+        array((0 until 16).map(p =>
+          graft.datapipe.Vectors.projectPortable(col("__q"), p)): _*).as("proj"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(a == hof, "native JlProjectLong must equal the HOF formulation")
     // the projected order is a useful first-pass: self retrieved, and
     // recall grows with dims (the JL tradeoff): on these near-random
     // unit vectors a 3x pool at 16 dims catches a few of the float
