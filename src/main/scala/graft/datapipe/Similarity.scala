@@ -310,7 +310,7 @@ object Similarity {
     * the per-query ranking).
     */
   private def pqDist(qx: Column, qc: Column): Column =
-    Vectors.dotQ(qc, qc) - lit(2L) * Vectors.dotQ(qx, qc)
+    Vectors.dotQN(qc, qc) - lit(2L) * Vectors.dotQN(qx, qc)
 
   /** PQ assignment: per vector and subspace, the code of the nearest
     * codebook entry (integer L2, ties to the smaller code). One broadcast
@@ -321,6 +321,7 @@ object Similarity {
     */
   def pqAssign(vecs: DataFrame, codebooks: DataFrame,
                idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    graft.functions.GraftFunctions.register(vecs.sparkSession)
     val m = codebooks.agg(max(col("m"))).head().getInt(0) + 1
     val sub = vecs
       .select(col(idCol), Vectors.quantize(col(vecCol)).as("__qv"))
@@ -348,6 +349,7 @@ object Similarity {
     */
   def pqTopK(codes: DataFrame, codebooks: DataFrame, query: DataFrame, k: Int,
              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    graft.functions.GraftFunctions.register(codes.sparkSession)
     val m = codebooks.agg(max(col("m"))).head().getInt(0) + 1
     val qsub = query.limit(1)
       .select(Vectors.quantize(col(vecCol)).as("__qv"))
