@@ -294,11 +294,16 @@ object Dedup {
     */
   def minhashSignaturesPortable(docs: DataFrame, k: Int = 16, n: Int = 3,
                                 textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
-    val sh = shingles(docs, n, textCol, idCol)
-    val mins = (0 until k).map(i =>
-      min(md5(concat_ws("|", lit(i), col("shingle")))).as(s"h$i"))
-    sh.groupBy(idCol).agg(mins.head, mins.tail: _*)
-      .select(col(idCol), array((0 until k).map(i => col(s"h$i")): _*).as("signature"))
+    // native per-doc signature (functions.MinhashMd5): the whole k-lane
+    // minimum computed map-side from the shingle array — no explode, no
+    // k-string-min aggregate, no Exchange. Values are spec-pinned
+    // bit-identical to the declarative explode+groupBy formulation (and
+    // to the DuckDB oracles, which still state the declarative form).
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    shingleArrays(docs, n, textCol, idCol)
+      .select(col(idCol),
+        call_function(graft.functions.GraftFunctions.minhashName,
+          col("shingles"), lit(k)).as("signature"))
   }
 
   /** Portable LSH banding over [[minhashSignaturesPortable]]: band bucket =

@@ -71,6 +71,7 @@ case class DotProductLong(left: Expression, right: Expression)
 object GraftFunctions {
   val dotQName = "graft_dot_q"
   val jlProjectName = "graft_jl_project"
+  val minhashName = "graft_minhash_md5"
 
   /** Distributed Bloom-filter build over xxhash64 of the argument —
     * Spark's own `BloomFilterAggregate` (the engine uses it for runtime
@@ -102,6 +103,8 @@ object GraftFunctions {
       dotQName, (args: Seq[Expression]) => DotProductLong(args(0), args(1)), "built-in")
     registry.createOrReplaceTempFunction(
       jlProjectName, (args: Seq[Expression]) => JlProjectLong(args(0), args(1)), "built-in")
+    registry.createOrReplaceTempFunction(
+      minhashName, (args: Seq[Expression]) => MinhashMd5(args(0), args(1)), "built-in")
     registry.createOrReplaceTempFunction(
       bloomAggName,
       (args: Seq[Expression]) => new org.apache.spark.sql.catalyst.expressions.aggregate

@@ -303,4 +303,30 @@ class DedupSpec extends SparkSpec {
     assert(out == Map(
       1L -> (3L, 1750000L), 2L -> (2L, 1500000L), 3L -> (1L, 1000000L)))
   }
+
+  test("native minhash signatures equal the declarative explode+groupBy formulation") {
+    val s = spark; import s.implicits._
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy cat"),
+      (3L, "completely different words entirely here now"),
+      (4L, "the quick brown fox jumps over the lazy dog"), // exact dup of 1
+      (5L, "too short"),                                   // < 3 tokens: no row
+      (6L, "exactly three tokens")                         // single shingle
+    ).toDF("doc_id", "text")
+    val native = Dedup.minhashSignaturesPortable(docs, k = 16)
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    // the declarative reference the native expression replaced
+    val sh = Dedup.shingleArrays(docs).select(col("doc_id"),
+      explode(col("shingles")).as("shingle"))
+    val mins = (0 until 16).map(i =>
+      min(md5(concat_ws("|", lit(i), col("shingle")))).as(s"h$i"))
+    val declarative = sh.groupBy("doc_id").agg(mins.head, mins.tail: _*)
+      .select(col("doc_id"),
+        array((0 until 16).map(i => col(s"h$i")): _*).as("signature"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(native.keySet === Set(1L, 2L, 3L, 4L, 6L), "short docs drop")
+    assert(native === declarative, "native MinhashMd5 must be bit-identical")
+    assert(native(1L) === native(4L), "exact dups share signatures")
+  }
 }
