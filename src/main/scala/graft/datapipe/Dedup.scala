@@ -295,15 +295,26 @@ object Dedup {
   def minhashSignaturesPortable(docs: DataFrame, k: Int = 16, n: Int = 3,
                                 textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     // native per-doc signature (functions.MinhashMd5): the whole k-lane
-    // minimum computed map-side from the shingle array — no explode, no
-    // k-string-min aggregate, no Exchange. Values are spec-pinned
-    // bit-identical to the declarative explode+groupBy formulation (and
-    // to the DuckDB oracles, which still state the declarative form).
+    // minimum computed map-side from the shingle array — no explode and
+    // no per-shingle aggregation. Values are spec-pinned bit-identical
+    // to the declarative explode+groupBy formulation (and to the DuckDB
+    // oracles, which still state the declarative form). The final
+    // lane-wise min aggregate carries ONE k-string row per doc (vs one
+    // row per shingle before) and exists to keep the old GROUP BY
+    // doc_id semantics when ids collide across rows: min over a shingle
+    // union == lane-wise min of per-row signatures (min is
+    // distributive), which the sf10 fixture's id-space collisions
+    // exercise for real.
     graft.functions.GraftFunctions.register(docs.sparkSession)
-    shingleArrays(docs, n, textCol, idCol)
+    val perRow = shingleArrays(docs, n, textCol, idCol)
       .select(col(idCol),
         call_function(graft.functions.GraftFunctions.minhashName,
-          col("shingles"), lit(k)).as("signature"))
+          col("shingles"), lit(k)).as("__sig"))
+    val laneMins = (0 until k).map(i =>
+      min(element_at(col("__sig"), i + 1)).as(s"h$i"))
+    perRow.groupBy(idCol).agg(laneMins.head, laneMins.tail: _*)
+      .select(col(idCol),
+        array((0 until k).map(i => col(s"h$i")): _*).as("signature"))
   }
 
   /** Portable LSH banding over [[minhashSignaturesPortable]]: band bucket =
