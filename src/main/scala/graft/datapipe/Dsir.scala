@@ -32,18 +32,31 @@ object Dsir {
     * plus space-joined bigrams, bucket = portable 24-bit md5 hash mod
     * `nBuckets`. One row per occurrence (bag-of-n-grams, not a set).
     *
-    * Two scan legs unioned, DELIBERATELY: a one-scan variant (explode
-    * of filter(uni) ++ transform(bigrams)) measured NO faster at sf10 —
-    * 183 s cold-position vs this shape's 113 s warm / 198 s cold, i.e.
-    * within cold-JVM run variance — because the scan is cheap next to
-    * per-row feature work, while its interpreted HOF concat chain costs
-    * at least the codegen explode it saves. The bigram string is
-    * assembled AFTER the explode (codegen concat_ws per row, not an
-    * interpreted lambda per element).
+    * Native one-pass path (functions.FeatureBucketsMd5, the MinhashMd5
+    * playbook): every doc's bucket ids come out of one codegen'd call
+    * over its token array, so the plan explodes small LONGS once instead
+    * of running two string explode legs with per-row md5+concat
+    * expression trees. Spec-pinned bit-identical to the declarative
+    * formulation ([[hashedFeaturesDeclarative]], which the DuckDB
+    * oracles still state) — same rows, same bag multiplicities.
     */
   def hashedFeatures(docs: DataFrame, nBuckets: Int, seed: Long = 0L,
                      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     require(nBuckets > 0, "nBuckets must be positive")
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    docs
+      .select(col(idCol), TextAnalysis.tokens(col(textCol)).as("__t"))
+      .select(col(idCol),
+        explode(call_function(graft.functions.GraftFunctions.featureBucketsName,
+          col("__t"), lit(seed), lit(nBuckets))).as("bucket"))
+  }
+
+  /** The declarative two-leg formulation [[hashedFeatures]] replaced —
+    * kept as the reference its spec pins the native expression against.
+    */
+  private[datapipe] def hashedFeaturesDeclarative(
+      docs: DataFrame, nBuckets: Int, seed: Long = 0L,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     val uni = docs
       .select(col(idCol), explode(TextAnalysis.tokens(col(textCol))).as("f"))
       .where(col("f") =!= "")

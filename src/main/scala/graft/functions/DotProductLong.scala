@@ -72,6 +72,7 @@ object GraftFunctions {
   val dotQName = "graft_dot_q"
   val jlProjectName = "graft_jl_project"
   val minhashName = "graft_minhash_md5"
+  val featureBucketsName = "graft_feature_buckets"
 
   /** Distributed Bloom-filter build over xxhash64 of the argument —
     * Spark's own `BloomFilterAggregate` (the engine uses it for runtime
@@ -105,6 +106,9 @@ object GraftFunctions {
       jlProjectName, (args: Seq[Expression]) => JlProjectLong(args(0), args(1)), "built-in")
     registry.createOrReplaceTempFunction(
       minhashName, (args: Seq[Expression]) => MinhashMd5(args(0), args(1)), "built-in")
+    registry.createOrReplaceTempFunction(
+      featureBucketsName,
+      (args: Seq[Expression]) => FeatureBucketsMd5(args(0), args(1), args(2)), "built-in")
     registry.createOrReplaceTempFunction(
       bloomAggName,
       (args: Seq[Expression]) => new org.apache.spark.sql.catalyst.expressions.aggregate

@@ -74,11 +74,31 @@ class DsirSpec extends SparkSpec {
         corpus.where(col("source") === "legal"), corpus, n = 2, nBuckets = 64)
       .queryExecution.executedPlan.toString
     // fitModel materializes both count tables, so the execution plan must
-    // carry exactly the candidate corpus's two feature legs (unigram +
-    // bigram Generate) — the r8 regression shape was SIX legs (candidates
-    // + target + raw), re-training both models inside every execution
+    // carry exactly the candidate corpus's SINGLE feature leg (one
+    // explode of the native FeatureBucketsMd5 array — the r8 regression
+    // shape was SIX string legs, re-training both models inside every
+    // execution; the pre-native shape was two)
     val generates = plan.linesIterator.count(_.contains("Generate "))
-    assert(generates == 2,
-      s"expected 2 explode legs (candidates only), found $generates:\n$plan")
+    assert(generates == 1,
+      s"expected 1 explode leg (candidates only), found $generates:\n$plan")
+  }
+
+  test("native feature buckets equal the declarative two-leg formulation (bag semantics)") {
+    val s = spark; import s.implicits._
+    val docs = Seq(
+      (1L, "the quick brown fox the quick"),   // repeated features
+      (2L, "single"),                          // unigram only, no bigram
+      (3L, ""),                                // empty text
+      (4L, "  padded   spacing  here ")        // trim/split edges
+    ).toDF("doc_id", "text")
+    def bag(df: org.apache.spark.sql.DataFrame) = df
+      .groupBy("doc_id", "bucket").count()
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val native = bag(Dsir.hashedFeatures(docs, nBuckets = 64, seed = 3L))
+    val declarative = bag(Dsir.hashedFeaturesDeclarative(docs, nBuckets = 64, seed = 3L))
+    assert(native === declarative,
+      "native FeatureBucketsMd5 must reproduce the declarative bag exactly")
+    assert(native.keys.exists(_._1 == 1L) && !native.keys.exists(_._1 == 3L),
+      "featureless docs produce no rows")
   }
 }
