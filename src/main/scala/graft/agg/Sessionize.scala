@@ -35,6 +35,7 @@ object Sessionize {
     val w = Window.partitionBy(by.map(col): _*).orderBy(col(tsCol), col(tieCol))
     val prev = lag(col(tsCol), 1).over(w)
     events
+      .withColumn("__gap_prev", col(tsCol) - prev)
       .withColumn("__new_session",
         when(prev.isNull || col(tsCol) - prev > gap, 1L).otherwise(0L))
       .withColumn("session_seq",

@@ -192,11 +192,15 @@ object MiscQueries {
          |         min(epoch_ns(ts)) AS a1, max(epoch_ns(ts)) AS b1
          |  FROM events),
          |q AS (
+         |  -- HUGEINT-widened product: the 128-bit twin of the engine's
+         |  -- DECIMAL(38,0) intermediate (exact for ranges beyond BIGINT/255)
          |  SELECT event_id,
-         |    CASE WHEN b0 > a0 THEN ((user_id - a0) * 255) // (b0 - a0)
-         |         ELSE 0 END AS q0,
-         |    CASE WHEN b1 > a1 THEN ((epoch_ns(ts) - a1) * 255) // (b1 - a1)
-         |         ELSE 0 END AS q1
+         |    CASE WHEN b0 > a0 THEN CAST(
+         |      ((CAST(user_id AS HUGEINT) - a0) * 255) // (CAST(b0 AS HUGEINT) - a0)
+         |      AS BIGINT) ELSE 0 END AS q0,
+         |    CASE WHEN b1 > a1 THEN CAST(
+         |      ((CAST(epoch_ns(ts) AS HUGEINT) - a1) * 255) // (CAST(b1 AS HUGEINT) - a1)
+         |      AS BIGINT) ELSE 0 END AS q1
          |  FROM events, mm)
          |SELECT event_id, CAST(${zInterleaveSql("q0", "q1", 8)} AS BIGINT) AS zval
          |FROM q ORDER BY event_id""".stripMargin

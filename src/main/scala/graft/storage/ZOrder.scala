@@ -16,8 +16,12 @@ import org.apache.spark.sql.functions._
   * Everything is integer arithmetic: each column is quantized to a
   * `bits`-bit cell index by exact integer scaling against its min/max
   * (`((x - min) * (2^bits - 1)) div (max - min)` — div, never double
-  * division: ns-scale ranges times 255 exceed double's 53-bit mantissa),
-  * then bit-interleaved into the Morton code. The two min/max values per
+  * division: ns-scale ranges times 255 exceed double's 53-bit mantissa;
+  * the subtraction/product are widened to DECIMAL(38,0) so the 128-bit
+  * intermediate is exact even when the column range itself approaches —
+  * or, after subtraction of a negative min, exceeds — Long range, where
+  * a bigint product would silently wrap in non-ANSI mode), then
+  * bit-interleaved into the Morton code. The two min/max values per
   * column are the ONLY driver-side data (one metadata-scale aggregate,
   * the Bloom-sizing precedent); quantization and interleave stay inside
   * codegen, so the z-value — and therefore the layout — is deterministic
@@ -56,10 +60,15 @@ object ZOrder {
     val qs = cols.map { c =>
       val mn = mm.getAs[Long](s"mn_$c")
       val mx = mm.getAs[Long](s"mx_$c")
-      if (mx > mn)
-        // literal min/range: integer div via SQL `div`, exact at any scale
-        expr(s"((cast(`$c` as bigint) - (${mn}L)) * ${k}L) div ${mx - mn}L")
-      else lit(0L)
+      if (mx > mn) {
+        // literal min/range as DECIMAL(38,0) (BigInt in Scala — mx-mn can
+        // exceed Long when mn<0): the (x-mn)*k product stays exact in a
+        // 128-bit decimal, then integer `div` lands back in bigint. A
+        // bigint product would wrap for ranges > Long.MaxValue/k.
+        val range = BigInt(mx) - BigInt(mn)
+        expr(s"((cast(cast(`$c` as bigint) as decimal(38,0)) - ${mn}BD) " +
+          s"* ${k}BD) div ${range}BD")
+      } else lit(0L)
     }
     df.withColumn(zCol, interleave(qs, bits))
   }

@@ -44,21 +44,27 @@ object StreamingIngest {
         col("open"), col("high"), col("low"), col("close"), col("volume"))
 
   /** Gap-based sessionization on a *stream* — the live twin of
-    * [[graft.agg.Sessionize]], via Spark's `session_window` (merges an
-    * event into the current session when it arrives within `gap` of the
-    * session's latest event — the same inclusive-gap rule the batch
-    * operator uses, so a closed streaming session equals the batch
-    * session over the same rows: window.start = min ts, window.end =
-    * max ts + gap). Watermarking bounds session state: sessions older
-    * than the watermark close and evict, so state is O(open sessions),
-    * not O(history) — the property that makes this run forever at scale.
+    * [[graft.agg.Sessionize]], via Spark's `session_window`. Spark's
+    * native windows are half-open `[ts, ts+gap)`, which would SPLIT two
+    * events exactly `gap` apart — the batch rule is inclusive (`ts -
+    * prev > gap` splits, exactly-gap stays in-session). We close that
+    * boundary by widening the native gap by 1 microsecond (Spark's
+    * timestamp resolution): exactly-gap events now merge, and no pair
+    * of distinct timestamps can fall strictly between `gap` and
+    * `gap`+1µs, so every other merge decision is unchanged. With that,
+    * a closed streaming session equals the batch session over the same
+    * rows (window.start = min ts; window.end = max ts + gap + 1µs, the
+    * state-eviction bound). Watermarking bounds session state: sessions
+    * older than the watermark close and evict, so state is O(open
+    * sessions), not O(history) — the property that makes this run
+    * forever at scale.
     */
   def streamingSessions(
       events: DataFrame, by: Seq[String], tsCol: String, gap: String,
       valueCol: String, watermark: String = "10 minutes"): DataFrame =
     events
       .withWatermark(tsCol, watermark)
-      .groupBy(session_window(col(tsCol), gap) +: by.map(col): _*)
+      .groupBy(session_window(col(tsCol), s"$gap 1 microsecond") +: by.map(col): _*)
       .agg(
         count(lit(1)).as("n_events"),
         min(col(tsCol)).as("session_start"),

@@ -22,6 +22,15 @@ class SessionizeSpec extends SparkSpec {
       (1L, 1L), (2L, 1L), (3L, 2L), (4L, 2L), (5L, 3L), (6L, 1L)))
   }
 
+  test("__gap_prev is the gap to the previous event, null for the first") {
+    val gaps = Sessionize.sessionize(events, Seq("user"), "t", lit(10L), "id")
+      .orderBy("user", "t")
+      .select("id", "__gap_prev").as[(Long, Option[Long])].collect()
+    assert(gaps === Seq(
+      (1L, None), (2L, Some(5L)), (3L, Some(11L)), (4L, Some(4L)),
+      (5L, Some(20L)), (6L, None)))
+  }
+
   test("a gap exactly equal to the bound stays in-session") {
     val e = Seq(("u", 0L, 1L, 0.0), ("u", 10L, 2L, 0.0)).toDF("user", "t", "id", "v")
     val seqs = Sessionize.sessionize(e, Seq("user"), "t", lit(10L), "id")

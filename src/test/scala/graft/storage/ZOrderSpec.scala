@@ -23,6 +23,23 @@ class ZOrderSpec extends SparkSpec {
     assert(got === Seq(0L, 1L, 5L))
   }
 
+  test("quantization is exact for ranges beyond Long.MaxValue/255 (no wrap)") {
+    // range here is ~1.8e18 > Long.MaxValue/255 (~3.6e16): a bigint
+    // (x-mn)*255 product would wrap; the DECIMAL(38,0) path must not.
+    val lo = Long.MinValue / 2 + 1   // mn < 0: mx-mn also exceeds what a
+    val hi = Long.MaxValue / 2       // naive long literal could hold safely
+    val mid = 0L
+    val df = Seq((lo, 1L), (mid, 1L), (hi, 1L)).toDF("x", "c")
+    val got = ZOrder.withZValue(df, Seq("x", "c"), bits = 8)
+      .orderBy("x").select("__z").as[Long].collect()
+    val range = BigInt(hi) - BigInt(lo)
+    def q(x: Long): Long = (((BigInt(x) - BigInt(lo)) * 255) / range).toLong
+    def spread(v: Long): Long =   // interleave with constant col: even bits
+      (0 until 8).map(j => ((v >> j) & 1L) << (2 * j)).sum
+    assert(got === Seq(q(lo), q(mid), q(hi)).map(spread))
+    assert(got(1) > 0L && got(2) > got(1), "monotone, not wrapped")
+  }
+
   test("z-curve is total and collision-bounded on a full grid") {
     val grid = for { x <- 0 until 16; y <- 0 until 16 } yield (x.toLong, y.toLong)
     val z = ZOrder.withZValue(grid.toDF("x", "y"), Seq("x", "y"), bits = 4)

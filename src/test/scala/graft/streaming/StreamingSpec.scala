@@ -256,6 +256,44 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming sessions keep events exactly `gap` apart together (batch boundary rule)") {
+    val s = spark; import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    def evTs(sec: Int) = new java.sql.Timestamp(1640995200000L + sec * 1000L)
+    // 0s and 10s are EXACTLY gap apart -> one session under the batch
+    // inclusive rule; 21s is 11s > gap after 10s -> a second session.
+    // Native half-open session_window would split the first pair; the
+    // 1µs gap widening in streamingSessions must keep them merged.
+    val events = Seq(
+      Ev("u1", evTs(0), 1L, 1.0), Ev("u1", evTs(10), 2L, 2.0),
+      Ev("u1", evTs(21), 3L, 3.0))
+    val mem = MemoryStream[Ev]
+    mem.addData(events)
+    val out = StreamingIngest.streamingSessions(
+      mem.toDF(), by = Seq("user"), tsCol = "ts", gap = "10 seconds",
+      valueCol = "v")
+    val q = out.writeStream.format("memory").queryName("sess_edge")
+      .outputMode("complete")
+      .option("checkpointLocation", tmpDir("ckpt-sess-edge")).start()
+    try {
+      q.processAllAvailable()
+      val streamed = s.sql(
+        """SELECT user, session_start, session_end, n_events, sum_value
+          |FROM sess_edge ORDER BY user, session_start""".stripMargin)
+        .collect().map(_.toSeq)
+      val batch = graft.agg.Sessionize.sessionSummary(
+          events.toDF(), Seq("user"), "ts",
+          expr("INTERVAL 10 SECONDS"), "id", "v")
+        .select(col("user"), col("session_start"), col("session_end"),
+          col("n_events"), col("sum_value"))
+        .orderBy("user", "session_start")
+        .collect().map(_.toSeq)
+      assert(streamed.length == 2, s"exactly-gap pair must merge: $streamed")
+      assert(streamed.toSeq == batch.toSeq,
+        "streaming must equal batch Sessionize at the exact-gap boundary")
+    } finally q.stop()
+  }
+
   test("stream-stream interval join enriches within the lag bound, nulls after watermark") {
     val s = spark; import s.implicits._
     implicit val sqlCtx = s.sqlContext
