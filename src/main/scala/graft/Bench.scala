@@ -174,6 +174,16 @@ object Bench {
     java.nio.file.Files.write(
       java.nio.file.Paths.get(outDir, artifact),
       (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    // The full line above is ~10 kB at 158 queries and log captures keep
+    // only a tail — r9's driver artifact had "parsed": null because the
+    // line's START was cut off. Emit a COMPACT summary LAST (same schema,
+    // headline queries only, ~200 chars): it always fits whole inside any
+    // sane tail capture, so the driver's parser finds a valid line; the
+    // per-query detail lives in the bench_out file either way.
+    val headline = all.filter { case (k, _) =>
+      k == "pipeline_year_1sym" || k == "pipeline_day_50sym" }
+    println(
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${obj(headline)},"sf":"$sfDir","n_queries":${all.length},"detail":"$outDir/$artifact"}""")
     spark.stop()
   }
 }

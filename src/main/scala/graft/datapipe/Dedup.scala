@@ -227,6 +227,52 @@ object Dedup {
         col("size_b").cast("long").as("size_b"), col("jaccard"))
   }
 
+  /** Exact Jaccard VERIFICATION of a candidate pair set — the second
+    * half of the published two-stage near-dup pipeline (Lee et al. 2022,
+    * "Deduplicating Training Data Makes Language Models Better":
+    * MinHash-LSH proposes, exact similarity disposes). Where
+    * [[ngramJaccardPairs]] scores every shingle-sharing pair (Σ df²
+    * posting work — the right tool when no index exists), this scores
+    * ONLY the pairs in `candidates`: per-doc shingle sets are built once
+    * for the docs that appear in some candidate pair (semi-join prune —
+    * candidate ids are two longs per pair, orders of magnitude lighter
+    * than the corpus text, and when the candidate set comes from a
+    * parquet artifact its file stats let Spark pick a broadcast
+    * semi-join on its own; no forced hint, so a billion-pair candidate
+    * set still degrades to a shuffle instead of an OOM), then each
+    * pair's intersection
+    * is computed in-row with `array_intersect` — no posting explosion,
+    * no pair-array materialization, work linear in |candidates|. At
+    * 100 TB the LSH index bounds |candidates| to near-duplicates only,
+    * so this is the scale path for thresholds the bands are tuned for
+    * (>= ~0.5 at 16/4); the exhaustive operator remains the recall
+    * oracle. Output schema matches [[ngramJaccardPairs]] exactly.
+    */
+  def jaccardVerifyCandidates(
+      docs: DataFrame, candidates: DataFrame,
+      n: Int = 3, threshold: Double = 0.5,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val candIds = candidates.select(col("id_a").as(idCol))
+      .union(candidates.select(col("id_b").as(idCol))).distinct()
+    // shingle arrays ONLY for docs in some pair; materialized once —
+    // both join legs below read it (see shingles() re-evaluation note)
+    val arrays = Materialize.frontier(
+      shingleArrays(docs, n, textCol, idCol)
+        .join(candIds, Seq(idCol), "left_semi"))
+    val a = arrays.select(col(idCol).as("id_a"), col("shingles").as("__sa"))
+    val b = arrays.select(col(idCol).as("id_b"), col("shingles").as("__sb"))
+    candidates.select("id_a", "id_b")
+      .join(a, Seq("id_a")).join(b, Seq("id_b"))
+      .withColumn("n_common", size(array_intersect(col("__sa"), col("__sb"))).cast("long"))
+      .withColumn("size_a", size(col("__sa")).cast("long"))
+      .withColumn("size_b", size(col("__sb")).cast("long"))
+      .withColumn("jaccard",
+        col("n_common").cast("double") /
+          (col("size_a") + col("size_b") - col("n_common")).cast("double"))
+      .where(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "n_common", "size_a", "size_b", "jaccard")
+  }
+
   /** MinHash signature: k independent hash functions h_i(shingle) =
     * xxhash64(shingle, i); signature = per-document min of each.
     * One groupBy(id) pass — signatures are k longs, not the shingle sets.

@@ -62,12 +62,13 @@ object Multimodal {
       octet_length(bytes).cast("long").as("n_bytes"))
   }
 
-  /** ??? real decoder goes here — requires an image codec library.
-    * `decodeBatched` keeps the batch-at-a-time contract a real codec
-    * needs: mapPartitions gives one iterator per partition (the JVM
-    * analogue of `mapInPandas`), so the decode library is initialized
-    * once per partition, not once per row. The body delegates to the
-    * same deterministic fake so pipeline tests exercise this path too.
+  /** The batch-at-a-time codec contract with the deterministic FAKE body
+    * (oracle twin of [[decodeStub]] — any engine reproduces its values):
+    * mapPartitions gives one iterator per partition (the JVM analogue of
+    * `mapInPandas`), so a decode library is initialized once per
+    * partition, not once per row. The REAL codecs on this contract are
+    * [[decodeImages]] (header-only dims) and [[imagePixelStats]] (full
+    * pixel decode) via the JDK's `javax.imageio`.
     */
   def decodeBatched(media: DataFrame)(implicit spark: SparkSession): DataFrame = {
     val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(decodedSchema)
@@ -84,6 +85,100 @@ object Multimodal {
         val w = 64L + (c % 64).toLong
         val h = 64L + (bytes.length % 64).toLong
         Row(id, w, h, "fake/rgb8", bytes.length.toLong)
+      }
+    }(enc)
+  }
+
+  /** Real-decode metadata: width/height nullable — undecodable payloads
+    * pass through with their id and size instead of failing the batch
+    * (at corpus scale some fraction of scraped media is always corrupt;
+    * a throwing decoder would fail whole partitions for one bad row).
+    */
+  val imageDecodedSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("width", LongType, nullable = true),
+    StructField("height", LongType, nullable = true),
+    StructField("format", StringType, nullable = true),
+    StructField("n_bytes", LongType, nullable = false)
+  ))
+
+  /** REAL image decode via `javax.imageio` (JDK-built-in: png/jpeg/gif/
+    * bmp/wbmp — no external dependency), on the same per-partition batch
+    * contract as [[decodeBatched]]. Header-only: the matching
+    * `ImageReader` reads width/height/format from the stream header
+    * without decoding pixels — the 100 TB shape for metadata extraction
+    * (dimension filtering, aspect-ratio screens) where a full pixel
+    * decode would be ~100× the IO-adjacent CPU. Undecodable rows emit
+    * null dims (see [[imageDecodedSchema]]).
+    */
+  def decodeImages(media: DataFrame)(implicit spark: SparkSession): DataFrame = {
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(imageDecodedSchema)
+    media.select("media_id", "content").mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(0)
+        val bytes = r.getAs[Array[Byte]](1)
+        val iis = javax.imageio.ImageIO.createImageInputStream(
+          new java.io.ByteArrayInputStream(bytes))
+        try {
+          val readers = javax.imageio.ImageIO.getImageReaders(iis)
+          if (readers.hasNext) {
+            val rd = readers.next()
+            try {
+              rd.setInput(iis, true, true)
+              Row(id, rd.getWidth(0).toLong, rd.getHeight(0).toLong,
+                rd.getFormatName.toLowerCase(java.util.Locale.ROOT),
+                bytes.length.toLong)
+            } catch {
+              case _: java.io.IOException =>
+                Row(id, null, null, null, bytes.length.toLong)
+            } finally rd.dispose()
+          } else Row(id, null, null, null, bytes.length.toLong)
+        } finally if (iis != null) iis.close()
+      }
+    }(enc)
+  }
+
+  /** Full-pixel decode → exact integer channel statistics: width, height,
+    * and per-channel value SUMS (longs, not means — integer sums are
+    * engine-exact and the mean is one division away). The real-codec
+    * stand-in for batch feature extraction: same mapPartitions batch
+    * shape an embedding model would use, with the decode library's state
+    * initialized per partition, not per row. Undecodable rows emit null
+    * stats. Pixel work is per-row CPU with no shuffle — scales linearly
+    * with executors; pair with [[repartitionBySize]] so a few giant
+    * images cannot straggle a task.
+    */
+  def imagePixelStats(media: DataFrame)(implicit spark: SparkSession): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("width", LongType, nullable = true),
+      StructField("height", LongType, nullable = true),
+      StructField("sum_r", LongType, nullable = true),
+      StructField("sum_g", LongType, nullable = true),
+      StructField("sum_b", LongType, nullable = true)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+    media.select("media_id", "content").mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(0)
+        val bytes = r.getAs[Array[Byte]](1)
+        val img =
+          try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+          catch { case _: java.io.IOException => null }
+        if (img == null) Row(id, null, null, null, null, null)
+        else {
+          var (sr, sg, sb) = (0L, 0L, 0L)
+          var y = 0
+          while (y < img.getHeight) {
+            var x = 0
+            while (x < img.getWidth) {
+              val rgb = img.getRGB(x, y)
+              sr += (rgb >> 16) & 0xff; sg += (rgb >> 8) & 0xff; sb += rgb & 0xff
+              x += 1
+            }
+            y += 1
+          }
+          Row(id, img.getWidth.toLong, img.getHeight.toLong, sr, sg, sb)
+        }
       }
     }(enc)
   }

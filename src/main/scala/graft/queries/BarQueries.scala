@@ -49,8 +49,16 @@ object BarQueries {
       Resampler.resample(eventBars(s, dir), FrameSpec.F5m)
         .orderBy("symbol", "ts_ns")),
 
+    "a1_resample_15m" -> ((s, dir) =>
+      Resampler.resample(eventBars(s, dir), FrameSpec.F15m)
+        .orderBy("symbol", "ts_ns")),
+
     "a1_resample_1h" -> ((s, dir) =>
       Resampler.resample(eventBars(s, dir), FrameSpec.F1h)
+        .orderBy("symbol", "ts_ns")),
+
+    "a1_resample_4h" -> ((s, dir) =>
+      Resampler.resample(eventBars(s, dir), FrameSpec.F4h)
         .orderBy("symbol", "ts_ns")),
 
     "a2_resample_1d_market_open" -> ((s, dir) =>
@@ -137,7 +145,10 @@ object BarQueries {
     val resample1h = resampleSql(3600000000000L)
     Map(
       "a1_resample_5m" -> resample5m,
+      // all five frames share one parameterized code path + oracle
+      "a1_resample_15m" -> resampleSql(900000000000L),
       "a1_resample_1h" -> resample1h,
+      "a1_resample_4h" -> resampleSql(14400000000000L),
       "a2_resample_1d_market_open" ->
         s"""$barsCte
            |SELECT symbol,

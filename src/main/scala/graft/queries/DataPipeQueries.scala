@@ -64,6 +64,34 @@ object DataPipeQueries {
         array_join(filter(parts, x => x =!= ""), "\n").as("text"))
   }
 
+  /** The near-dup PAIR GRAPH as a build-once persisted artifact: the
+    * portable LSH candidate pairs over [[docsWithNearDups]] (k=16,
+    * bands=4 — the exact pair set `d3_minhash_lsh` computes live),
+    * written as parquet by the first consumer and read back by every
+    * later one. Five queries share this graph (component clustering,
+    * survivor keep, PageRank, rank-keep, leakage-safe split) plus the
+    * d2b Jaccard verify; without the artifact each re-ran the whole
+    * shingle→minhash→band pipeline — or nondeterministically hit a warm
+    * CacheManager fragment, making bench numbers unreproducible. The
+    * `d12_artifact_pairs` row is the explicit builder: it sorts before
+    * every consumer in the (name-ordered) sweep, so the build cost is
+    * paid once, visibly, there.
+    */
+  private def nearDupPairs(s: SparkSession, dir: String): DataFrame =
+    ArtifactStore.getOrBuild(s, s"neardup_pairs_k16_b4|$dir") {
+      Dedup.minhashLshCandidatesPortable(docsWithNearDups(s, dir), k = 16, bands = 4)
+    }
+
+  /** The stored corpus's portable LSH band index (doc_id, band, bucket)
+    * as a BUCKETED build-once artifact — see `d8_artifact_band_index`.
+    */
+  private def storedBandIndex(s: SparkSession, dir: String): DataFrame =
+    ArtifactStore.getOrBuildBucketed(
+        s, s"stored_bands_k16_b4|$dir", bucketCol = "bucket", nBuckets = 8) {
+      Dedup.minhashBandsPortable(docs(s, dir).select("doc_id", "text"),
+        k = 16, bands = 4)
+    }
+
   /** documents ∪ injected exact copies (new ids, same text: x2 for
     * doc_id<30, x3 for doc_id<10) — guaranteed multiplicity spread for
     * the duplication-weighting operators.
@@ -86,10 +114,27 @@ object DataPipeQueries {
       Dedup.ngramJaccardPairs(docsWithNearDups(s, dir), n = 3, threshold = 0.5)
         .orderBy("id_a", "id_b")),
 
+    // Two-stage near-dup scoring (Lee et al. 2022): LSH candidates (the
+    // persisted pair-graph artifact) -> exact Jaccard verification on
+    // candidates only. Same output shape as d2 without the Σdf² posting
+    // cost — the 100 TB path when an LSH index exists; DedupSpec pins
+    // pair-set equality with the exhaustive operator on the fixture.
+    "d2b_lsh_jaccard" -> ((s, dir) =>
+      Dedup.jaccardVerifyCandidates(docsWithNearDups(s, dir),
+          nearDupPairs(s, dir), n = 3, threshold = 0.5)
+        .orderBy("id_a", "id_b")),
+
     "d3_minhash_lsh" -> ((s, dir) =>
       // portable md5-string minhash: oracle recomputes identical buckets
       Dedup.minhashLshCandidatesPortable(docsWithNearDups(s, dir), k = 16, bands = 4)
         .orderBy("id_a", "id_b")),
+
+    // The pair-graph artifact builder (see nearDupPairs): forces the
+    // build+write and returns the stored pairs — the d3 pair set routed
+    // through its parquet materialization, so the oracle double-checks
+    // the write/read roundtrip too.
+    "d12_artifact_pairs" -> ((s, dir) =>
+      nearDupPairs(s, dir).orderBy("id_a", "id_b")),
 
     "d5_simhash" -> ((s, dir) =>
       // portable md5-bit simhash: oracle recomputes identical signatures
@@ -102,23 +147,20 @@ object DataPipeQueries {
     // (min reachable id). Exercises the grouping published pipelines
     // apply to MinHash pairs before one-survivor-per-cluster keep.
     "d12_dup_components" -> ((s, dir) =>
-      Dedup.duplicateComponents(
-          Dedup.minhashLshCandidatesPortable(docsWithNearDups(s, dir), k = 16, bands = 4))
+      Dedup.duplicateComponents(nearDupPairs(s, dir))
         .orderBy("doc_id")),
 
     // The component labeling applied as a keep rule: one survivor (min
     // id) per connected component; docs in no pair pass through.
     "d12_component_keep" -> ((s, dir) =>
-      Dedup.componentKeep(docsWithNearDups(s, dir),
-          Dedup.minhashLshCandidatesPortable(docsWithNearDups(s, dir), k = 16, bands = 4))
+      Dedup.componentKeep(docsWithNearDups(s, dir), nearDupPairs(s, dir))
         .orderBy("doc_id")),
 
     // Graph centrality over the SAME LSH pair graph: integer-micro
     // PageRank (damping 0.85, 3 sweeps) — the graph-based quality
     // signal (web-graph authority / most-central-duplicate selection).
     "g1_graph_rank" -> ((s, dir) =>
-      GraphRank.pageRankMicro(
-          Dedup.minhashLshCandidatesPortable(docsWithNearDups(s, dir), k = 16, bands = 4))
+      GraphRank.pageRankMicro(nearDupPairs(s, dir))
         .withColumnRenamed("id", "doc_id")
         .orderBy("doc_id")),
 
@@ -126,16 +168,14 @@ object DataPipeQueries {
     // the highest-ranked member (ties -> min id); unpaired docs keep
     // themselves. The rank-based upgrade of d12_component_keep.
     "g2_rank_keep" -> ((s, dir) =>
-      GraphRank.rankKeep(docsWithNearDups(s, dir),
-          Dedup.minhashLshCandidatesPortable(docsWithNearDups(s, dir), k = 16, bands = 4))
+      GraphRank.rankKeep(docsWithNearDups(s, dir), nearDupPairs(s, dir))
         .orderBy("doc_id")),
 
     // Leakage-safe split: hash the near-dup COMPONENT label, not the
     // doc id, so clusters never straddle train/holdout (contamination
     // guard; the no-straddle property is spec-pinned in SamplingSpec).
     "smp11_leakage_safe_split" -> ((s, dir) =>
-      Sampling.leakageSafeSplit(docsWithNearDups(s, dir),
-          Dedup.minhashLshCandidatesPortable(docsWithNearDups(s, dir), k = 16, bands = 4),
+      Sampling.leakageSafeSplit(docsWithNearDups(s, dir), nearDupPairs(s, dir),
           holdoutFraction = 0.2, seed = 5)
         .groupBy("split")
         .agg(count(lit(1)).as("n_docs"), sum(col("doc_id")).as("id_sum"))
@@ -213,9 +253,22 @@ object DataPipeQueries {
           min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
     }),
 
+    // The stored corpus's LSH band index as a BUCKETED build-once
+    // artifact (bucketed by `bucket`, the probe key): in the incremental
+    // regime the index exists from corpus ingest — only a NEW batch's
+    // bands are ever computed live, and each probe join reads the stored
+    // side exchange-free. This row is the explicit builder (it sorts
+    // before d8_incremental_lsh, so sweeps pay the index build here).
+    "d8_artifact_band_index" -> ((s, dir) =>
+      storedBandIndex(s, dir)
+        .select(col("doc_id"), col("band").cast("long").as("band"), col("bucket"))
+        .orderBy("doc_id", "band")),
+
     // Incremental LSH: the mutated near-copies arrive as a NEW batch and
     // join the stored corpus's persisted band index — (stored, incoming)
     // candidate pairs without touching corpus text (portable md5 twin).
+    // The stored side is the bucketed artifact above: no stored-side
+    // re-index, no stored-side shuffle.
     "d8_incremental_lsh" -> ((s, dir) => {
       val stored = docs(s, dir).select("doc_id", "text")
       val t = TextAnalysis.tokens(col("text"))
@@ -224,7 +277,7 @@ object DataPipeQueries {
           array_join(slice(t, lit(1), greatest(size(t) - 5, lit(1))), " ").as("text"))
       Dedup.incrementalLshCandidates(
           Dedup.minhashBandsPortable(incoming, k = 16, bands = 4),
-          Dedup.minhashBandsPortable(stored, k = 16, bands = 4))
+          storedBandIndex(s, dir))
         .orderBy("stored_id", "incoming_id")
     }),
 
@@ -1182,6 +1235,16 @@ object DataPipeQueries {
     * the symmetrized `edges` CTE — shared by the d12 reach chain and the
     * g1/g2 rank chain so the graph definition cannot desync.
     */
+  /** The portable LSH candidate-pair query (k=16, bands=4 over the
+    * near-dup corpus) — one definition for `d3_minhash_lsh` (the live
+    * computation) and `d12_artifact_pairs` (the stored artifact), which
+    * must be the same set by construction.
+    */
+  private lazy val lshPairsSql: String =
+    s"""$d12PairsCte
+       |SELECT id_a, id_b FROM prs
+       |ORDER BY id_a, id_b""".stripMargin
+
   private lazy val d12PairsCte: String =
     s"""$nearDupCte,
        |sh AS (
@@ -1299,27 +1362,32 @@ object DataPipeQueries {
          |JOIN sizes sb ON sb.doc_id = id_b
          |WHERE CAST(n_common AS DOUBLE) / CAST(sa.set_size + sb.set_size - n_common AS DOUBLE) >= 0.5
          |ORDER BY id_a, id_b""".stripMargin,
-    "d3_minhash_lsh" ->
-      s"""$nearDupCte,
-         |sh AS (
-         |  SELECT DISTINCT doc_id,
-         |         concat_ws(' ', t[i], t[i+1], t[i+2]) AS shingle
-         |  FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t
-         |        FROM base)
-         |  CROSS JOIN LATERAL (SELECT unnest(generate_series(1, len(t) - 2)) AS i)
-         |  WHERE len(t) >= 3),
-         |idx AS (SELECT unnest(range(0, 16)) AS i),
-         |mh AS (
-         |  SELECT doc_id, i, min(md5(concat(i, '|', shingle))) AS h
-         |  FROM sh CROSS JOIN idx GROUP BY doc_id, i),
-         |sig AS (SELECT doc_id, list(h ORDER BY i) AS s FROM mh GROUP BY doc_id),
-         |bandidx AS (SELECT unnest(range(0, 4)) AS b),
-         |banded AS (
-         |  SELECT doc_id, b, md5(array_to_string(s[b*4+1 : b*4+4], ',')) AS bucket
-         |  FROM sig CROSS JOIN bandidx)
-         |SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
-         |FROM banded x JOIN banded y
-         |  ON x.b = y.b AND x.bucket = y.bucket AND x.doc_id < y.doc_id
+    "d3_minhash_lsh" -> lshPairsSql,
+    // the artifact row stores and re-reads the SAME pair set d3 computes
+    // live, so one oracle definition serves both (a desync would mean
+    // the parquet roundtrip corrupted the graph)
+    "d12_artifact_pairs" -> lshPairsSql,
+    // LSH candidates (prs, from the shared pair-graph CTE) verified by
+    // exact shingle-set Jaccard — candidates-only intersection join,
+    // mirroring Dedup.jaccardVerifyCandidates
+    "d2b_lsh_jaccard" ->
+      s"""$d12PairsCte,
+         |sizes AS (SELECT doc_id, count(*) AS set_size FROM sh GROUP BY doc_id),
+         |inter AS (
+         |  SELECT c.id_a, c.id_b, count(*) AS n_common
+         |  FROM prs c
+         |  JOIN sh a ON a.doc_id = c.id_a
+         |  JOIN sh b ON b.doc_id = c.id_b AND b.shingle = a.shingle
+         |  GROUP BY 1, 2)
+         |SELECT i.id_a, i.id_b, i.n_common,
+         |       sa.set_size AS size_a, sb.set_size AS size_b,
+         |       CAST(i.n_common AS DOUBLE)
+         |         / CAST(sa.set_size + sb.set_size - i.n_common AS DOUBLE) AS jaccard
+         |FROM inter i
+         |JOIN sizes sa ON sa.doc_id = i.id_a
+         |JOIN sizes sb ON sb.doc_id = i.id_b
+         |WHERE CAST(i.n_common AS DOUBLE)
+         |        / CAST(sa.set_size + sb.set_size - i.n_common AS DOUBLE) >= 0.5
          |ORDER BY id_a, id_b""".stripMargin,
     "d12_dup_components" ->
       s"""$d12ReachCte
@@ -1395,6 +1463,24 @@ object DataPipeQueries {
         |       coalesce(re.text_dedup, '') AS text_dedup
         |FROM tk LEFT JOIN re USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
+    "d8_artifact_band_index" ->
+      """WITH sh AS (
+        |  SELECT DISTINCT doc_id,
+        |         concat_ws(' ', t[i], t[i+1], t[i+2]) AS shingle
+        |  FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+        |        FROM documents)
+        |  CROSS JOIN LATERAL (SELECT unnest(generate_series(1, len(t) - 2)) AS i)
+        |  WHERE len(t) >= 3),
+        |idx AS (SELECT unnest(range(0, 16)) AS i),
+        |mh AS (
+        |  SELECT doc_id, i, min(md5(concat(i, '|', shingle))) AS h
+        |  FROM sh CROSS JOIN idx GROUP BY doc_id, i),
+        |sig AS (SELECT doc_id, list(h ORDER BY i) AS s FROM mh GROUP BY doc_id),
+        |bandidx AS (SELECT unnest(range(0, 4)) AS b)
+        |SELECT doc_id, CAST(b AS BIGINT) AS band,
+        |       md5(array_to_string(s[b*4+1 : b*4+4], ',')) AS bucket
+        |FROM sig CROSS JOIN bandidx
+        |ORDER BY doc_id, band""".stripMargin,
     "d8_incremental_lsh" ->
       s"""$nearDupCte,
          |sh AS (

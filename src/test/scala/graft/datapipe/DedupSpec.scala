@@ -34,6 +34,26 @@ class DedupSpec extends SparkSpec {
     assert(exact.getAs[Double]("jaccard") == 1.0)
   }
 
+  test("LSH-prefiltered Jaccard verify equals the exhaustive operator (d2b ≡ d2)") {
+    val cand = Dedup.minhashLshCandidatesPortable(docs, k = 16, bands = 4)
+    val verified = Dedup.jaccardVerifyCandidates(docs, cand, n = 3, threshold = 0.5)
+      .orderBy("id_a", "id_b").collect().map(_.toSeq)
+    val exhaustive = Dedup.ngramJaccardPairs(docs, n = 3, threshold = 0.5)
+      .orderBy("id_a", "id_b").collect().map(_.toSeq)
+    // full row equality: pair set AND n_common/size/jaccard values
+    assert(verified.toSeq == exhaustive.toSeq,
+      "verification of LSH candidates must reproduce the exhaustive rows")
+  }
+
+  test("jaccardVerifyCandidates drops below-threshold candidates (LSH false positives)") {
+    val s = spark; import s.implicits._
+    // hand-planted candidate list with a true pair and a junk pair
+    val cand = Seq((1L, 3L), (1L, 4L)).toDF("id_a", "id_b")
+    val out = Dedup.jaccardVerifyCandidates(docs, cand, n = 3, threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(out == Set((1L, 3L)), "the dissimilar candidate must not survive verification")
+  }
+
   test("minhash LSH candidates are a superset of true near-dups here") {
     val cand = Dedup.minhashLshCandidates(docs, k = 16, bands = 8).collect()
       .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet

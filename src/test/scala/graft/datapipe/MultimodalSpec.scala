@@ -34,6 +34,60 @@ class MultimodalSpec extends SparkSpec {
     assert(a == b)
   }
 
+  // real media rows: an actual PNG and JPEG produced by the JDK's own
+  // encoder, plus a corrupt payload (text bytes posing as an image)
+  private def realMedia = {
+    val s = spark; import s.implicits._
+    def png(w: Int, h: Int, rgb: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, rgb)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    def jpeg(w: Int, h: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpg", bos)
+      bos.toByteArray
+    }
+    Seq(
+      (10L, "image", png(3, 2, 0xff0000), Map("src" -> "spec")),
+      (11L, "image", jpeg(5, 4), Map("src" -> "spec")),
+      (12L, "image", "not an image at all".getBytes("UTF-8"), Map("src" -> "spec"))
+    ).toDF("media_id", "modality", "content", "meta")
+  }
+
+  test("decodeImages: real PNG/JPEG header decode, corrupt rows pass through null") {
+    implicit val s: SparkSession = spark
+    val out = Multimodal.decodeImages(realMedia).collect()
+      .map(r => r.getAs[Long]("media_id") -> r).toMap
+    assert(out(10L).getAs[Long]("width") == 3L)
+    assert(out(10L).getAs[Long]("height") == 2L)
+    assert(out(10L).getAs[String]("format") == "png")
+    assert(out(11L).getAs[Long]("width") == 5L)
+    assert(out(11L).getAs[Long]("height") == 4L)
+    assert(Set("jpeg", "jpg").contains(out(11L).getAs[String]("format")))
+    assert(out(12L).isNullAt(out(12L).fieldIndex("width")), "corrupt row -> null dims")
+    assert(out(12L).getAs[Long]("n_bytes") == 19L, "corrupt row keeps id + size")
+  }
+
+  test("imagePixelStats: exact integer channel sums from a full pixel decode") {
+    implicit val s: SparkSession = spark
+    val out = Multimodal.imagePixelStats(realMedia).collect()
+      .map(r => r.getAs[Long]("media_id") -> r).toMap
+    // 3x2 solid red PNG: 6 pixels of (255, 0, 0), lossless codec
+    assert(out(10L).getAs[Long]("sum_r") == 255L * 6)
+    assert(out(10L).getAs[Long]("sum_g") == 0L)
+    assert(out(10L).getAs[Long]("sum_b") == 0L)
+    assert(out(10L).getAs[Long]("width") == 3L && out(10L).getAs[Long]("height") == 2L)
+    // solid-black JPEG: lossy, but black encodes to black exactly
+    assert(out(11L).getAs[Long]("sum_r") == 0L && out(11L).getAs[Long]("sum_b") == 0L)
+    assert(out(12L).isNullAt(out(12L).fieldIndex("width")), "corrupt row -> null stats")
+  }
+
   test("feature stub: fixed-dim deterministic vectors") {
     val rows = Multimodal.featuresStub(media, dim = 4).collect()
     assert(rows.forall(_.getAs[Seq[Double]]("features").length == 4))
