@@ -38,7 +38,13 @@ object Bench {
 
     def time(f: => Unit): Double = {
       val t0 = System.nanoTime()
-      try f catch { case _: Throwable => return -1.0 }
+      // a failed row must be VISIBLE (-1 in the artifact AND a stderr
+      // line): the silent swallow hid a real artifact-table collision
+      // for a whole run
+      try f catch { case e: Throwable =>
+        System.err.println(s"[bench] FAILED: ${e.getClass.getSimpleName}: ${e.getMessage}")
+        return -1.0
+      }
       (System.nanoTime() - t0) / 1e9
     }
 

@@ -39,6 +39,7 @@ object ArtifactStore {
   // key -> parquet path, registered only after a successful write
   private val built = new java.util.concurrent.ConcurrentHashMap[String, String]()
   private val seq = new java.util.concurrent.atomic.AtomicLong(0L)
+  private val jvmTag = java.util.UUID.randomUUID().toString.take(8)
   private lazy val localRoot =
     java.nio.file.Files.createTempDirectory("graft_artifacts").toString
 
@@ -75,9 +76,14 @@ object ArtifactStore {
   def getOrBuildBucketed(spark: SparkSession, key: String, bucketCol: String,
                          nBuckets: Int)(build: => DataFrame): DataFrame = {
     val table = built.computeIfAbsent(key, { _ =>
+      // jvmTag makes the table LOCATION unique per JVM: the catalog is
+      // in-memory (fresh each session) but the warehouse directory is
+      // not, and CREATE ... AS SELECT refuses a non-empty leftover
+      // location from an earlier session (observed as a silent -1 bench
+      // row). A fresh name per JVM cannot collide with any leftover.
       val t = "graft_artifact_" +
         key.replaceAll("[^A-Za-z0-9_]", "_").take(60).toLowerCase(java.util.Locale.ROOT) +
-        s"_${seq.incrementAndGet()}"
+        s"_${jvmTag}_${seq.incrementAndGet()}"
       build.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
         .format("parquet").bucketBy(nBuckets, bucketCol).saveAsTable(t)
       t
