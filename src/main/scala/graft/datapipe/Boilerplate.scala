@@ -41,7 +41,7 @@ object Boilerplate {
     */
   def frequentLines(docs: DataFrame, minDocFreq: Long = 3L,
                     textCol: String = "text", idCol: String = "doc_id"): DataFrame =
-    docs
+    graft.core.Parallelism.widenForCpu(docs)
       .select(col(idCol), explode(array_distinct(normLines(textCol))).as("line"))
       .where(col("line") =!= "")
       .groupBy("line")
@@ -60,7 +60,7 @@ object Boilerplate {
     */
   def removeLines(docs: DataFrame, blocklist: DataFrame,
                   textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
-    val lines = docs
+    val lines = graft.core.Parallelism.widenForCpu(docs)
       .select(col(idCol), posexplode(split(col(textCol), "\n")).as(Seq("pos", "raw")))
       .withColumn("line", lower(trim(col("raw"))))
     lines

@@ -23,7 +23,7 @@ object Bpe {
 
   /** (word, freq) over the corpus — the only pass that reads text. */
   def wordFreqs(docs: DataFrame, textCol: String = "text"): DataFrame =
-    docs
+    graft.core.Parallelism.widenForCpu(docs)
       .select(explode(TextAnalysis.tokens(col(textCol))).as("word"))
       .where(col("word") =!= "")
       .groupBy("word").agg(count(lit(1)).as("freq"))
@@ -90,7 +90,7 @@ object Bpe {
     */
   def encode(docs: DataFrame, merges: Seq[(String, String)],
              textCol: String = "text", idCol: String = "doc_id"): DataFrame =
-    docs.select(col(idCol),
+    graft.core.Parallelism.widenForCpu(docs).select(col(idCol),
       flatten(transform(TextAnalysis.tokens(col(textCol)),
         w => encodeWith(w, merges))).as("bpe_tokens"))
 
@@ -110,7 +110,8 @@ object Bpe {
     import s.implicits._
     val mergeArr = merges.toArray
     val ws = s"[${TextAnalysis.wsClass}]+"
-    docs.select(col(idCol).cast("long"), col(textCol))
+    graft.core.Parallelism.widenForCpu(docs)
+      .select(col(idCol).cast("long"), col(textCol))
       .as[(Long, String)]
       .mapPartitions { it =>
         it.map { case (id, text) =>

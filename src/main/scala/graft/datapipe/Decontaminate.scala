@@ -146,9 +146,10 @@ object Decontaminate {
         => org.apache.spark.sql.Column): DataFrame = {
     // corpus size as a broadcast 1-row frame, not a driver-side count():
     // keeps the operator fully lazy (one job, no extra eager pass)
-    val nDocs = docs.select(col(idCol)).distinct()
+    val wide = graft.core.Parallelism.widenForCpu(docs)
+    val nDocs = wide.select(col(idCol)).distinct()
       .agg(count(lit(1)).cast("double").as("__n_docs"))
-    val terms = docs
+    val terms = wide
       .select(col(idCol), explode(TextAnalysis.tokens(col(textCol))).as("term"))
       .where(col("term") =!= "")
     val tf = terms.groupBy(idCol, "term").agg(count(lit(1)).as("tf"))

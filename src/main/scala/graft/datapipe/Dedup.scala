@@ -1,6 +1,6 @@
 package graft.datapipe
 
-import graft.core.Materialize
+import graft.core.{Materialize, Parallelism}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -21,7 +21,7 @@ object Dedup {
     * pruned before the exchange).
     */
   def exact(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame =
-    docs
+    Parallelism.widenForCpu(docs)
       .select(TextAnalysis.fingerprintMd5(col(textCol)).as("content_hash"), col(idCol))
       .groupBy("content_hash")
       .agg(min(col(idCol)).as("canonical_id"), count(lit(1)).as("n_copies"))
@@ -29,7 +29,7 @@ object Dedup {
   /** Rows to keep after exact dedup (keep lowest id per content). */
   def exactKeep(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     val w = Window.partitionBy("content_hash").orderBy(col(idCol))
-    docs
+    Parallelism.widenForCpu(docs)
       .withColumn("content_hash", TextAnalysis.fingerprintMd5(col(textCol)))
       .withColumn("_rn", row_number().over(w))
       .where(col("_rn") === 1)
@@ -81,7 +81,7 @@ object Dedup {
     */
   def fingerprints(docs: DataFrame,
                    textCol: String = "text", idCol: String = "doc_id"): DataFrame =
-    docs.select(
+    Parallelism.widenForCpu(docs).select(
       TextAnalysis.fingerprintMd5(col(textCol)).as("content_hash"),
       col(idCol).as("canonical_id"))
 
@@ -158,7 +158,8 @@ object Dedup {
   def shingleArrays(docs: DataFrame, n: Int = 3,
                     textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     val t = TextAnalysis.tokens(col(textCol))
-    docs
+    // shingling is a compute expander: bytes in ≠ work out (see Parallelism)
+    Parallelism.widenForCpu(docs)
       .select(col(idCol), t.as("toks"))
       .where(size(col("toks")) >= n)
       .select(col(idCol), array_distinct(
@@ -396,7 +397,7 @@ object Dedup {
     * variant. Near-dups = signatures within `maxHammingDistance`.
     */
   def simhash(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
-    val tok = docs.select(col(idCol),
+    val tok = Parallelism.widenForCpu(docs).select(col(idCol),
       explode(TextAnalysis.tokens(col(textCol))).as("token"))
       .withColumn("h", xxhash64(col("token")))
     val bitVotes: Seq[org.apache.spark.sql.Column] = (0 until 64).map { b =>
@@ -418,7 +419,7 @@ object Dedup {
   def simhashPortable(docs: DataFrame, bits: Int = 32,
                       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     require(bits % 4 == 0 && bits <= 62, "bits must be a multiple of 4, <= 62")
-    val tok = docs.select(col(idCol),
+    val tok = Parallelism.widenForCpu(docs).select(col(idCol),
       explode(TextAnalysis.tokens(col(textCol))).as("token"))
       .withColumn("h", md5(col("token")))
     // hex digits projected once per token (not once per bit)
@@ -613,7 +614,7 @@ object Dedup {
       maxBucketSize: Int = Int.MaxValue, srpPlanes: Int = 16): DataFrame = {
     graft.functions.GraftFunctions.register(vecs.sparkSession)
     // norms computed once per vector (O(n)), not once per pair (O(n²))
-    val base0 = vecs.select(
+    val base0 = Parallelism.widenForCpu(vecs).select(
       col(idCol), col(bucketCol).as("bucket"),
       Vectors.quantize(col(vecCol)).as("q"))
       .withColumn("nrm", sqrt(Vectors.dotQN(col("q"), col("q")).cast("double")))

@@ -44,7 +44,7 @@ object Dsir {
                      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     require(nBuckets > 0, "nBuckets must be positive")
     graft.functions.GraftFunctions.register(docs.sparkSession)
-    docs
+    graft.core.Parallelism.widenForCpu(docs)
       .select(col(idCol), TextAnalysis.tokens(col(textCol)).as("__t"))
       .select(col(idCol),
         explode(call_function(graft.functions.GraftFunctions.featureBucketsName,

@@ -30,7 +30,7 @@ object LanguageModel {
     * produce no rows (a bigram model cannot score them).
     */
   private def bigramPairs(docs: DataFrame, textCol: String, idCol: String): DataFrame =
-    docs
+    graft.core.Parallelism.widenForCpu(docs)
       .select(col(idCol), TextAnalysis.tokens(col(textCol)).as("__t"))
       .where(size(col("__t")) >= 2)
       .select(col(idCol),
@@ -39,7 +39,7 @@ object LanguageModel {
 
   /** Unigram counts over the training slice: (token, n_w). */
   def unigramCounts(docs: DataFrame, textCol: String = "text"): DataFrame =
-    docs
+    graft.core.Parallelism.widenForCpu(docs)
       .select(explode(TextAnalysis.tokens(col(textCol))).as("token"))
       .where(col("token") =!= "")
       .groupBy("token").agg(count(lit(1)).as("n_w"))

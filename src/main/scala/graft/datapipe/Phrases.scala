@@ -34,11 +34,12 @@ object Phrases {
                  minScoreMicro: Long = 0L, textCol: String = "text"): DataFrame = {
     require(minCount >= 1 && delta >= 0, "minCount >= 1, delta >= 0")
     val t = TextAnalysis.tokens(col(textCol))
-    val uni = docs.select(explode(t).as("w"))
+    val wide = graft.core.Parallelism.widenForCpu(docs)
+    val uni = wide.select(explode(t).as("w"))
       .where(col("w") =!= "")
       .groupBy("w").agg(count(lit(1)).as("n_w"))
     val tot = uni.agg(sum(col("n_w")).as("__N"))
-    val pairs = docs
+    val pairs = wide
       .where(size(t) >= 2)
       .withColumn("__t", t)
       .select(explode(TextAnalysis.adjacentPairs(col("__t"))).as("p"))

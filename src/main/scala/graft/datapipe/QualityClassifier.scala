@@ -42,7 +42,7 @@ object QualityClassifier {
     */
   def train(labeled: DataFrame, textCol: String = "text",
             labelCol: String = "label"): DataFrame = {
-    val toks = labeled
+    val toks = graft.core.Parallelism.widenForCpu(labeled)
       .select(col(labelCol).cast("boolean").as("__good"),
         explode(TextAnalysis.tokens(col(textCol))).as("token"))
       .where(col("token") =!= "")
@@ -75,7 +75,7 @@ object QualityClassifier {
     */
   def score(docs: DataFrame, vocab: DataFrame,
             textCol: String = "text", idCol: String = "doc_id"): DataFrame =
-    docs
+    graft.core.Parallelism.widenForCpu(docs)
       .select(col(idCol), explode(TextAnalysis.tokens(col(textCol))).as("token"))
       .where(col("token") =!= "")
       .join(vocab.select(col("token"), col("log_odds_micro")), Seq("token"), "left")

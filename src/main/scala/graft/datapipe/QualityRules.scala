@@ -49,7 +49,7 @@ object QualityRules {
                   stopwords: Seq[String] = TextAnalysis.markers("en")): DataFrame = {
     val t = col("__toks")
     val n = col("n_tokens").cast("double")
-    docs
+    graft.core.Parallelism.widenForCpu(docs)
       .withColumn("__toks", TextAnalysis.tokens(col(textCol)))
       .withColumn("__lines",
         org.apache.spark.sql.functions.split(col(textCol), "\n"))

@@ -140,7 +140,8 @@ object Sampling {
   def assignShards(docs: DataFrame, nShards: Int, seed: Long = 0L,
                    idCol: String = "doc_id"): DataFrame = {
     require(nShards > 0, "nShards must be positive")
-    docs.withColumn("shard", inclusionHash(col(idCol), seed) % nShards)
+    graft.core.Parallelism.widenForCpu(docs)
+      .withColumn("shard", inclusionHash(col(idCol), seed) % nShards)
   }
 
   /** Greedy sequence packing for training export: within each shard,
@@ -203,7 +204,7 @@ object Sampling {
     require(maxLen >= 1, "maxLen must be positive")
     require(stride >= 1 && stride <= maxLen, "stride must be in [1, maxLen]")
     val toks = TextAnalysis.tokens(col(textCol))
-    docs
+    graft.core.Parallelism.widenForCpu(docs)
       .withColumn("__t", toks)
       .withColumn("__nc",
         when(size(col("__t")) <= maxLen, lit(1L))
@@ -384,7 +385,7 @@ object Sampling {
                   stratumCol: String = "source", orderCol: String = "doc_id",
                   textCol: String = "text"): DataFrame = {
     val w = Window.partitionBy(stratumCol).orderBy(orderCol)
-    docs
+    graft.core.Parallelism.widenForCpu(docs)
       .withColumn("__tok", TextAnalysis.tokenCount(col(textCol)).cast("long"))
       .withColumn("__cum", sum(col("__tok")).over(w))
       .where(col("__cum") <= budget)
@@ -402,7 +403,7 @@ object Sampling {
                         stratumCol: String = "source", seed: Long = 42L,
                         idCol: String = "doc_id",
                         textCol: String = "text"): DataFrame = {
-    val totals = docs
+    val totals = graft.core.Parallelism.widenForCpu(docs)
       .groupBy(stratumCol)
       .agg(sum(TextAnalysis.tokenCount(col(textCol)).cast("long"))
         .cast("double").as("__total"))

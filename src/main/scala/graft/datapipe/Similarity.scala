@@ -29,7 +29,7 @@ object Similarity {
     val q = query.limit(1)
       .select(Vectors.quantize(col(vecCol)).as("q_query"))
       .withColumn("q_nrm", sqrt(Vectors.dotQN(col("q_query"), col("q_query")).cast("double")))
-    vecs
+    graft.core.Parallelism.widenForCpu(vecs)
       .select(col(idCol), Vectors.quantize(col(vecCol)).as("q_vec"))
       .withColumn("v_nrm", sqrt(Vectors.dotQN(col("q_vec"), col("q_vec")).cast("double")))
       .crossJoin(broadcast(q))
@@ -57,7 +57,7 @@ object Similarity {
         else Vectors.lshSignature(col("q"), nPlanes))
     val qSig = sig(query.limit(1), "bucket")
       .select(col("q").as("q_query"), col("bucket"))
-    sig(vecs, "bucket")
+    sig(graft.core.Parallelism.widenForCpu(vecs), "bucket")
       .join(broadcast(qSig), Seq("bucket"))
       .withColumn("cosine", Vectors.cosineQN(col("q"), col("q_query")))
       .select(col(idCol), col("bucket"), col("cosine"))
@@ -108,7 +108,8 @@ object Similarity {
     graft.functions.GraftFunctions.register(vecs.sparkSession)
     val c = centroids.select(
       col(centroidIdCol), Vectors.quantize(col(vecCol)).as("q_cent"))
-    val v = vecs.select(col(idCol), Vectors.quantize(col(vecCol)).as("q_vec"))
+    val v = graft.core.Parallelism.widenForCpu(vecs)
+      .select(col(idCol), Vectors.quantize(col(vecCol)).as("q_vec"))
     v.crossJoin(broadcast(c))
       .withColumn("cosine", Vectors.cosineQN(col("q_vec"), col("q_cent")))
   }
@@ -248,7 +249,8 @@ object Similarity {
   def quantizeInt8(vecs: DataFrame, idCol: String = "vec_id",
                    vecCol: String = "embedding",
                    codesCol: String = "codes"): DataFrame = {
-    val micro = vecs.select(col(idCol), Vectors.quantize(col(vecCol)).as("__q"))
+    val micro = graft.core.Parallelism.widenForCpu(vecs)
+      .select(col(idCol), Vectors.quantize(col(vecCol)).as("__q"))
     val scale = micro.agg(
       coalesce(max(array_max(transform(col("__q"), x => abs(x)))), lit(1L))
         .as("__s"))
@@ -323,7 +325,7 @@ object Similarity {
                idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     graft.functions.GraftFunctions.register(vecs.sparkSession)
     val m = codebooks.agg(max(col("m"))).head().getInt(0) + 1
-    val sub = vecs
+    val sub = graft.core.Parallelism.widenForCpu(vecs)
       .select(col(idCol), Vectors.quantize(col(vecCol)).as("__qv"))
       .select(col(idCol), col("__qv"),
         explode(sequence(lit(0), lit(m - 1))).as("m"),
@@ -435,7 +437,7 @@ object Similarity {
   def jlProject(vecs: DataFrame, dims: Int = 16,
                 idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     graft.functions.GraftFunctions.register(vecs.sparkSession)
-    vecs
+    graft.core.Parallelism.widenForCpu(vecs)
       .select(col(idCol), Vectors.quantize(col(vecCol)).as("__q"))
       .select(col(idCol), Vectors.jlProjectN(col("__q"), dims).as("proj"))
   }

@@ -56,7 +56,8 @@ object SpanDedup {
                        textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     require(k >= 2, "k must be >= 2")
     val t = col("__toks")
-    docs.select(col(idCol), TextAnalysis.tokens(col(textCol)).as("__toks"))
+    graft.core.Parallelism.widenForCpu(docs)
+      .select(col(idCol), TextAnalysis.tokens(col(textCol)).as("__toks"))
       .where(size(t) >= k) // sequence(0, negative) DESCENDS, never emit it
       .select(col(idCol),
         posexplode(transform(sequence(lit(0), size(t) - k),

@@ -94,7 +94,7 @@ object TextAnalysis {
   def withQuality(docs: DataFrame, textCol: String = "text"): DataFrame = {
     val t = col("__toks")
     val n = col("n_tokens").cast("double")
-    docs
+    graft.core.Parallelism.widenForCpu(docs)
       .withColumn("__toks", tokens(col(textCol)))
       .withColumn("n_tokens", size(t).cast("long"))
       .withColumn("n_unique_tokens", size(array_distinct(t)).cast("long"))
@@ -127,7 +127,7 @@ object TextAnalysis {
 
   /** Per-document PII hit counts — pure map, codegen'd. */
   def withPiiCounts(docs: DataFrame, textCol: String = "text"): DataFrame =
-    docs
+    graft.core.Parallelism.widenForCpu(docs)
       .withColumn("n_emails", size(regexp_extract_all(col(textCol), lit(emailRe), lit(0))).cast("long"))
       .withColumn("n_urls", size(regexp_extract_all(col(textCol), lit(urlRe), lit(0))).cast("long"))
       .withColumn("n_phones", size(regexp_extract_all(col(textCol), lit(phoneRe), lit(0))).cast("long"))
@@ -148,7 +148,7 @@ object TextAnalysis {
     * arithmetic only: deterministic doubles, no cross-row FP.
     */
   def withRepetition(docs: DataFrame, textCol: String = "text"): DataFrame =
-    docs
+    graft.core.Parallelism.widenForCpu(docs)
       .withColumn("__toks", tokens(col(textCol)))
       .withColumn("__lines", split(col(textCol), "\\n"))
       .withColumn("dup_token_ratio",
@@ -184,7 +184,7 @@ object TextAnalysis {
         transform(sequence(lit(0), size(t) - n),
           i => concat_ws(" ", (0 until n).map(k => element_at(t, i + k + 1)): _*)))
       .otherwise(array().cast("array<string>"))
-    docs
+    graft.core.Parallelism.widenForCpu(docs)
       .withColumn("__toks", tokens(col(textCol)))
       .withColumn("__ng", ng)
       .withColumn("dup_ngram_ratio",
@@ -215,7 +215,8 @@ object TextAnalysis {
   def tokenEntropy(docs: DataFrame, textCol: String = "text",
                    idCol: String = "doc_id"): DataFrame = {
     val micro = lit(1000000.0)
-    docs.select(col(idCol), explode(tokens(col(textCol))).as("__tok"))
+    graft.core.Parallelism.widenForCpu(docs)
+      .select(col(idCol), explode(tokens(col(textCol))).as("__tok"))
       .groupBy(col(idCol), col("__tok")).agg(count(lit(1)).as("__n"))
       .groupBy(idCol).agg(
         sum(col("__n")).as("__total"),

@@ -50,7 +50,7 @@ object Winnowing {
     val toks = TextAnalysis.tokens(col(textCol))
     val zero = struct(lit(-1).cast("int").as("pos"),
       lit(null).cast("long").as("h"))
-    docs
+    graft.core.Parallelism.widenForCpu(docs)
       .where(size(toks) >= k)
       .withColumn("__t", toks)
       .withColumn("__g", gramHashes(col("__t"), k, portable))

@@ -23,6 +23,17 @@ object DataPipeQueries {
   private def docs(s: SparkSession, dir: String) = Tables.load(s, dir, "documents")
   private def embs(s: SparkSession, dir: String) = Tables.load(s, dir, "embeddings")
 
+  /** The documents scan widened to session parallelism (core.Parallelism):
+    * the whole corpus fits one compressed scan split well past sf10, so
+    * any row whose per-doc expressions are built HERE (fixture
+    * augmentation, inline tokenize/regex rows with no operator entry
+    * point downstream) must widen at the scan root — expressions upstream
+    * of a later operator-internal widen would still evaluate on the
+    * narrow side of its exchange.
+    */
+  private def docsWide(s: SparkSession, dir: String): DataFrame =
+    graft.core.Parallelism.widenForCpu(docs(s, dir))
+
   /** documents ∪ mutated near-copies (ids +100000, last 5 tokens dropped)
     * — guarantees the near-dup detectors have true positives to find.
     */
@@ -46,6 +57,7 @@ object DataPipeQueries {
     // bind the token array as an attribute: it is referenced four times
     // below, and a non-attribute expression re-tokenizes per reference
     val t = col("__t")
+    // the reshape tokenizes every doc: widen at the scan root (see docsWide)
     val l1 = array_join(slice(t, 1, 12), " ")
     val l2 = array_join(slice(t, 13, 12), " ")
     // size(t)-length slice = unbounded tail, matching the oracle's t[25:]
@@ -58,7 +70,7 @@ object DataPipeQueries {
         lit("subscribe to our newsletter for updates")).otherwise(lit("")),
       when(col("doc_id") % 5 === 0,
         lit("all rights reserved by the publisher")).otherwise(lit("")))
-    docs(s, dir)
+    docsWide(s, dir)
       .withColumn("__t", TextAnalysis.tokens(col("text")))
       .select(col("doc_id"),
         array_join(filter(parts, x => x =!= ""), "\n").as("text"))
@@ -638,27 +650,27 @@ object DataPipeQueries {
         .orderBy("doc_id")),
 
     "t5_bpeish_tokens" -> ((s, dir) =>
-      docs(s, dir)
+      docsWide(s, dir)
         .groupBy("lang")
         .agg(sum(TextAnalysis.tokenCountBpeish(col("text"))).as("bpeish_tokens"),
           sum(TextAnalysis.tokenCount(col("text"))).as("word_tokens"))
         .orderBy("lang")),
 
     "t2_langid" -> ((s, dir) =>
-      docs(s, dir)
+      docsWide(s, dir)
         .select(TextAnalysis.langId(col("text")).as("predicted_lang"))
         .groupBy("predicted_lang").agg(count(lit(1)).as("n"))
         .orderBy("predicted_lang")),
 
     "t3_token_count" -> ((s, dir) =>
-      docs(s, dir)
+      docsWide(s, dir)
         .groupBy("source")
         .agg(sum(TextAnalysis.tokenCount(col("text"))).as("total_tokens"),
           count(lit(1)).as("n_docs"))
         .orderBy("source")),
 
     "t4_fingerprint" -> ((s, dir) =>
-      docs(s, dir)
+      docsWide(s, dir)
         .select(col("doc_id"),
           TextAnalysis.fingerprintMd5(col("text")).as("fp_md5"))
         .orderBy("doc_id")),
@@ -667,7 +679,7 @@ object DataPipeQueries {
     // docs with an injected repeated prefix on doc_id%7 — guaranteed
     // nonzero ratios for the detector to find.
     "rep2_dup_ngram" -> ((s, dir) => {
-      val d = docs(s, dir)
+      val d = docsWide(s, dir)
       val t = TextAnalysis.tokens(col("text"))
       val aug = d.select(col("doc_id"),
         when(col("doc_id") % 7 === 0,
