@@ -255,11 +255,14 @@ object Dedup {
       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     val candIds = candidates.select(col("id_a").as(idCol))
       .union(candidates.select(col("id_b").as(idCol))).distinct()
-    // shingle arrays ONLY for docs in some pair; materialized once —
-    // both join legs below read it (see shingles() re-evaluation note)
+    // semi-join the RAW docs, then shingle: non-candidate docs are never
+    // tokenized (Catalyst's PushDownLeftSemiAntiJoin would usually get
+    // there too, but stating the order keeps the prune independent of
+    // optimizer coverage). Arrays materialized once — both join legs
+    // below read it (see shingles() re-evaluation note).
     val arrays = Materialize.frontier(
-      shingleArrays(docs, n, textCol, idCol)
-        .join(candIds, Seq(idCol), "left_semi"))
+      shingleArrays(docs.join(candIds, Seq(idCol), "left_semi"),
+        n, textCol, idCol))
     val a = arrays.select(col(idCol).as("id_a"), col("shingles").as("__sa"))
     val b = arrays.select(col(idCol).as("id_b"), col("shingles").as("__sb"))
     candidates.select("id_a", "id_b")
@@ -332,12 +335,16 @@ object Dedup {
         Seq("band", "bucket"))
       .select("stored_id", "incoming_id").distinct()
 
-  /** Portable MinHash signature: h_i(shingle) = md5(i + "|" + shingle) and
-    * the signature element is the lexicographic MIN of those hex strings —
-    * only string min/md5, so any SQL engine reproduces it bit-for-bit
-    * (cross-engine verification twin of [[minhashSignatures]]; the
-    * xxhash64/long variant stays the production path: 8-byte keys vs
-    * 32-char strings in the shuffle).
+  /** Portable MinHash signature: ONE md5 per shingle + k affine lane
+    * combinations — lane i's value is min over shingles of
+    * `h1 + i*h2`, h1/h2 = the first/second 48 bits of md5(shingle)
+    * (hex chars 1-12 / 13-24 as unsigned ints). Double hashing
+    * (Kirsch–Mitzenhauer) makes this ONE digest per shingle instead of
+    * the k-digests-per-shingle naive form, and every lane value is
+    * < 2^53 — exact BIGINT arithmetic any SQL engine reproduces
+    * bit-for-bit (cross-engine verification twin of
+    * [[minhashSignatures]]; the xxhash64 variant stays the in-Spark
+    * production alternative).
     */
   def minhashSignaturesPortable(docs: DataFrame, k: Int = 16, n: Int = 3,
                                 textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
@@ -345,8 +352,8 @@ object Dedup {
     // minimum computed map-side from the shingle array — no explode and
     // no per-shingle aggregation. Values are spec-pinned bit-identical
     // to the declarative explode+groupBy formulation (and to the DuckDB
-    // oracles, which still state the declarative form). The final
-    // lane-wise min aggregate carries ONE k-string row per doc (vs one
+    // oracles, which state the declarative form). The final
+    // lane-wise min aggregate carries ONE k-long row per doc (vs one
     // row per shingle before) and exists to keep the old GROUP BY
     // doc_id semantics when ids collide across rows: min over a shingle
     // union == lane-wise min of per-row signatures (min is
@@ -365,8 +372,10 @@ object Dedup {
   }
 
   /** Portable LSH banding over [[minhashSignaturesPortable]]: band bucket =
-    * md5 of the comma-joined band slice. Same (band, bucket) shuffle shape
-    * as [[minhashLshCandidates]], engine-independent values.
+    * md5 of the comma-joined (decimal-formatted) band slice. Same
+    * (band, bucket) shuffle shape as [[minhashLshCandidates]],
+    * engine-independent values (long→string decimal formatting is
+    * engine-exact; DuckDB's `array_to_string` produces the same join).
     */
   def minhashLshCandidatesPortable(docs: DataFrame, k: Int = 16, bands: Int = 4,
                                    n: Int = 3,
@@ -388,7 +397,8 @@ object Dedup {
     minhashSignaturesPortable(docs, k, n, textCol, idCol).select(
       col(idCol),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
-        b => md5(concat_ws(",", slice(col("signature"), b * rows + 1, lit(rows)))))))
+        b => md5(concat_ws(",",
+          slice(col("signature"), b * rows + 1, lit(rows)).cast("array<string>"))))))
       .withColumnRenamed("pos", "band")
       .withColumnRenamed("col", "bucket")
   }

@@ -12,11 +12,11 @@ import org.apache.spark.sql.functions._
   *
   * Every query has an exact DuckDB oracle. Hash/bit-level operators
   * (MinHash, SimHash, LSH planes, stub features) run their *portable*
-  * variants here — md5-string minhash, md5-bit simhash, LCG plane signs,
+  * variants here — md5 double-hash affine minhash (one digest per
+  * shingle, bigint lanes), md5-bit simhash, LCG plane signs,
   * char-arithmetic features — whose math any SQL engine reproduces
-  * bit-for-bit. The xxhash64 variants remain the production scale path
-  * (8-byte shuffle keys vs 32-char strings) and are spec-covered against
-  * the portable ones.
+  * bit-for-bit. The xxhash64 variants remain an in-Spark alternative
+  * and are spec-covered against the portable ones.
   */
 object DataPipeQueries {
 
@@ -1058,6 +1058,42 @@ object DataPipeQueries {
       s"(strpos('0123456789abcdef', substr($h, ${i + 1}, 1)) - 1) * ${1L << (4 * (5 - i))}")
       .mkString("(", " + ", ")")
 
+  /** 12 hex chars of `h` starting at 1-based `off` as an unsigned BIGINT
+    * (< 2^48) — the oracle-side decode of the portable-minhash h1/h2
+    * halves ([[graft.functions.MinhashMd5]]). Same strpos digit
+    * arithmetic as [[hex6]]; explicit ::BIGINT keeps every product wide.
+    */
+  private def hex12(h: String, off: Int): String =
+    (0 until 12).map(i =>
+      s"(strpos('0123456789abcdef', substr($h, ${off + i}, 1)) - 1) * ${1L << (4 * (11 - i))}::BIGINT")
+      .mkString("(", " + ", ")")
+
+  /** Portable-minhash band CTE chain over a preceding shingle CTE
+    * `sh(doc_id, shingle)` — ONE definition of the double-hashing
+    * scheme (md5 once per shingle; lane i = min((h1 + i*h2) mod 2^40),
+    * the modular reduction being what decorrelates the lanes — see
+    * [[graft.functions.MinhashMd5]]; band bucket = md5 of the
+    * comma-joined decimal band slice) for every oracle that recomputes
+    * LSH bands, so a scheme change cannot desync them. Emits `idx`,
+    * `hp`, `mh`, `sig`, `bandidx`, `banded(doc_id, b, bucket)`.
+    */
+  private def minhashBandCtes(k: Int = 16, bands: Int = 4): String = {
+    val rows = k / bands
+    s"""idx AS (SELECT unnest(range(0, $k)) AS i),
+       |hp AS (
+       |  SELECT doc_id, ${hex12("hx", 1)} AS h1, ${hex12("hx", 13)} AS h2
+       |  FROM (SELECT doc_id, md5(shingle) AS hx FROM sh)),
+       |mh AS (
+       |  SELECT doc_id, i, min((h1 + i * h2) % ${graft.functions.MinhashMd5.LaneMod}) AS h
+       |  FROM hp CROSS JOIN idx GROUP BY doc_id, i),
+       |sig AS (SELECT doc_id, list(h ORDER BY i) AS s FROM mh GROUP BY doc_id),
+       |bandidx AS (SELECT unnest(range(0, $bands)) AS b),
+       |banded AS (
+       |  SELECT doc_id, b,
+       |         md5(array_to_string(s[b*$rows+1 : b*$rows+$rows], ',')) AS bucket
+       |  FROM sig CROSS JOIN bandidx)""".stripMargin
+  }
+
   /** Shared by d7 and d19: the bloom pre-screen is an optimization with
     * no false negatives, so both paths must reproduce this one
     * exact-semantics result.
@@ -1266,15 +1302,7 @@ object DataPipeQueries {
        |        FROM base)
        |  CROSS JOIN LATERAL (SELECT unnest(generate_series(1, len(t) - 2)) AS i)
        |  WHERE len(t) >= 3),
-       |idx AS (SELECT unnest(range(0, 16)) AS i),
-       |mh AS (
-       |  SELECT doc_id, i, min(md5(concat(i, '|', shingle))) AS h
-       |  FROM sh CROSS JOIN idx GROUP BY doc_id, i),
-       |sig AS (SELECT doc_id, list(h ORDER BY i) AS s FROM mh GROUP BY doc_id),
-       |bandidx AS (SELECT unnest(range(0, 4)) AS b),
-       |banded AS (
-       |  SELECT doc_id, b, md5(array_to_string(s[b*4+1 : b*4+4], ',')) AS bucket
-       |  FROM sig CROSS JOIN bandidx),
+       |${minhashBandCtes()},
        |prs AS (
        |  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
        |  FROM banded x JOIN banded y
@@ -1476,23 +1504,17 @@ object DataPipeQueries {
         |FROM tk LEFT JOIN re USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
     "d8_artifact_band_index" ->
-      """WITH sh AS (
-        |  SELECT DISTINCT doc_id,
-        |         concat_ws(' ', t[i], t[i+1], t[i+2]) AS shingle
-        |  FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
-        |        FROM documents)
-        |  CROSS JOIN LATERAL (SELECT unnest(generate_series(1, len(t) - 2)) AS i)
-        |  WHERE len(t) >= 3),
-        |idx AS (SELECT unnest(range(0, 16)) AS i),
-        |mh AS (
-        |  SELECT doc_id, i, min(md5(concat(i, '|', shingle))) AS h
-        |  FROM sh CROSS JOIN idx GROUP BY doc_id, i),
-        |sig AS (SELECT doc_id, list(h ORDER BY i) AS s FROM mh GROUP BY doc_id),
-        |bandidx AS (SELECT unnest(range(0, 4)) AS b)
-        |SELECT doc_id, CAST(b AS BIGINT) AS band,
-        |       md5(array_to_string(s[b*4+1 : b*4+4], ',')) AS bucket
-        |FROM sig CROSS JOIN bandidx
-        |ORDER BY doc_id, band""".stripMargin,
+      s"""WITH sh AS (
+         |  SELECT DISTINCT doc_id,
+         |         concat_ws(' ', t[i], t[i+1], t[i+2]) AS shingle
+         |  FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t
+         |        FROM documents)
+         |  CROSS JOIN LATERAL (SELECT unnest(generate_series(1, len(t) - 2)) AS i)
+         |  WHERE len(t) >= 3),
+         |${minhashBandCtes()}
+         |SELECT doc_id, CAST(b AS BIGINT) AS band, bucket
+         |FROM banded
+         |ORDER BY doc_id, band""".stripMargin,
     "d8_incremental_lsh" ->
       s"""$nearDupCte,
          |sh AS (
@@ -1502,15 +1524,7 @@ object DataPipeQueries {
          |        FROM base)
          |  CROSS JOIN LATERAL (SELECT unnest(generate_series(1, len(t) - 2)) AS i)
          |  WHERE len(t) >= 3),
-         |idx AS (SELECT unnest(range(0, 16)) AS i),
-         |mh AS (
-         |  SELECT doc_id, i, min(md5(concat(i, '|', shingle))) AS h
-         |  FROM sh CROSS JOIN idx GROUP BY doc_id, i),
-         |sig AS (SELECT doc_id, list(h ORDER BY i) AS s FROM mh GROUP BY doc_id),
-         |bandidx AS (SELECT unnest(range(0, 4)) AS b),
-         |banded AS (
-         |  SELECT doc_id, b, md5(array_to_string(s[b*4+1 : b*4+4], ',')) AS bucket
-         |  FROM sig CROSS JOIN bandidx)
+         |${minhashBandCtes()}
          |SELECT DISTINCT x.doc_id AS stored_id, y.doc_id AS incoming_id
          |FROM banded x JOIN banded y ON x.b = y.b AND x.bucket = y.bucket
          |WHERE x.doc_id < 100000 AND y.doc_id >= 100000
@@ -1860,15 +1874,7 @@ object DataPipeQueries {
          |        FROM base)
          |  CROSS JOIN LATERAL (SELECT unnest(generate_series(1, len(t) - 2)) AS i)
          |  WHERE len(t) >= 3),
-         |idx AS (SELECT unnest(range(0, 16)) AS i),
-         |mh AS (
-         |  SELECT doc_id, i, min(md5(concat(i, '|', shingle))) AS h
-         |  FROM sh CROSS JOIN idx GROUP BY doc_id, i),
-         |sig AS (SELECT doc_id, list(h ORDER BY i) AS s FROM mh GROUP BY doc_id),
-         |bandidx AS (SELECT unnest(range(0, 4)) AS b),
-         |banded AS (
-         |  SELECT doc_id, b, md5(array_to_string(s[b*4+1 : b*4+4], ',')) AS bucket
-         |  FROM sig CROSS JOIN bandidx),
+         |${minhashBandCtes()},
          |dup AS (
          |  SELECT DISTINCT y.doc_id AS incoming_id
          |  FROM banded x JOIN banded y ON x.b = y.b AND x.bucket = y.bucket

@@ -335,16 +335,23 @@ class DedupSpec extends SparkSpec {
       (6L, "exactly three tokens")                         // single shingle
     ).toDF("doc_id", "text")
     val native = Dedup.minhashSignaturesPortable(docs, k = 16)
-      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
-    // the declarative reference the native expression replaced
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    // the declarative reference the native expression replaced: one md5
+    // per shingle, h1/h2 = hex chars 1-12 / 13-24 as unsigned bigints,
+    // lane i = min((h1 + i*h2) mod 2^40) — exactly the oracle-side
+    // formulation
     val sh = Dedup.shingleArrays(docs).select(col("doc_id"),
       explode(col("shingles")).as("shingle"))
+      .withColumn("hx", md5(col("shingle")))
+      .withColumn("h1", conv(substring(col("hx"), 1, 12), 16, 10).cast("long"))
+      .withColumn("h2", conv(substring(col("hx"), 13, 12), 16, 10).cast("long"))
     val mins = (0 until 16).map(i =>
-      min(md5(concat_ws("|", lit(i), col("shingle")))).as(s"h$i"))
+      min((col("h1") + lit(i.toLong) * col("h2")) %
+        lit(graft.functions.MinhashMd5.LaneMod)).as(s"h$i"))
     val declarative = sh.groupBy("doc_id").agg(mins.head, mins.tail: _*)
       .select(col("doc_id"),
         array((0 until 16).map(i => col(s"h$i")): _*).as("signature"))
-      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
     assert(native.keySet === Set(1L, 2L, 3L, 4L, 6L), "short docs drop")
     assert(native === declarative, "native MinhashMd5 must be bit-identical")
     assert(native(1L) === native(4L), "exact dups share signatures")

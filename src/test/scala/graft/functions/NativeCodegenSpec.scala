@@ -44,11 +44,12 @@ class NativeCodegenSpec extends SparkSpec {
         .as[Seq[Long]].head()
       assert(native == hof, "codegen'd projection must equal the HOF twin")
 
-      // graft_minhash_md5 (MinhashMd5)
+      // graft_minhash_md5 (MinhashMd5): k affine lanes off one md5 per
+      // shingle — every lane value is in [0, 2^40)
       val sig = Seq(Tuple1(Seq("a b c", "b c d", "c d e"))).toDF("sh")
         .select(call_function(GraftFunctions.minhashName, col("sh"), lit(4)).as("s"))
-        .as[Seq[String]].head()
-      assert(sig.length == 4 && sig.forall(_.length == 32))
+        .as[Seq[Long]].head()
+      assert(sig.length == 4 && sig.forall(v => v >= 0L && v < (1L << 40)))
 
       // graft_feature_buckets (FeatureBucketsMd5): (tokens, seed, nBuckets)
       val fb = Seq(Tuple1(Seq("x", "y", "z"))).toDF("t")
