@@ -277,14 +277,26 @@ object Dedup {
       .select("id_a", "id_b", "n_common", "size_a", "size_b", "jaccard")
   }
 
-  /** MinHash signature: k independent hash functions h_i(shingle) =
-    * xxhash64(shingle, i); signature = per-document min of each.
-    * One groupBy(id) pass — signatures are k longs, not the shingle sets.
+  /** MinHash signature (in-Spark variant): modular double hashing off
+    * TWO xxhash64 evaluations per shingle — h1/h2 = low 48 bits of
+    * xxhash64(shingle, seed 0/1), lane i = min((h1 + i*h2) mod 2^40).
+    * Same Kirsch–Mitzenhauer family as the portable md5 twin (see
+    * [[graft.functions.MinhashMd5]] for why the modular reduction is
+    * what decorrelates lanes), 2 hashes instead of k per shingle; all
+    * intermediates < 2^53, so ANSI arithmetic never overflows. One
+    * groupBy(id) pass — signatures are k longs, not the shingle sets.
     */
   def minhashSignatures(docs: DataFrame, k: Int = 16, n: Int = 3,
                         textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
-    val sh = shingles(docs, n, textCol, idCol)
-    val mins = (0 until k).map(i => min(xxhash64(col("shingle"), lit(i))).as(s"h$i"))
+    val mask48 = lit((1L << 48) - 1L)
+    val mask40 = lit(graft.functions.MinhashMd5.LaneMod - 1L)
+    // h1/h2 bound as attributes so the hash runs once per shingle row,
+    // not once per lane expression
+    val sh = shingles(docs, n, textCol, idCol).select(col(idCol),
+      xxhash64(col("shingle"), lit(0)).bitwiseAND(mask48).as("__h1"),
+      xxhash64(col("shingle"), lit(1)).bitwiseAND(mask48).as("__h2"))
+    val mins = (0 until k).map(i =>
+      min((col("__h1") + lit(i.toLong) * col("__h2")).bitwiseAND(mask40)).as(s"h$i"))
     sh.groupBy(idCol).agg(mins.head, mins.tail: _*)
       .select(col(idCol), array((0 until k).map(i => col(s"h$i")): _*).as("signature"))
   }
