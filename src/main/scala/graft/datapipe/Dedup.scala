@@ -361,21 +361,25 @@ object Dedup {
   def minhashSignaturesPortable(docs: DataFrame, k: Int = 16, n: Int = 3,
                                 textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     // native per-doc signature (functions.MinhashMd5): the whole k-lane
-    // minimum computed map-side from the shingle array — no explode and
-    // no per-shingle aggregation. Values are spec-pinned bit-identical
-    // to the declarative explode+groupBy formulation (and to the DuckDB
-    // oracles, which state the declarative form). The final
-    // lane-wise min aggregate carries ONE k-long row per doc (vs one
-    // row per shingle before) and exists to keep the old GROUP BY
-    // doc_id semantics when ids collide across rows: min over a shingle
-    // union == lane-wise min of per-row signatures (min is
-    // distributive), which the sf10 fixture's id-space collisions
-    // exercise for real.
+    // minimum computed map-side straight from the TOKEN array — no
+    // shingle strings, no array_distinct (min over a multiset == min
+    // over its set), no explode, no per-shingle aggregation. Values are
+    // spec-pinned bit-identical to the declarative explode+groupBy
+    // formulation over shingleArrays (and to the DuckDB oracles, which
+    // state the declarative form). The final lane-wise min aggregate
+    // carries ONE k-long row per doc (vs one row per shingle before)
+    // and exists to keep the old GROUP BY doc_id semantics when ids
+    // collide across rows: min over a shingle union == lane-wise min of
+    // per-row signatures (min is distributive), which the sf10
+    // fixture's id-space collisions exercise for real.
     graft.functions.GraftFunctions.register(docs.sparkSession)
-    val perRow = shingleArrays(docs, n, textCol, idCol)
+    val t = TextAnalysis.tokens(col(textCol))
+    val perRow = Parallelism.widenForCpu(docs)
+      .select(col(idCol), t.as("toks"))
+      .where(size(col("toks")) >= n)
       .select(col(idCol),
         call_function(graft.functions.GraftFunctions.minhashName,
-          col("shingles"), lit(k)).as("__sig"))
+          col("toks"), lit(n), lit(k)).as("__sig"))
     val laneMins = (0 until k).map(i =>
       min(element_at(col("__sig"), i + 1)).as(s"h$i"))
     perRow.groupBy(idCol).agg(laneMins.head, laneMins.tail: _*)

@@ -105,7 +105,8 @@ object GraftFunctions {
     registry.createOrReplaceTempFunction(
       jlProjectName, (args: Seq[Expression]) => JlProjectLong(args(0), args(1)), "built-in")
     registry.createOrReplaceTempFunction(
-      minhashName, (args: Seq[Expression]) => MinhashMd5(args(0), args(1)), "built-in")
+      minhashName,
+      (args: Seq[Expression]) => MinhashMd5(args(0), args(1), args(2)), "built-in")
     registry.createOrReplaceTempFunction(
       featureBucketsName,
       (args: Seq[Expression]) => FeatureBucketsMd5(args(0), args(1), args(2)), "built-in")

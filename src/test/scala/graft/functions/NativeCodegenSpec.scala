@@ -44,10 +44,11 @@ class NativeCodegenSpec extends SparkSpec {
         .as[Seq[Long]].head()
       assert(native == hof, "codegen'd projection must equal the HOF twin")
 
-      // graft_minhash_md5 (MinhashMd5): k affine lanes off one md5 per
-      // shingle — every lane value is in [0, 2^40)
-      val sig = Seq(Tuple1(Seq("a b c", "b c d", "c d e"))).toDF("sh")
-        .select(call_function(GraftFunctions.minhashName, col("sh"), lit(4)).as("s"))
+      // graft_minhash_md5 (MinhashMd5): (tokens, n, k) — k double-hash
+      // lanes off one streamed md5 per shingle; lane values in [0, 2^40)
+      val sig = Seq(Tuple1(Seq("a", "b", "c", "d", "e"))).toDF("t")
+        .select(call_function(GraftFunctions.minhashName,
+          col("t"), lit(3), lit(4)).as("s"))
         .as[Seq[Long]].head()
       assert(sig.length == 4 && sig.forall(v => v >= 0L && v < (1L << 40)))
 
