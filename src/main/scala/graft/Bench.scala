@@ -124,6 +124,12 @@ object Bench {
       // Median-of-3 separates the operator cost from the cold cliff; the
       // DSIR model materialization fix shrinks the cold plan itself.
       "t14_dsir_select", "t15_bpe_pair_counts", "t16_dsir_gumbel_sample",
+      // LM/classifier family + self-clustering dedup: swung 1.6-5.1 s
+      // across identical-code r10 sweeps (page-cache/position class, the
+      // broadcast vocab build pays first-touch) — same treatment
+      "t10_bigram_lm_score", "t11_crossentropy_select",
+      "t13_perplexity_buckets", "t13_perplexity_buckets_approx",
+      "d11_semantic_dedup",
       // model-artifact parquet roundtrip (temp-dir write class)
       "t14b_dsir_fit_reuse")
     var extraRuns = Seq.empty[(String, Double)]
