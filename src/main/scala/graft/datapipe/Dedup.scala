@@ -154,6 +154,17 @@ object Dedup {
 
   /** Distinct word n-gram shingle *array* per document (one row per doc):
     * dedup happens inside the row via array_distinct — no shuffle.
+    *
+    * The shingle expression is TOTAL (the `when` guard): although the
+    * `where` drops sub-n-token docs, Catalyst may evaluate the
+    * expression on unfiltered rows anyway — `InferFiltersFromGenerate`
+    * infers a filter containing the whole generator expression when a
+    * caller explodes `shingles`, and `ConvertToLocalRelation` evaluates
+    * such filters on every row of a local fixture at OPTIMIZATION time.
+    * Unguarded, a 1-token doc feeds `sequence(0, -2)` (which descends)
+    * into out-of-bounds `element_at` and ANSI mode throws — found by
+    * MinhashMd5PropertySpec, reachable by any user exploding this
+    * API's output directly.
     */
   def shingleArrays(docs: DataFrame, n: Int = 3,
                     textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
@@ -163,8 +174,10 @@ object Dedup {
       .select(col(idCol), t.as("toks"))
       .where(size(col("toks")) >= n)
       .select(col(idCol), array_distinct(
-        transform(sequence(lit(0), size(col("toks")) - n),
-          i => concat_ws(" ", (0 until n).map(k => element_at(col("toks"), i + k + 1)): _*))
+        when(size(col("toks")) >= n,
+          transform(sequence(lit(0), size(col("toks")) - n),
+            i => concat_ws(" ", (0 until n).map(k => element_at(col("toks"), i + k + 1)): _*)))
+          .otherwise(lit(Array.empty[String]))
       ).as("shingles"))
   }
 
