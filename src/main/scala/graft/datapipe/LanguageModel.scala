@@ -98,24 +98,26 @@ object LanguageModel {
   /** Rules-seeded end-to-end: train the bigram model on the
     * [[QualityRules]]-kept slice and score every document.
     *
-    * The count tables are deliberately LAZY here (contrast
-    * [[Dsir.fitModel]]): measured at sf0.1, materializing them made the
-    * one-shot path strictly worse (warm 1.8 s → 3.1 s, cold 13.7 s →
-    * 15.6 s) — the training scans run once either way, and the
-    * checkpoint only adds write/read overhead while the dominant cold
-    * cost is the codegen compile of the annotate pipeline, which
-    * materialization cannot remove. A caller scoring MANY candidate
-    * batches against one model should fit once and reuse:
-    * `Materialize.frontier(unigramCounts(good))` /
-    * `frontier(bigramCounts(good))`, then [[score]] per batch — the
-    * [[Dsir.fitModel]] pattern, which pays off exactly when the model is
-    * consumed by more than one execution.
+    * The annotated `good` slice is materialized (Materialize.frontier)
+    * because BOTH count tables consume it: left lazy, unigramCounts and
+    * bigramCounts each re-run the whole annotate pipeline (tokenize +
+    * every metric), tripling the corpus tokenization. Measured r10:
+    * sf1 20.5 s → 10.1 s, sf0.1 3.5 s → 2.8 s (median-of-3). An earlier
+    * round measured the opposite at sf0.1 — then, the dominant one-shot
+    * cost was the codegen compile of the annotate pipeline; with the
+    * round-10 tokenization-heavy fixtures and 10× scales the recompute
+    * dominates instead, the standard multi-consumer frontier rule
+    * ([[Dsir.fitModel]], the pair-graph artifact). A caller scoring
+    * MANY candidate batches against one model should still fit once and
+    * reuse: `frontier(unigramCounts(good))` / `frontier(bigramCounts
+    * (good))`, then [[score]] per batch.
     */
   def trainAndScore(docs: DataFrame, cfg: QualityRules.Config = QualityRules.Config(),
                     textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
-    val good = QualityRules.annotate(docs, cfg, textCol)
-      .where(size(col("failed_rules")) === 0)
-      .select(col(idCol), col(textCol))
+    val good = graft.core.Materialize.frontier(
+      QualityRules.annotate(docs, cfg, textCol)
+        .where(size(col("failed_rules")) === 0)
+        .select(col(idCol), col(textCol)))
     score(docs, unigramCounts(good, textCol), bigramCounts(good, textCol, idCol),
       textCol, idCol)
   }
