@@ -26,7 +26,7 @@ object Identifiers {
     * validity expression referencing `charValues(expr)` N times evaluates
     * the whole transform N times per row.
     */
-  private[symbols] def charValues(s: Column): Column =
+  private[graft] def charValues(s: Column): Column =
     transform(sequence(lit(1), length(s)), i => {
       val c = ascii(s.substr(i, lit(1)))
       when(c.between(48, 57), c - 48)
