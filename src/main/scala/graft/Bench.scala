@@ -36,16 +36,33 @@ object Bench {
       catch { case _: Throwable => () }
     }
 
+    // Per-row block hygiene: frontier localCheckpoints (and any explicit
+    // persists) hold executor storage memory until their DataFrames are
+    // GC'd and the async ContextCleaner gets to them — over a 163-row
+    // sweep in one 8 GiB JVM the dead blocks squeeze execution memory
+    // and the tail rows measure 2-5x their isolated cost (measured r10:
+    // d2 23.3 s in-sweep vs 9.3 s isolated on identical code/data).
+    // Every row's inputs are rebuilt from source by construction, so
+    // dropping all persisted blocks between rows is semantically free
+    // and makes each measurement independent and cold — the number a
+    // fresh session pays.
+    def dropBlocks(): Unit = {
+      spark.sharedState.cacheManager.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+    }
     def time(f: => Unit): Double = {
       val t0 = System.nanoTime()
       // a failed row must be VISIBLE (-1 in the artifact AND a stderr
       // line): the silent swallow hid a real artifact-table collision
-      // for a whole run
-      try f catch { case e: Throwable =>
+      // for a whole run. The elapsed time is computed BEFORE the finally
+      // block so the (cheap, metadata-only) block drop is not billed to
+      // the row.
+      try { f; (System.nanoTime() - t0) / 1e9 }
+      catch { case e: Throwable =>
         System.err.println(s"[bench] FAILED: ${e.getClass.getSimpleName}: ${e.getMessage}")
-        return -1.0
-      }
-      (System.nanoTime() - t0) / 1e9
+        -1.0
+      } finally dropBlocks()
     }
 
     // Pipeline workloads run FIRST (before the ~100-query sweep) and 3x

@@ -32,6 +32,13 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
         failed(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
+      } finally {
+        // per-query block hygiene (same as Bench): dead frontier
+        // localCheckpoints otherwise accumulate storage memory across
+        // ~160 queries and squeeze execution memory for the tail
+        spark.sharedState.cacheManager.clearCache()
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = false))
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
