@@ -65,9 +65,12 @@ object QualityRules {
           .cast("double") / n)
       // greatest(len,1) guards the empty-document 0/0 (NaN vs
       // engine-dependent in SQL); an empty doc scores 0.0 deterministically
+      // single-char class: the match count equals the length delta under
+      // regexp_replace-to-empty, which skips regexp_extract_all's
+      // per-match string allocation (one UTF8String per symbol char)
       .withColumn("symbol_ratio",
-        size(regexp_extract_all(col(textCol),
-            lit(s"[^A-Za-z0-9${TextAnalysis.wsClass}]"), lit(0)))
+        (length(col(textCol)) - length(regexp_replace(col(textCol),
+            s"[^A-Za-z0-9${TextAnalysis.wsClass}]", "")))
           .cast("double") / greatest(length(col(textCol)), lit(1)).cast("double"))
       .withColumn("alpha_token_ratio",
         size(filter(t, x => x.rlike("[a-z]"))).cast("double") / n)

@@ -82,27 +82,35 @@ object SpanDedup {
     * (id, n_tokens, n_removed, text_dedup) — text_dedup is "" when the
     * whole document was duplicated elsewhere (callers typically drop
     * those rows, the ExactSubstr analogue of an exact-dup document).
+    *
+    * Reassembly never shuffles the corpus tokens: covered positions
+    * aggregate to a per-document set (bounded by the duplicated-posting
+    * count, NOT corpus size), join back to the tokenized row, and an
+    * order-preserving positional `filter` drops covered slots in place.
+    * The earlier shape — posexplode every corpus token, anti-join,
+    * re-sort, collect_list — moved the whole corpus through an exchange
+    * to rebuild arrays Spark already held (measured r10 at sf1: 11.1 s →
+    * see SCALE.md). Per-doc filter cost is O(n·|cov|) membership tests;
+    * both factors are bounded by the document token cap (the PosStride
+    * contract), and a pathological fully-covered giant doc was no
+    * cheaper in the collect_list shape (one 1e6-struct aggregation
+    * buffer).
     */
   def removeDuplicatedSpans(docs: DataFrame, k: Int = 5,
                             textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     val t = col("__toks")
     val toks = docs.select(col(idCol), TextAnalysis.tokens(col(textCol)).as("__toks"))
-    val covered = markedOccurrences(kgramOccurrences(docs, k, textCol, idCol), idCol)
+    val coveredPerDoc = markedOccurrences(kgramOccurrences(docs, k, textCol, idCol), idCol)
       .select(col(idCol), explode(sequence(col("pos"), col("pos") + (k - 1))).as("tpos"))
-      .distinct()
-    val kept = toks
-      .select(col(idCol), posexplode(t).as(Seq("tpos", "tok")))
-      .join(covered, Seq(idCol, "tpos"), "left_anti")
       .groupBy(idCol)
-      .agg(
-        count(lit(1)).as("__n_kept"),
-        array_join(transform(
-          array_sort(collect_list(struct(col("tpos"), col("tok")))),
-          x => x.getField("tok")), " ").as("text_dedup"))
-    toks.select(col(idCol), size(t).cast("long").as("n_tokens"))
-      .join(kept, Seq(idCol), "left")
-      .select(col(idCol), col("n_tokens"),
-        (col("n_tokens") - coalesce(col("__n_kept"), lit(0L))).as("n_removed"),
-        coalesce(col("text_dedup"), lit("")).as("text_dedup"))
+      .agg(collect_set(col("tpos")).as("__cov"))
+    toks.join(coveredPerDoc, Seq(idCol), "left")
+      .select(col(idCol), t, col("__cov"),
+        when(col("__cov").isNull, t).otherwise(
+          filter(t, (_, i) => !array_contains(col("__cov"), i))).as("__kept"))
+      .select(col(idCol),
+        size(t).cast("long").as("n_tokens"),
+        (size(t) - size(col("__kept"))).cast("long").as("n_removed"),
+        array_join(col("__kept"), " ").as("text_dedup"))
   }
 }
