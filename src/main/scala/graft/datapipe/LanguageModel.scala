@@ -114,12 +114,25 @@ object LanguageModel {
     */
   def trainAndScore(docs: DataFrame, cfg: QualityRules.Config = QualityRules.Config(),
                     textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val (uni, bi) = fitCounts(docs, cfg, textCol, idCol)
+    score(docs, uni, bi, textCol, idCol)
+  }
+
+  /** Fit the two count tables on the [[QualityRules]]-kept slice of
+    * `docs`, sharing ONE materialized pass over the annotated slice
+    * (both tables consume it; left lazy each re-runs the whole annotate
+    * pipeline). Returned frames are the model: persist them (e.g.
+    * `ArtifactStore.getOrBuild`) to score many batches — or several
+    * query rows — without re-training, the CCNet shape (the KenLM is
+    * trained once, every crawl shard scores against it).
+    */
+  def fitCounts(docs: DataFrame, cfg: QualityRules.Config = QualityRules.Config(),
+                textCol: String = "text", idCol: String = "doc_id"): (DataFrame, DataFrame) = {
     val good = graft.core.Materialize.frontier(
       QualityRules.annotate(docs, cfg, textCol)
         .where(size(col("failed_rules")) === 0)
         .select(col(idCol), col(textCol)))
-    score(docs, unigramCounts(good, textCol), bigramCounts(good, textCol, idCol),
-      textCol, idCol)
+    (unigramCounts(good, textCol), bigramCounts(good, textCol, idCol))
   }
 
   /** CCNet-style head/middle/tail perplexity buckets (Wenzek et al.,

@@ -94,6 +94,25 @@ object DataPipeQueries {
       Dedup.minhashLshCandidatesPortable(docsWithNearDups(s, dir), k = 16, bands = 4)
     }
 
+  /** The ruleset-kept bigram LM as a build-once artifact: the unigram
+    * and bigram count tables of the quality-kept slice, persisted as
+    * parquet the first time any LM row asks and read back by the rest —
+    * the CCNet discipline (the KenLM is trained ONCE; every shard
+    * scores against the stored model). Three rows share it (t10 score,
+    * t13 exact buckets, t13 approx buckets); without the artifact each
+    * re-ran the full annotate+train lineage (~40% of each row's cost at
+    * sf1). `t10_bigram_lm_score` sorts before both consumers in the
+    * name-ordered sweep, so the build cost is paid once, visibly, there.
+    * Both tables build from one shared materialized good-slice pass
+    * ([[LanguageModel.fitCounts]]); `lazy val` keeps that pass unforced
+    * on artifact cache hits.
+    */
+  private def lmModel(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    lazy val fit = LanguageModel.fitCounts(docs(s, dir))
+    (ArtifactStore.getOrBuild(s, s"lm_unigrams|$dir") { fit._1 },
+     ArtifactStore.getOrBuild(s, s"lm_bigrams|$dir") { fit._2 })
+  }
+
   /** The stored corpus's portable LSH band index (doc_id, band, bucket)
     * as a BUCKETED build-once artifact — see `d8_artifact_band_index`.
     */
@@ -534,20 +553,37 @@ object DataPipeQueries {
       QualityClassifier.trainAndScore(docs(s, dir))
         .orderBy("doc_id")),
 
+    // The LM-model artifact BUILDER (the d12_artifact_pairs discipline
+    // applied to the model): fits both count tables of the ruleset-kept
+    // slice, persists them, and dumps the stored unigram table for the
+    // oracle — so the training cost is paid once, visibly, in this row
+    // (it sorts before all three consumers), and a consumer median can
+    // never hide it. The bigram table is verified transitively: any
+    // count error changes every t10/t13 score hash.
+    "lm_model_artifact" -> ((s, dir) => {
+      val (uni, _) = lmModel(s, dir)
+      uni.orderBy("token")
+    }),
+
     // Bigram-LM scoring (the CCNet/LLaMA perplexity-filter stage):
     // Laplace-smoothed bigram model trained on the ruleset-kept slice,
-    // every doc scored by integer micro-nat mean ln p(w2|w1).
-    "t10_bigram_lm_score" -> ((s, dir) =>
-      LanguageModel.trainAndScore(docs(s, dir))
-        .orderBy("doc_id")),
+    // every doc scored by integer micro-nat mean ln p(w2|w1). Trains
+    // via the persisted model artifact (lmModel) shared with both t13
+    // bucket rows.
+    "t10_bigram_lm_score" -> ((s, dir) => {
+      val (uni, bi) = lmModel(s, dir)
+      LanguageModel.score(docs(s, dir), uni, bi)
+        .orderBy("doc_id")
+    }),
 
     // CCNet head/middle/tail buckets: per-language exact-rank terciles
     // of the t10 LM score (head = most fluent third). Emits the label
     // so callers mix buckets at chosen rates rather than hard-dropping.
     "t13_perplexity_buckets" -> ((s, dir) => {
       val d = docs(s, dir)
+      val (uni, bi) = lmModel(s, dir)
       LanguageModel.perplexityBuckets(
-        LanguageModel.trainAndScore(d)
+        LanguageModel.score(d, uni, bi)
           .join(d.select(col("doc_id"), col("lang")), Seq("doc_id")),
         byCol = "lang")
         .orderBy("doc_id")
@@ -559,8 +595,9 @@ object DataPipeQueries {
     // bin arithmetic, so the oracle reproduces the labeling exactly.
     "t13_perplexity_buckets_approx" -> ((s, dir) => {
       val d = docs(s, dir)
+      val (uni, bi) = lmModel(s, dir)
       LanguageModel.perplexityBucketsApprox(
-        LanguageModel.trainAndScore(d)
+        LanguageModel.score(d, uni, bi)
           .join(d.select(col("doc_id"), col("lang")), Seq("doc_id")),
         byCol = "lang", nBins = 64)
         .orderBy("doc_id")
@@ -1241,7 +1278,12 @@ object DataPipeQueries {
     * sum_logp_micro) — the CTE chain both t10 and the t13 bucket query
     * extend.
     */
-  private lazy val lmScoredCte: String = {
+  /** Kept-slice + unigram-count CTE prefix — one definition for the
+    * `lm_model_artifact` builder row and the scored chain below, so a
+    * ruleset/count change cannot desync the stored model from the
+    * scores computed against it.
+    */
+  private lazy val lmModelCte: String = {
     val anyFail = qualityRuleSql.map(_._2).mkString("(", ") OR (", ")")
     s"""$qualityMetricsCte,
        |good AS (
@@ -1250,7 +1292,11 @@ object DataPipeQueries {
        |guni AS (
        |  SELECT token, count(*) AS n_w
        |  FROM (SELECT unnest(t) AS token FROM good)
-       |  WHERE token <> '' GROUP BY 1),
+       |  WHERE token <> '' GROUP BY 1)""".stripMargin
+  }
+
+  private lazy val lmScoredCte: String = {
+    s"""$lmModelCte,
        |gv AS (SELECT count(*) AS v FROM guni),
        |gbg AS (
        |  SELECT w1, w2, count(*) AS n_bg FROM (
@@ -2122,6 +2168,9 @@ object DataPipeQueries {
          |       THEN 1 ELSE 0 END AS BIGINT) AS predicted_good
          |FROM sc ORDER BY doc_id""".stripMargin
     },
+    "lm_model_artifact" ->
+      s"""$lmModelCte
+         |SELECT token, n_w FROM guni ORDER BY token""".stripMargin,
     "t10_bigram_lm_score" ->
       s"""$lmScoredCte
          |SELECT doc_id, n_bigrams, sum_logp_micro,
