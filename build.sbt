@@ -26,5 +26,11 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
+  // Xms = Xmx: an undersized initial heap makes allocation-heavy rows
+  // grind full GCs while the heap slowly expands toward Xmx — measured
+  // at sf10 as 2-5x swings on identical back-to-back runs (d13 386s /
+  // 75s / 67s in one JVM). A fixed-size heap is also how a real
+  // executor runs (spark.executor.memory is both bounds).
+  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
