@@ -83,18 +83,21 @@ object SpanDedup {
     * whole document was duplicated elsewhere (callers typically drop
     * those rows, the ExactSubstr analogue of an exact-dup document).
     *
-    * Reassembly never shuffles the corpus tokens: covered positions
+    * Reassembly never shuffles tokens as ROWS: covered positions
     * aggregate to a per-document set (bounded by the duplicated-posting
-    * count, NOT corpus size), join back to the tokenized row, and an
-    * order-preserving positional `filter` drops covered slots in place.
-    * The earlier shape — posexplode every corpus token, anti-join,
-    * re-sort, collect_list — moved the whole corpus through an exchange
-    * to rebuild arrays Spark already held (measured r10 at sf1: 11.1 s →
-    * see SCALE.md). Per-doc filter cost is O(n·|cov|) membership tests;
-    * both factors are bounded by the document token cap (the PosStride
-    * contract), and a pathological fully-covered giant doc was no
-    * cheaper in the collect_list shape (one 1e6-struct aggregation
-    * buffer).
+    * count, NOT corpus size), join back to the tokenized row by id —
+    * array-level, one exchange worst-case, and a broadcast (no corpus
+    * movement at all) whenever the covered-doc set fits AQE's
+    * threshold — and an order-preserving positional `filter` drops
+    * covered slots in place. The earlier shape — posexplode every
+    * corpus token, anti-join, re-sort, collect_list — moved the corpus
+    * token-by-token through TWO exchanges plus a sort to rebuild
+    * arrays Spark already held (measured r10 at sf1: 11.1 s → 7.2 s;
+    * see SCALE.md). Per-doc filter cost is O(n·|cov|) membership
+    * tests; both factors are bounded by the document token cap (the
+    * PosStride contract), and a pathological fully-covered giant doc
+    * was no cheaper in the collect_list shape (one 1e6-struct
+    * aggregation buffer).
     */
   def removeDuplicatedSpans(docs: DataFrame, k: Int = 5,
                             textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
