@@ -122,6 +122,27 @@ class LanguageModelSpec extends SparkSpec {
       "trusted-slice prose must outscore the degenerate docs")
   }
 
+  test("scoring a parquet-persisted model equals direct trainAndScore") {
+    val s = spark; import s.implicits._
+    val corpus = ((0 until 8).map(i => (i.toLong,
+        "the cat and the dog walked to the park and back home of a sunny day " +
+          "with the wind of autumn to keep them company and all was well")) ++
+      (8 until 12).map(i => (i.toLong, "spam spam spam spam spam spam")))
+      .toDF("doc_id", "text")
+    val direct = LanguageModel.trainAndScore(corpus)
+      .orderBy("doc_id").collect().toSeq
+    // fit-once / persist / reload / score — the lm_model_artifact shape;
+    // the parquet roundtrip of the count tables must be value-lossless
+    val (uni, bi) = LanguageModel.fitCounts(corpus)
+    val root = java.nio.file.Files.createTempDirectory("graft_lm_model").toString
+    uni.write.mode("overwrite").parquet(s"$root/uni")
+    bi.write.mode("overwrite").parquet(s"$root/bi")
+    val viaStore = LanguageModel.score(corpus,
+        spark.read.parquet(s"$root/uni"), spark.read.parquet(s"$root/bi"))
+      .orderBy("doc_id").collect().toSeq
+    assert(viaStore === direct)
+  }
+
   test("perplexityBuckets: per-group exact-rank thirds, score-ordered, deterministic") {
     val s = spark; import s.implicits._
     // 6 docs in lang a (thirds of 2/2/2), 4 in lang b (1/1/2 by the
