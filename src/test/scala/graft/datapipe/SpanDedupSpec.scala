@@ -37,6 +37,17 @@ class SpanDedupSpec extends SparkSpec {
     assert(out(4L) == ((1L, 0L, "short")))
   }
 
+  test("reassembly plan: positional filter, no collect_list rebuild") {
+    // the covered-position sets join back by id and a positional filter
+    // drops slots in-place — the plan must not contain the old
+    // posexplode-all-tokens + collect_list reassembly (which shuffled
+    // the corpus token-by-token through two exchanges plus a sort)
+    val plan = SpanDedup.removeDuplicatedSpans(docs, k = 3)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("collect_list"), plan.take(800))
+    assert(plan.contains("array_contains"), plan.take(800))
+  }
+
   test("a corpus with no duplicated grams is returned verbatim") {
     val s = spark; import s.implicits._
     val unique = Seq((0L, "one two three four"), (1L, "five six seven eight"))
