@@ -73,6 +73,9 @@ object GraftFunctions {
   val jlProjectName = "graft_jl_project"
   val minhashName = "graft_minhash_md5"
   val featureBucketsName = "graft_feature_buckets"
+  val cusipValidName = "graft_cusip_valid"
+  val isinValidName = "graft_isin_valid"
+  val figiValidName = "graft_figi_valid"
 
   /** Distributed Bloom-filter build over xxhash64 of the argument —
     * Spark's own `BloomFilterAggregate` (the engine uses it for runtime
@@ -124,5 +127,11 @@ object GraftFunctions {
           args(0),
           new org.apache.spark.sql.catalyst.expressions.XxHash64(Seq(args(1)))),
       "built-in")
+    registry.createOrReplaceTempFunction(
+      cusipValidName, (args: Seq[Expression]) => IdValid(IdValid.Cusip, args(0)), "built-in")
+    registry.createOrReplaceTempFunction(
+      isinValidName, (args: Seq[Expression]) => IdValid(IdValid.Isin, args(0)), "built-in")
+    registry.createOrReplaceTempFunction(
+      figiValidName, (args: Seq[Expression]) => IdValid(IdValid.Figi, args(0)), "built-in")
   }
 }

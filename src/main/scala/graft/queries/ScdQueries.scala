@@ -95,27 +95,20 @@ object ScdQueries {
         ("594918104", "US5949181045", "BBG000BPH459", "789019", "XNYS"),
         ("38259P508", "GB0002634946", "BBG000B9XRY5", "ABC", "XN!S")
       ).toDF("cusip", "isin", "figi", "cik", "mic")
-      // pre-bind (uppercased string, charValues) per identifier and
-      // aggregate the *ValidFrom forms: each validity expression
-      // references its char-value array several times, and the
-      // higher-order transform is interpreted — inlined (the bare
-      // cusipValid/isinValid/figiValid forms), the whole charValues
-      // pass re-ran per reference, costing 11.6 s at sf1 vs ~1 s bound
-      // (the Normalizer.withIdentifierValidity pattern, Identifiers.scala:24-28)
-      val bound = cand.unionByName(known)
-        .withColumn("__cusip_s", upper(trim(col("cusip"))))
-        .withColumn("__cusip_v", Identifiers.charValues(col("__cusip_s")))
-        .withColumn("__isin_s", upper(trim(col("isin"))))
-        .withColumn("__isin_v", Identifiers.charValues(col("__isin_s")))
-        .withColumn("__figi_s", upper(trim(col("figi"))))
-        .withColumn("__figi_v", Identifiers.charValues(col("__figi_s")))
-      bound.agg(
+      // native codegen'd check-digit expressions (one char loop per
+      // identifier inside whole-stage codegen; IdentifiersNativeSpec
+      // pins them verdict-equal to the declarative twins). History:
+      // the bare declarative forms re-ran the interpreted charValues
+      // HOF per reference (11.6 s at sf1); pre-binding cut that to
+      // 6.5 s; the native loop removes the interpreted passes entirely.
+      graft.functions.GraftFunctions.register(s)
+      cand.unionByName(known).agg(
         count(lit(1)).as("n"),
-        sum(Identifiers.cusipValidFrom(col("__cusip_s"), col("__cusip_v"))
+        sum(Identifiers.cusipValidNative(col("cusip"))
           .cast("long")).as("n_valid_cusip"),
-        sum(Identifiers.isinValidFrom(col("__isin_s"), col("__isin_v"))
+        sum(Identifiers.isinValidNative(col("isin"))
           .cast("long")).as("n_valid_isin"),
-        sum(Identifiers.figiValidFrom(col("__figi_s"), col("__figi_v"))
+        sum(Identifiers.figiValidNative(col("figi"))
           .cast("long")).as("n_valid_figi"),
         sum(Identifiers.cikValid(col("cik")).cast("long")).as("n_valid_cik"),
         sum(Identifiers.micValid(col("mic")).cast("long")).as("n_valid_mic"))

@@ -108,6 +108,22 @@ object Identifiers {
       (check === element_at(vals, 12).cast("long"))
   }
 
+  /** Native codegen'd twins ([[graft.functions.IdValid]]): same verdict
+    * as [[cusipValid]]/[[isinValid]]/[[figiValid]] (property-pinned in
+    * IdentifiersNativeSpec), one primitive char loop in whole-stage
+    * codegen instead of interpreted higher-order-function passes — the
+    * scale path for validating 10^9 identifiers. The caller must have
+    * run `GraftFunctions.register(spark)` on the session.
+    */
+  def cusipValidNative(raw: Column): Column =
+    call_function(graft.functions.GraftFunctions.cusipValidName, raw)
+
+  def isinValidNative(raw: Column): Column =
+    call_function(graft.functions.GraftFunctions.isinValidName, raw)
+
+  def figiValidNative(raw: Column): Column =
+    call_function(graft.functions.GraftFunctions.figiValidName, raw)
+
   /** CIK: 1-10 digits (stored zero-padded to 10, ref symbol.py:160-173). */
   def cikValid(raw: Column): Column =
     trim(raw).rlike("^[0-9]{1,10}$")

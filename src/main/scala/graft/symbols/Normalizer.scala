@@ -36,31 +36,25 @@ object Normalizer {
     * reference raises per-record; columnar validation nulls + flags so one
     * bad row cannot fail a 10^9-row batch).
     */
-  def withIdentifierValidity(snapshot: DataFrame): DataFrame =
-    // normalized strings and char-value arrays bound as attributes first:
-    // each *ValidFrom references its vals array several times, and
-    // higher-order transforms are interpreted — inlined, the whole
-    // charValues pass re-runs per reference
+  def withIdentifierValidity(snapshot: DataFrame): DataFrame = {
+    // native codegen'd check-digit expressions (one char loop per
+    // identifier; IdentifiersNativeSpec pins them verdict-equal to the
+    // declarative Identifiers twins)
+    graft.functions.GraftFunctions.register(snapshot.sparkSession)
     snapshot
-      .withColumn("__figi_s", upper(trim(col("figi"))))
-      .withColumn("__figi_v", Identifiers.charValues(col("__figi_s")))
-      .withColumn("__cusip_s", upper(trim(col("cusip"))))
-      .withColumn("__cusip_v", Identifiers.charValues(col("__cusip_s")))
-      .withColumn("__isin_s", upper(trim(col("isin"))))
-      .withColumn("__isin_v", Identifiers.charValues(col("__isin_s")))
       .withColumn("figi_valid", col("figi").isNotNull &&
-        Identifiers.figiValidFrom(col("__figi_s"), col("__figi_v")))
+        Identifiers.figiValidNative(col("figi")))
       .withColumn("cusip_valid", col("cusip").isNotNull &&
-        Identifiers.cusipValidFrom(col("__cusip_s"), col("__cusip_v")))
+        Identifiers.cusipValidNative(col("cusip")))
       .withColumn("isin_valid", col("isin").isNotNull &&
-        Identifiers.isinValidFrom(col("__isin_s"), col("__isin_v")))
+        Identifiers.isinValidNative(col("isin")))
       .withColumn("cik_valid", col("cik").isNotNull && Identifiers.cikValid(col("cik")))
       .withColumn("mic_valid", Identifiers.micValid(col("exchange_mic")))
-      .drop("__figi_s", "__figi_v", "__cusip_s", "__cusip_v", "__isin_s", "__isin_v")
       .withColumn("figi", when(col("figi_valid"), col("figi")))
       .withColumn("cusip", when(col("cusip_valid"), col("cusip")))
       .withColumn("isin", when(col("isin_valid"), col("isin")))
       .withColumn("cik", when(col("cik_valid"), Identifiers.cikNormalize(col("cik"))))
+  }
 
   /** W2: dense surrogate IDs ordered by natural_key, stable across reruns;
     * `offset` shifts new inserts past the current max id
