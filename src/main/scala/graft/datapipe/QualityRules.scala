@@ -39,14 +39,46 @@ object QualityRules {
       minAlphaTokenRatio: Double = 0.80,
       stopwords: Seq[String] = TextAnalysis.markers("en"))
 
-  /** Attach the per-document metric columns the rules test. One
-    * tokenization pass (`__toks` intermediate — CollapseProject does not
-    * inline a non-cheap alias with multiple references, which is exactly
-    * what keeps this single-evaluation); every ratio is an exact-integer
-    * count divided once, so any engine reproduces the doubles bit-for-bit.
+  /** Attach the per-document metric columns the rules test. All counts
+    * come from ONE native single-pass expression
+    * ([[graft.functions.TextStats]] — whole-stage codegen, no
+    * interpreted higher-order passes); every ratio is the same exact
+    * integer-count division it always was, so any engine reproduces the
+    * doubles bit-for-bit (TextStatsSpec pins every column against the
+    * declarative twin below).
     */
   def withMetrics(docs: DataFrame, textCol: String = "text",
                   stopwords: Seq[String] = TextAnalysis.markers("en")): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    val st = col("__st")
+    def f(name: String) = st.getField(name)
+    val n = f("n_tokens").cast("double")
+    graft.core.Parallelism.widenForCpu(docs)
+      .withColumn("__st",
+        call_function(graft.functions.GraftFunctions.textStatsName,
+          col(textCol), array(stopwords.map(lit): _*)))
+      .withColumn("n_tokens", f("n_tokens"))
+      .withColumn("mean_token_len", f("sum_token_len").cast("double") / n)
+      .withColumn("stopword_ratio", f("n_stopword").cast("double") / n)
+      .withColumn("symbol_ratio", f("n_symbol").cast("double") /
+        greatest(f("text_len"), lit(1L)).cast("double"))
+      .withColumn("alpha_token_ratio", f("n_alpha").cast("double") / n)
+      .withColumn("dup_token_ratio",
+        lit(1.0) - f("n_distinct_tokens").cast("double") / n)
+      .withColumn("dup_line_ratio",
+        lit(1.0) - f("n_distinct_lines").cast("double") /
+          f("n_lines").cast("double"))
+      .drop("__st")
+  }
+
+  /** The declarative higher-order-function twin of [[withMetrics]] —
+    * retained as the executable specification the native expression is
+    * property-pinned against (TextStatsSpec), and as the portable
+    * formulation an engine without custom expressions would run.
+    */
+  private[graft] def withMetricsDeclarative(
+      docs: DataFrame, textCol: String = "text",
+      stopwords: Seq[String] = TextAnalysis.markers("en")): DataFrame = {
     val t = col("__toks")
     val n = col("n_tokens").cast("double")
     graft.core.Parallelism.widenForCpu(docs)

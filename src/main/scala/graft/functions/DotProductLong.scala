@@ -76,6 +76,7 @@ object GraftFunctions {
   val cusipValidName = "graft_cusip_valid"
   val isinValidName = "graft_isin_valid"
   val figiValidName = "graft_figi_valid"
+  val textStatsName = "graft_text_stats"
 
   /** Distributed Bloom-filter build over xxhash64 of the argument —
     * Spark's own `BloomFilterAggregate` (the engine uses it for runtime
@@ -133,5 +134,7 @@ object GraftFunctions {
       isinValidName, (args: Seq[Expression]) => IdValid(IdValid.Isin, args(0)), "built-in")
     registry.createOrReplaceTempFunction(
       figiValidName, (args: Seq[Expression]) => IdValid(IdValid.Figi, args(0)), "built-in")
+    registry.createOrReplaceTempFunction(
+      textStatsName, (args: Seq[Expression]) => TextStats(args(0), args(1)), "built-in")
   }
 }
