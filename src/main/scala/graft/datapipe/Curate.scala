@@ -62,6 +62,7 @@ object Curate {
       : (DataFrame, DataFrame) = {
     val spark = docs.sparkSession
     import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
 
     // stage 0: line normalization (both default-off). Within-doc dedup is
     // a pure map; boilerplate stripping is frontiered because its output
@@ -131,7 +132,13 @@ object Curate {
       .withColumn("__rep_ok", col("dup_token_ratio") <= repCap)
 
     val keepAll = col("__lang_ok") && col("__quality_ok") && col("__rep_ok")
-    val survivors = annotated.where(keepAll)
+    // the FILTER rides the pushdown fence (see QualityRules.kept: alias
+    // substitution would multiply the quality-metrics pass per metric
+    // reference); the un-fenced keepAll stays usable inside the stage
+    // aggregate below (non-deterministic expressions are rejected in
+    // aggregate arguments, and aggregates never push predicates anyway)
+    val survivors = annotated
+      .where(graft.functions.PushdownBarrier.fence(keepAll))
       .drop("__lang_ok", "__quality_ok", "__rep_ok", "failed_rules")
     // stage 6 (opt-in): bigram-LM floor, self-trained on the survivors —
     // the trusted slice IS what the heuristic stages kept. Frontiered so

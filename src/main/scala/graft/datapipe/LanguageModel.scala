@@ -129,8 +129,7 @@ object LanguageModel {
   def fitCounts(docs: DataFrame, cfg: QualityRules.Config = QualityRules.Config(),
                 textCol: String = "text", idCol: String = "doc_id"): (DataFrame, DataFrame) = {
     val good = graft.core.Materialize.frontier(
-      QualityRules.annotate(docs, cfg, textCol)
-        .where(size(col("failed_rules")) === 0)
+      QualityRules.kept(docs, cfg, textCol)
         .select(col(idCol), col(textCol)))
     (unigramCounts(good, textCol), bigramCounts(good, textCol, idCol))
   }

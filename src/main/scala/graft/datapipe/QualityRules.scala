@@ -140,11 +140,29 @@ object QualityRules {
       .withColumn("failed_rules", filter(reasons, _.isNotNull))
   }
 
+  /** Kept documents only — [[annotate]] filtered to the rows failing no
+    * rule. The keep-predicate is wrapped in
+    * [[graft.functions.PushdownBarrier]]: pushed below the metric
+    * projection, the optimizer's alias substitution would plant one
+    * [[graft.functions.TextStats]] copy per metric reference into a
+    * FilterExec (which does no subexpression elimination) and
+    * re-traverse every document ~9× before the projection runs —
+    * measured 3.4 s vs 761.7 s at sf10 on the same lineage
+    * (tools/ProfLmBuild; SCALE.md round-10c).
+    */
+  def kept(docs: DataFrame, cfg: Config = Config(),
+           textCol: String = "text"): DataFrame =
+    annotate(docs, cfg, textCol)
+      .where(graft.functions.PushdownBarrier.fence(
+        size(col("failed_rules")) === 0))
+      .drop("failed_rules")
+
   /** Split into (kept, dropped): dropped rows carry `failed_rules`. Both
     * sides derive from one annotated plan — with `frontier = true` the
     * annotated frame is materialized once (parquet scratch) so the two
     * sides don't re-scan/re-tokenize the input; leave it false when only
-    * one side is consumed or the input is cheap to recompute.
+    * one side is consumed or the input is cheap to recompute. Both
+    * filters ride the [[kept]] pushdown fence.
     */
   def split(docs: DataFrame, cfg: Config = Config(),
             textCol: String = "text",
@@ -152,9 +170,11 @@ object QualityRules {
     val annotated0 = annotate(docs, cfg, textCol)
     val annotated =
       if (frontier) graft.core.Materialize.frontier(annotated0) else annotated0
-    (annotated.where(size(col("failed_rules")) === 0)
+    (annotated.where(graft.functions.PushdownBarrier.fence(
+        size(col("failed_rules")) === 0))
        .drop("failed_rules"),
-     annotated.where(size(col("failed_rules")) > 0))
+     annotated.where(graft.functions.PushdownBarrier.fence(
+        size(col("failed_rules")) > 0)))
   }
 
   /** One-row corpus summary: per-rule failure counts plus kept/total —

@@ -77,6 +77,7 @@ object GraftFunctions {
   val isinValidName = "graft_isin_valid"
   val figiValidName = "graft_figi_valid"
   val textStatsName = "graft_text_stats"
+  val pushdownBarrierName = "graft_pushdown_barrier"
 
   /** Distributed Bloom-filter build over xxhash64 of the argument —
     * Spark's own `BloomFilterAggregate` (the engine uses it for runtime
@@ -136,5 +137,8 @@ object GraftFunctions {
       figiValidName, (args: Seq[Expression]) => IdValid(IdValid.Figi, args(0)), "built-in")
     registry.createOrReplaceTempFunction(
       textStatsName, (args: Seq[Expression]) => TextStats(args(0), args(1)), "built-in")
+    registry.createOrReplaceTempFunction(
+      pushdownBarrierName,
+      (args: Seq[Expression]) => PushdownBarrier(args(0)), "built-in")
   }
 }

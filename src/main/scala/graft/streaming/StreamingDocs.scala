@@ -44,7 +44,10 @@ object StreamingDocs {
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark("fingerprint")
       .transform(d => QualityRules.annotate(d, cfg, textCol))
-      .where(size(col("failed_rules")) === 0)
+      // pushdown fence: see QualityRules.kept (alias substitution would
+      // multiply the TextStats pass per metric reference)
+      .where(graft.functions.PushdownBarrier.fence(
+        size(col("failed_rules")) === 0))
       .drop("failed_rules")
   }
 
