@@ -56,7 +56,11 @@ object QualityRules {
     graft.core.Parallelism.widenForCpu(docs)
       .withColumn("__st",
         call_function(graft.functions.GraftFunctions.textStatsName,
-          col(textCol), array(stopwords.map(lit): _*)))
+          col(textCol),
+          // typedLit, not array(map(lit)): an empty stopword list would
+          // otherwise build array() : array<null>, which TextStats's
+          // foldable-array<string> input check rejects at analysis time
+          typedLit(stopwords.toArray)))
       .withColumn("n_tokens", f("n_tokens"))
       .withColumn("mean_token_len", f("sum_token_len").cast("double") / n)
       .withColumn("stopword_ratio", f("n_stopword").cast("double") / n)

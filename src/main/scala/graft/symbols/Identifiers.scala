@@ -104,7 +104,12 @@ object Identifiers {
     val sum = sumL(transform(body, (v, i) =>
       digitSum(v * when((i + 1) % 2 === 0, 2).otherwise(1))))
     val check = (lit(10L) - (sum % 10L)) % 10L
-    s.rlike("^[B-DF-HJ-NP-TV-Z0-9]{2}G[B-DF-HJ-NP-TV-Z0-9]{8}[0-9]$") &&
+    // explicit length guard alongside the anchored regex: Java's '$'
+    // matches BEFORE a final line terminator, so a 13-char
+    // "BBG000B9XRY4\n" would otherwise pass here while the native
+    // IdValid.figi twin (which tests s.length != 12) rejects it
+    (length(s) === 12) &&
+      s.rlike("^[B-DF-HJ-NP-TV-Z0-9]{2}G[B-DF-HJ-NP-TV-Z0-9]{8}[0-9]$") &&
       (check === element_at(vals, 12).cast("long"))
   }
 

@@ -79,4 +79,19 @@ class QualityRulesSpec extends SparkSpec {
     val (kept, _) = QualityRules.split(fixture, strict)
     assert(kept.count() == 0L)
   }
+
+  test("empty stopword list is accepted: stopword_ratio is 0 everywhere") {
+    // regression: array(Nil.map(lit)) builds array<null>, which TextStats's
+    // foldable-array<string> input check rejects at analysis time
+    val rows = QualityRules.withMetrics(fixture, stopwords = Nil)
+      .select("doc_id", "stopword_ratio").collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getDouble(1) == 0.0,
+      s"doc ${r.getLong(0)} stopword_ratio with no stopwords"))
+    // and the ruleset path composes: every doc now fails low_stopword_ratio
+    val annotated = QualityRules.annotate(
+      fixture, QualityRules.Config(stopwords = Nil))
+    assert(annotated.where(array_contains(col("failed_rules"),
+      "low_stopword_ratio")).count() == 7L)
+  }
 }

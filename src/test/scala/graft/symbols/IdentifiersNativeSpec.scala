@@ -44,7 +44,11 @@ class IdentifiersNativeSpec extends SparkSpec {
       // CUSIP specials and shape traps
       "03783310*", "0378331@0", "03783#100", "", "G", "US037833100",
       "US03783310055", "BBGAAAB9XRY4", "BBG000E9XRY4", "ABG000B9XRY4",
-      "BBG000B9XRYX", "0378331000", "ÅS0378331005", "US03783310Ö5")
+      "BBG000B9XRYX", "0378331000", "ÅS0378331005", "US03783310Ö5",
+      // trailing line terminators: trim strips spaces only, and Java's
+      // '$' anchor matches before a final '\n' — both twins must reject
+      "BBG000B9XRY4\n", "BBG000B9XRY4\r\n", "US0378331005\n",
+      "037833100\n", "BBG000B9XRY4\r", "\nBBG000B9XRY4")
     verdicts(fixtures).foreach { case (raw, d, n) =>
       assert(d === n, s"verdict mismatch for '$raw': declarative=$d native=$n")
     }
