@@ -1,7 +1,59 @@
 package graft.core
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame, Observation}
 import org.apache.spark.storage.StorageLevel
+
+/** Handle to one materialized frontier: the re-usable DataFrame plus a
+  * deterministic [[release]] that frees whatever storage backs it —
+  * localCheckpoint executor blocks, DISK_ONLY_2 persisted blocks, or
+  * scratch-dir parquet files. Without an explicit release those live
+  * until driver GC + the async ContextCleaner get around to them (or JVM
+  * shutdown for scratch files) — measured in the Bench harness as 2-5×
+  * tail-row slowdowns across a 164-row sweep from dead blocks squeezing
+  * execution memory, and unbounded for a long-lived streaming driver.
+  *
+  * Contract: release ONLY after every consumer of [[df]] has run its
+  * last action. The localCheckpoint variant has truncated lineage, so a
+  * released frontier cannot recompute — a post-release action fails.
+  * `release()` is idempotent and never throws on I/O (best-effort file
+  * delete, non-blocking unpersist).
+  */
+final class Frontier private[core] (val df: DataFrame, releaseFn: () => Unit) {
+  private val released = new java.util.concurrent.atomic.AtomicBoolean(false)
+  def release(): Unit = if (released.compareAndSet(false, true)) releaseFn()
+  def isReleased: Boolean = released.get()
+}
+
+/** Scope that tracks [[Frontier]]s and frees them all on [[close]] — the
+  * deterministic-lifecycle wrapper library callers compose long-lived
+  * drivers with:
+  *
+  * {{{
+  * Materialize.withFrontiers { scope =>
+  *   val (curated, counts) = Curate.run(docs, cfg, scope = Some(scope))
+  *   curated.write.parquet(out)   // last consumer runs inside the scope
+  * }                              // close(): all blocks/scratch freed
+  * }}}
+  *
+  * Iterative operators ([[graft.datapipe.Dedup.duplicateComponentsRounds]],
+  * [[graft.datapipe.GraphRank.pageRankMicro]]) additionally release each
+  * round's frontier as soon as the next round is materialized, so peak
+  * storage is one round's working set, not the whole iteration history.
+  */
+final class FrontierScope extends AutoCloseable {
+  private val handles = scala.collection.mutable.ArrayBuffer.empty[Frontier]
+  /** Register an externally-created handle for release at close. */
+  def track(h: Frontier): Frontier = synchronized { handles += h; h }
+  def frontier(df: DataFrame): DataFrame = frontierHandle(df).df
+  def frontierHandle(df: DataFrame): Frontier =
+    track(Materialize.frontierHandle(df))
+  def frontierObserved(df: DataFrame, metrics: Column*): (Frontier, Map[String, Any]) = {
+    val (h, m) = Materialize.frontierObserved(df, metrics: _*)
+    track(h); (h, m)
+  }
+  /** Release every tracked frontier (idempotent per handle). */
+  def close(): Unit = synchronized { handles.foreach(_.release()); handles.clear() }
+}
 
 /** Scale-aware materialization for reuse frontiers — DataFrames that are
   * (a) expensive to recompute and (b) consumed by several downstream
@@ -114,12 +166,30 @@ object Materialize {
     }
   }
 
-  def frontier(df: DataFrame): DataFrame = {
+  /** Materialize with GC-managed lifetime (the round-10 behavior):
+    * blocks are freed when the frame is collected and the async
+    * ContextCleaner runs. Prefer [[frontierHandle]] / [[FrontierScope]]
+    * when the caller knows the last consumer — deterministic release
+    * keeps a long-lived driver's storage bounded.
+    */
+  def frontier(df: DataFrame): DataFrame = frontierHandle(df).df
+
+  /** Materialize and return a [[Frontier]] handle whose `release()`
+    * deterministically frees the backing storage.
+    */
+  def frontierHandle(df: DataFrame): Frontier = {
     val conf = df.sparkSession.conf
     val threshold = conf.getOption(LocalMaxBytesConf)
       .flatMap(_.toLongOption).getOrElse(DefaultLocalMaxBytes)
-    if (estimateBytes(df) <= threshold) df.localCheckpoint()
-    else conf.getOption(ScratchDirConf).filter(_.nonEmpty) match {
+    if (estimateBytes(df) <= threshold) {
+      val cp = df.localCheckpoint()
+      // the checkpointed Dataset's plan is a LogicalRDD over the persisted
+      // (lineage-truncated) RDD; unpersisting that RDD IS the release
+      val rdds = cp.queryExecution.analyzed.collect {
+        case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
+      }
+      new Frontier(cp, () => rdds.foreach(_.unpersist(blocking = false)))
+    } else conf.getOption(ScratchDirConf).filter(_.nonEmpty) match {
       case Some(dir) =>
         val sc = df.sparkSession.sparkContext
         val appDir = s"$dir/${sc.applicationId}_$jvmTag"
@@ -127,11 +197,47 @@ object Materialize {
         df.write.mode("overwrite").option("compression", "zstd").parquet(path)
         createdDirs.add((appDir, sc.hadoopConfiguration))
         ensureShutdownHook()
-        df.sparkSession.read.parquet(path)
+        val hconf = sc.hadoopConfiguration
+        new Frontier(df.sparkSession.read.parquet(path), () => {
+          try {
+            val p = new org.apache.hadoop.fs.Path(path)
+            p.getFileSystem(hconf).delete(p, true)
+          } catch { case _: java.io.IOException => () } // best-effort
+        })
       case None =>
         val p = df.persist(StorageLevel.DISK_ONLY_2)
         p.count()
-        p
+        new Frontier(p, () => { p.unpersist(blocking = false); () })
     }
+  }
+
+  /** Materialize AND compute aggregate metrics over the full frame in
+    * the SAME job, via `Dataset.observe`: the localCheckpoint /
+    * parquet-write / persist-count action that materializes the frontier
+    * also fires the observation, so iterative operators that need a
+    * per-round signature (e.g. the star-contraction fixpoint test in
+    * [[graft.datapipe.Dedup.duplicateComponentsRounds]]) pay ONE job per
+    * round instead of materialize + separate aggregate scan.
+    *
+    * `metrics` must be aggregate expressions valid under `observe` (no
+    * distinct aggregates). Returns the handle plus the observed values
+    * keyed by their aliases.
+    */
+  def frontierObserved(df: DataFrame, metrics: Column*): (Frontier, Map[String, Any]) = {
+    require(metrics.nonEmpty, "frontierObserved needs at least one metric")
+    val obs = new Observation(
+      "graft_frontier_" + java.util.UUID.randomUUID().toString.take(12))
+    val h = frontierHandle(df.observe(obs, metrics.head, metrics.tail: _*))
+    (h, obs.get)
+  }
+
+  /** Run `f` with a fresh [[FrontierScope]]; every frontier materialized
+    * through the scope is released when `f` returns (or throws). The
+    * last action on any frame derived from a scoped frontier must run
+    * INSIDE `f`.
+    */
+  def withFrontiers[T](f: FrontierScope => T): T = {
+    val scope = new FrontierScope
+    try f(scope) finally scope.close()
   }
 }

@@ -145,22 +145,26 @@ object Bpe {
     */
   def train(docs: DataFrame, nMerges: Int,
             textCol: String = "text"): Seq[(String, String)] = {
-    var seg = graft.core.Materialize.frontier(
+    var segH = graft.core.Materialize.frontierHandle(
       wordFreqs(docs, textCol).withColumn("syms", chars(col("word"))))
     val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
     var exhausted = false
     while (!exhausted && merges.length < nMerges) {
-      val top = pairCounts(seg)
+      val top = pairCounts(segH.df)
         .orderBy(desc("pair_count"), desc("s1"), desc("s2"))
         .limit(1).collect()
       if (top.isEmpty) exhausted = true
       else {
         val (s1, s2) = (top(0).getAs[String]("s1"), top(0).getAs[String]("s2"))
         merges += ((s1, s2))
-        seg = graft.core.Materialize.frontier(
-          seg.withColumn("syms", applyMerge(col("syms"), s1, s2)))
+        val next = graft.core.Materialize.frontierHandle(
+          segH.df.withColumn("syms", applyMerge(col("syms"), s1, s2)))
+        // round i's segmentation fed round i+1, now materialized — free it
+        segH.release()
+        segH = next
       }
     }
+    segH.release() // merges are driver-side; nothing references the table
     merges.toSeq
   }
 }

@@ -58,7 +58,8 @@ object Curate {
     * The map stages themselves are never re-executed per count.
     */
   def run(docs: DataFrame, cfg: Config = Config(),
-          textCol: String = "text", idCol: String = "doc_id")
+          textCol: String = "text", idCol: String = "doc_id",
+          scope: Option[graft.core.FrontierScope] = None)
       : (DataFrame, DataFrame) = {
     val spark = docs.sparkSession
     import spark.implicits._
@@ -75,26 +76,41 @@ object Curate {
     // stripBoilerplate scans its input twice (blocklist build + strip
     // join) — when the O(lines²)-per-doc dedup expression feeds it,
     // materialize first so the dedup runs once, not twice
-    val preLines =
+    val preLinesH =
       if (cfg.dedupLinesWithinDoc && cfg.boilerplateMinDocFreq.isDefined)
-        Materialize.frontier(preLines0)
-      else preLines0
-    val boiler = cfg.boilerplateMinDocFreq.map { k =>
-      Materialize.frontier(
+        Some(Materialize.frontierHandle(preLines0))
+      else None
+    val preLines = preLinesH.map(_.df).getOrElse(preLines0)
+    val boilerH = cfg.boilerplateMinDocFreq.map { k =>
+      Materialize.frontierHandle(
         Boilerplate.stripBoilerplate(preLines, k, textCol, idCol)
           .where(col("n_removed") < col("n_lines"))
           .select(col(idCol), col(textCol)))
     }
+    // the line-normalized frame fed only the boilerplate pass, which is
+    // now materialized — free it before the heavy stages run
+    if (boilerH.isDefined) preLinesH.foreach(_.release())
+    val boiler = boilerH.map(_.df)
     val input = boiler.getOrElse(preLines)
     // materialize the two frontiers that everything downstream re-reads:
     // exactKeep feeds BOTH the pair generation and the survivor join, and
     // afterNear feeds the annotation pass (counts) plus the final
     // redaction — without this, each action re-executes the (expensive)
     // pairwise stage
-    val afterExact = Materialize.frontier(Dedup.exactKeep(input, textCol, idCol))
+    val afterExactH =
+      Materialize.frontierHandle(Dedup.exactKeep(input, textCol, idCol))
+    val afterExact = afterExactH.df
+    // the pair frame lazily reads ngramJaccardPairs' internal postings /
+    // pair-array frontiers; scope them and free as soon as afterNear (the
+    // only consumer) is materialized
+    val pairScope = new graft.core.FrontierScope
     val pairs = Dedup.ngramJaccardPairs(afterExact, cfg.ngramN,
-      cfg.jaccardThreshold, textCol = textCol, idCol = idCol)
-    val afterNear = Materialize.frontier(Dedup.nearDupKeep(afterExact, pairs, idCol))
+      cfg.jaccardThreshold, textCol = textCol, idCol = idCol,
+      scope = Some(pairScope))
+    val afterNearH =
+      Materialize.frontierHandle(Dedup.nearDupKeep(afterExact, pairs, idCol))
+    pairScope.close()
+    val afterNear = afterNearH.df
 
     // annotate every remaining stage as a boolean column (pure map over the
     // frontier) so counts and the curated filter share one plan
@@ -144,8 +160,9 @@ object Curate {
     // the trusted slice IS what the heuristic stages kept. Frontiered so
     // training, scoring, and the final filter share one materialization;
     // docs with < 2 tokens cannot be scored and drop (inner join).
-    val afterLm = cfg.lmScoreFloorMicro.map { floor =>
-      val base = Materialize.frontier(survivors)
+    val afterLmH = cfg.lmScoreFloorMicro.map { floor =>
+      val baseH = Materialize.frontierHandle(survivors)
+      val base = baseH.df
       val passing = LanguageModel.score(base,
           LanguageModel.unigramCounts(base, textCol),
           LanguageModel.bigramCounts(base, textCol, idCol), textCol, idCol)
@@ -155,8 +172,13 @@ object Curate {
       // pipeline (two count shuffles + the bigram explode-join) feeds
       // both the 6_lm_floor count and the returned curated frame — left
       // lazy it would execute twice
-      Materialize.frontier(base.join(passing, Seq(idCol)))
+      val h = Materialize.frontierHandle(base.join(passing, Seq(idCol)))
+      // base fed train + score + the join, all inside the frontier just
+      // materialized — free it now
+      baseH.release()
+      h
     }
+    val afterLm = afterLmH.map(_.df)
     val curated = afterLm.getOrElse(survivors)
       .withColumn(textCol, TextAnalysis.redactPii(col(textCol)))
 
@@ -196,6 +218,20 @@ object Curate {
       afterLm.map(_ => ("6_lm_floor", row.getAs[Long]("__lm"))).toSeq ++
       ruleNames.map(r => (s"rule:$r", row.getAs[Long](r))))
       .toDF("stage", "n_docs")
+    // every count action has run; free the intermediates deterministically.
+    // Result-backing frontiers (afterNear on the default path, afterLm on
+    // the LM path) go to the caller's scope — GC-managed when none, the
+    // pre-scope behavior.
+    boilerH.foreach(_.release())
+    afterExactH.release()
+    if (afterLmH.isDefined) {
+      // curated rides the LM frontier only; the near-dedup frontier's
+      // last consumer was the stage aggregate above
+      afterNearH.release()
+      afterLmH.foreach(h => scope.foreach(_.track(h)))
+    } else {
+      scope.foreach(_.track(afterNearH))
+    }
     (curated, counts)
   }
 }

@@ -205,13 +205,18 @@ object Dedup {
   def ngramJaccardPairs(
       docs: DataFrame, n: Int = 3, threshold: Double = 0.5,
       maxDocsPerShingle: Int = 1000,
-      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+      textCol: String = "text", idCol: String = "doc_id",
+      scope: Option[graft.core.FrontierScope] = None): DataFrame = {
     // inverted-index WITHOUT a self-join: group postings per shingle and
     // emit ordered candidate pairs in-row. One evaluation of the shingle
     // expansion, two shuffles total (by shingle, then by pair); the
     // stopword cap is simply the posting-list length. A self-join here
     // would recompute the expansion per side and lose exchange reuse.
-    val postings = Materialize.frontier(shingleArrays(docs, n, textCol, idCol))
+    def mat(df: DataFrame): DataFrame = scope match {
+      case Some(sc) => sc.frontier(df)
+      case None => Materialize.frontier(df)
+    }
+    val postings = mat(shingleArrays(docs, n, textCol, idCol))
       // see shingles(): explode re-evaluates its input per output row
       .withColumn("set_size", size(col("shingles")))
       .select(col(idCol), col("set_size"), explode(col("shingles")).as("shingle"))
@@ -226,7 +231,7 @@ object Dedup {
             x.getField("set_size").as("size_a"), y.getField("set_size").as("size_b")))))
       .as("pairs"))
     // O(df²) pair array must not be rebuilt per exploded row
-    val pairs = Materialize.frontier(pairArrays)
+    val pairs = mat(pairArrays)
       .select(explode(col("pairs")).as("p")).select("p.*")
     pairs
       .groupBy("id_a", "id_b")
@@ -525,8 +530,9 @@ object Dedup {
   def duplicateComponents(pairs: DataFrame,
                           aCol: String = "id_a", bCol: String = "id_b",
                           maxIters: Int = 25,
-                          idCol: String = "doc_id"): DataFrame =
-    duplicateComponentsRounds(pairs, aCol, bCol, maxIters, idCol)._1
+                          idCol: String = "doc_id",
+                          scope: Option[graft.core.FrontierScope] = None): DataFrame =
+    duplicateComponentsRounds(pairs, aCol, bCol, maxIters, idCol, scope)._1
 
   /** [[duplicateComponents]] plus the number of contraction rounds it
     * took to converge — exposed so specs can pin the O(log n) bound.
@@ -534,39 +540,53 @@ object Dedup {
   def duplicateComponentsRounds(pairs: DataFrame,
                                 aCol: String = "id_a", bCol: String = "id_b",
                                 maxIters: Int = 25,
-                                idCol: String = "doc_id"): (DataFrame, Int) = {
+                                idCol: String = "doc_id",
+                                scope: Option[graft.core.FrontierScope] = None)
+      : (DataFrame, Int) = {
     // materialize the (a, b) projection ONCE: both the node set and the
     // initial edge set derive from it, and `pairs` is typically an
     // expensive pipeline (an LSH candidate graph) that a union of two
     // selects would otherwise re-evaluate per leg — measured as 2/3 of
     // d12's post-fix wall time at sf0.1
-    val p0 = Materialize.frontier(pairs.select(col(aCol), col(bCol)))
-    // every id that appears in a pair gets a label, including self-pairs
-    val nodes = p0.select(col(aCol).as("id"))
-      .union(p0.select(col(bCol).as("id"))).distinct()
+    val p0h = Materialize.frontierHandle(pairs.select(col(aCol), col(bCol)))
+    val p0 = p0h.df
+    // one-job set signature, observed ON the materializing action itself
+    // (Materialize.frontierObserved): (count, XOR of two independent
+    // 64-bit pair hashes). Equal signatures between rounds declare the
+    // fixpoint outright — a false positive needs a different same-count
+    // DISTINCT edge set colliding under BOTH xxhash64 streams at once
+    // (~2^-128), below any operational concern, so the confirming
+    // left-anti scan the previous scheme ran at the candidate fixpoint
+    // is gone. XOR, not sum: order-independent AND cannot overflow under
+    // ANSI arithmetic. Net per round: exactly ONE job (the round-9
+    // scheme paid materialize + count + xor-agg + anti-join).
+    val sigExprs = Seq(
+      count(lit(1)).as("__n"),
+      coalesce(bit_xor(xxhash64(col("src"), col("dst"))), lit(0L)).as("__x1"),
+      coalesce(bit_xor(xxhash64(lit(0x9E3779B97F4A7C15L), col("src"),
+        col("dst"))), lit(0L)).as("__x2"))
+    def sigOf(m: Map[String, Any]): (Long, Long, Long) =
+      (m("__n").asInstanceOf[Long], m("__x1").asInstanceOf[Long],
+        m("__x2").asInstanceOf[Long])
+    // every id that appears in a pair gets a label, including self-pairs.
+    // Materialized (it backs the lazily-returned labels frame) so p0 can
+    // be released before the contraction loop starts.
+    val nodesH = Materialize.frontierHandle(
+      p0.select(col(aCol).as("id"))
+        .union(p0.select(col(bCol).as("id"))).distinct())
     // canonical orientation src > dst; both passes preserve it
-    var edges = Materialize.frontier(
+    var (edgesH, m0) = Materialize.frontierObserved(
       p0.select(greatest(col(aCol), col(bCol)).as("src"),
           least(col(aCol), col(bCol)).as("dst"))
-        .where(col("src") =!= col("dst")).distinct())
-    // one-action set signature: (count, XOR of 64-bit pair hashes). Equal
-    // signatures between rounds are a CANDIDATE fixpoint — count alone
-    // misses same-size rewrites, and two equal-count DISTINCT sets with
-    // an equal hash-XOR collide with ~2^-64 probability — confirmed by
-    // the one left-anti set-equality check below, which thus runs ~once
-    // (at the real fixpoint) instead of every round. XOR, not sum: it is
-    // order-independent AND cannot overflow under ANSI arithmetic. The
-    // previous scheme paid next.count() + edges.count() + a full
-    // anti-join scan per round, doubling d12's wall time at sf0.1.
-    def sig(df: DataFrame): (Long, Long) = {
-      val r = df.agg(count(lit(1)),
-        coalesce(bit_xor(xxhash64(col("src"), col("dst"))), lit(0L))).head()
-      (r.getLong(0), r.getLong(1))
-    }
-    var edgeSig = sig(edges)
+        .where(col("src") =!= col("dst")).distinct(),
+      sigExprs: _*)
+    // p0 fed nodes + initial edges, both now materialized — free it
+    p0h.release()
+    var edgeSig = sigOf(m0)
     var round = 0
     var converged = edgeSig._1 == 0L
     while (!converged && round < maxIters) {
+      val edges = edgesH.df
       // large-star: symmetrize, m(u) = min(N(u) ∪ {u}); emit (v, m(u))
       // for neighbors v > u. Output keeps src > dst (v > u >= m).
       val und = edges.select("src", "dst")
@@ -586,23 +606,30 @@ object Dedup {
         .select(large("dst").as("src"), col("m").as("dst"))
         .union(smins.select(col("src"), col("m").as("dst")))
         .distinct()
-      val next = Materialize.frontier(small)
-      // fixpoint when the (distinct) edge set is unchanged: signature
-      // match (one aggregate action) gates the definitive left-anti check
-      val nextSig = sig(next)
-      converged = nextSig == edgeSig &&
-        next.join(edges, Seq("src", "dst"), "left_anti").isEmpty
-      edges = next
+      val (nextH, nm) = Materialize.frontierObserved(small, sigExprs: _*)
+      val nextSig = sigOf(nm)
+      converged = nextSig == edgeSig
+      // the previous round's frontier fed `small`, now materialized —
+      // free it eagerly so peak storage is one round's edge set
+      edgesH.release()
+      edgesH = nextH
       edgeSig = nextSig
       round += 1
     }
-    if (!converged)
+    if (!converged) {
+      edgesH.release(); nodesH.release()
       throw new IllegalStateException(
         s"duplicateComponents did not converge in $maxIters rounds; " +
           "raise maxIters (star contraction needs O(log² n) rounds)")
+    }
+    // nodes + fixpoint edges back the lazily-returned labels: register
+    // them with the caller's scope (GC-managed when none, the pre-scope
+    // behavior)
+    scope.foreach { s => s.track(nodesH); s.track(edgesH) }
     // at fixpoint edges are (member, root) stars; roots + self-paired
     // nodes label themselves
-    val labels = nodes.join(edges.withColumnRenamed("src", "id"), Seq("id"), "left")
+    val labels = nodesH.df
+      .join(edgesH.df.withColumnRenamed("src", "id"), Seq("id"), "left")
       .select(col("id").as(idCol),
         coalesce(col("dst"), col("id")).as("cluster_id"))
     (labels, round)

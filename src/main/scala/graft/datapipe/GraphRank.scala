@@ -49,7 +49,8 @@ object GraphRank {
     */
   def pageRankMicro(pairs: DataFrame,
                     aCol: String = "id_a", bCol: String = "id_b",
-                    iters: Int = 3): DataFrame = {
+                    iters: Int = 3,
+                    scope: Option[graft.core.FrontierScope] = None): DataFrame = {
     require(iters >= 1, "iters must be >= 1")
     val p0 = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
       .where(col("src") =!= col("dst"))
@@ -59,19 +60,30 @@ object GraphRank {
     // skewed hub costs a combiner row, not a sorted run
     val sym = p0.union(p0.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
-    val edges = Materialize.frontier(
+    val edgesH = Materialize.frontierHandle(
       sym.join(sym.groupBy("src").agg(count(lit(1)).as("deg")), Seq("src")))
+    val edges = edgesH.df
+    var ranksH: Option[graft.core.Frontier] = None
     var ranks = edges.select(col("src").as("id")).distinct()
       .withColumn("r", lit(Scale))
     (1 to iters).foreach { _ =>
-      ranks = Materialize.frontier(
+      val nextH = Materialize.frontierHandle(
         edges.join(ranks, edges("src") === ranks("id"))
           .select(col("dst"), expr("r div deg").as("c"))
           .groupBy("dst")
           .agg(sum(col("c")).as("s"))
           .select(col("dst").as("id"),
             expr(s"${(Scale * 15L) / 100L} + (85 * s) div 100").as("r")))
+      // iteration i's rank table fed iteration i+1, now materialized —
+      // free it so peak storage is one iteration's ranks + the edge table
+      ranksH.foreach(_.release())
+      ranksH = Some(nextH)
+      ranks = nextH.df
     }
+    // the last iteration consumed the edge table; only the final rank
+    // frontier backs the returned frame
+    edgesH.release()
+    ranksH.foreach(h => scope.foreach(_.track(h)))
     ranks.select(col("id"), col("r").as("rank_micro"))
   }
 
@@ -84,14 +96,20 @@ object GraphRank {
     */
   def rankKeep(docs: DataFrame, pairs: DataFrame,
                iters: Int = 3,
-               idCol: String = "doc_id"): DataFrame = {
+               idCol: String = "doc_id",
+               scope: Option[graft.core.FrontierScope] = None): DataFrame = {
     // the pair graph is typically an expensive pipeline (LSH candidates);
     // materialize it ONCE — both the component contraction and the rank
     // iterations ride the same frontier table
-    val pm = Materialize.frontier(pairs)
-    val comp = Dedup.duplicateComponents(pm, idCol = idCol)
+    val pmH = Materialize.frontierHandle(pairs)
+    val pm = pmH.df
+    val comp = Dedup.duplicateComponents(pm, idCol = idCol, scope = scope)
       .withColumnRenamed(idCol, "__id")
-    val rank = pageRankMicro(pm, iters = iters)
+    val rank = pageRankMicro(pm, iters = iters, scope = scope)
+    // both consumers have materialized their own frontiers (contraction
+    // nodes/edges, rank/edge tables); neither the labels nor the rank
+    // frame references the pair graph any more — free it here
+    pmH.release()
     // left join: a node present only via self-pairs has a component
     // label but no rank (self-loops carry no mass); rank 0 keeps it
     // eligible without preferring it

@@ -222,10 +222,15 @@ object Similarity {
       idCol: String = "vec_id", vecCol: String = "embedding",
       centroidIdCol: String = "centroid_id"): DataFrame = {
     var c = ivfCentroids(vecs, nlist, idCol, vecCol, centroidIdCol)
+    var prev: Option[graft.core.Frontier] = None
     for (_ <- 0 until iters) {
-      c = graft.core.Materialize.frontier(centroidsFromMeans(
+      val h = graft.core.Materialize.frontierHandle(centroidsFromMeans(
         kmeansIter(vecs, c, idCol, vecCol, centroidIdCol),
         vecCol, centroidIdCol))
+      // round i's centroids fed round i+1's assignment, now materialized
+      prev.foreach(_.release())
+      prev = Some(h)
+      c = h.df
     }
     c
   }

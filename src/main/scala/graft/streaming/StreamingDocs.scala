@@ -83,20 +83,27 @@ object StreamingDocs {
       idCol: String = "doc_id")(
       sink: (DataFrame, DataFrame, Long) => Unit): DataStreamWriter[Row] =
     docs.writeStream.foreachBatch { (batch: Dataset[Row], batchId: Long) =>
-      // checkpoint the banded batch: it feeds both the dup lookup and the
-      // survivor band rows, and micro-batches are executor-memory sized
-      val banded = Dedup
-        .minhashBandsPortable(batch.toDF(), k, bands, n, textCol, idCol)
-        .localCheckpoint()
-      val dupIds = banded
-        .join(storedBands().select(col("band"), col("bucket")),
-          Seq("band", "bucket"), "left_semi")
-        .select(col(idCol)).distinct()
-        .localCheckpoint()
-      // docs too short to shingle have no band rows and can never
-      // collide — they pass, matching the batch operator's semantics
-      val kept = batch.toDF().join(dupIds, Seq(idCol), "left_anti")
-      val keptBands = banded.join(dupIds, Seq(idCol), "left_anti")
-      sink(kept, keptBands, batchId)
+      // frontier the banded batch inside a per-batch scope: it feeds both
+      // the dup lookup and the survivor band rows, and micro-batches are
+      // executor-memory sized. The scope releases both checkpoints when
+      // the batch closes — a streaming driver runs unbounded batches, so
+      // waiting on GC + ContextCleaner accumulates dead blocks that
+      // squeeze execution memory (2-5× tail slowdowns measured in the
+      // 164-row bench sweep; worse over days of micro-batches). `sink`
+      // must fully consume its frames before returning (it writes them —
+      // the documented contract).
+      graft.core.Materialize.withFrontiers { scope =>
+        val banded = scope.frontier(Dedup
+          .minhashBandsPortable(batch.toDF(), k, bands, n, textCol, idCol))
+        val dupIds = scope.frontier(banded
+          .join(storedBands().select(col("band"), col("bucket")),
+            Seq("band", "bucket"), "left_semi")
+          .select(col(idCol)).distinct())
+        // docs too short to shingle have no band rows and can never
+        // collide — they pass, matching the batch operator's semantics
+        val kept = batch.toDF().join(dupIds, Seq(idCol), "left_anti")
+        val keptBands = banded.join(dupIds, Seq(idCol), "left_anti")
+        sink(kept, keptBands, batchId)
+      }
     }
 }

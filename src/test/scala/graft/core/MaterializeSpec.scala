@@ -109,4 +109,91 @@ class MaterializeSpec extends SparkSpec {
       Materialize.cleanupScratch()
     }
   }
+
+  // deterministic lifecycle: blocks/files freed at release/close, not GC
+
+  private def persistedCount: Int = spark.sparkContext.getPersistentRDDs.size
+
+  test("FrontierScope.close releases localCheckpoint blocks back to baseline") {
+    val baseline = persistedCount
+    val out = Materialize.withFrontiers { scope =>
+      val a = scope.frontier(df)
+      val b = scope.frontier(a.groupBy("k").agg(sum("id").as("s")))
+      assert(persistedCount > baseline, "frontiers must hold blocks while in scope")
+      b.collect().length // last consumer runs inside the scope
+    }
+    assert(out == 7)
+    assert(persistedCount == baseline,
+      s"blocks must return to baseline after close, got $persistedCount vs $baseline")
+  }
+
+  test("Frontier.release is deterministic, eager and idempotent") {
+    val baseline = persistedCount
+    val h = Materialize.frontierHandle(df)
+    assert(rows(h.df) == rows(df))
+    assert(persistedCount == baseline + 1)
+    h.release()
+    assert(h.isReleased)
+    assert(persistedCount == baseline, "release must free the block synchronously")
+    h.release() // idempotent
+    assert(persistedCount == baseline)
+  }
+
+  test("scratch-path release deletes that frontier's files only") {
+    val dir = java.nio.file.Files.createTempDirectory("mat_scratch_rel").toString
+    spark.conf.set(Materialize.LocalMaxBytesConf, "0")
+    spark.conf.set(Materialize.ScratchDirConf, dir)
+    try {
+      val h1 = Materialize.frontierHandle(df)
+      val h2 = Materialize.frontierHandle(df)
+      assert(rows(h1.df) == rows(df) && rows(h2.df) == rows(df))
+      val d1 = new java.io.File(new java.net.URI(h1.df.inputFiles.head)).getParentFile
+      val d2 = new java.io.File(new java.net.URI(h2.df.inputFiles.head)).getParentFile
+      h1.release()
+      assert(!d1.exists(), "released frontier's scratch table must be deleted")
+      assert(d2.exists(), "sibling frontier must survive")
+      assert(rows(h2.df) == rows(df))
+      h2.release()
+      assert(!d2.exists())
+    } finally {
+      spark.conf.unset(Materialize.LocalMaxBytesConf)
+      spark.conf.unset(Materialize.ScratchDirConf)
+      Materialize.cleanupScratch()
+    }
+  }
+
+  test("frontierObserved computes metrics in the materializing job on every path") {
+    def check(): Unit = {
+      val (h, m) = Materialize.frontierObserved(df,
+        count(lit(1)).as("n"), sum(col("id")).as("s"))
+      assert(m("n") == 1000L && m("s") == 499500L, s"observed $m")
+      assert(rows(h.df) == rows(df))
+      h.release()
+    }
+    check() // localCheckpoint path
+    spark.conf.set(Materialize.LocalMaxBytesConf, "0")
+    try {
+      check() // DISK_ONLY_2 path
+      val dir = java.nio.file.Files.createTempDirectory("mat_obs").toString
+      spark.conf.set(Materialize.ScratchDirConf, dir)
+      try check() // scratch parquet path
+      finally spark.conf.unset(Materialize.ScratchDirConf)
+    } finally spark.conf.unset(Materialize.LocalMaxBytesConf)
+  }
+
+  test("duplicateComponents with a scope frees all its frontiers at close") {
+    val s = spark; import s.implicits._
+    val baseline = persistedCount
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (7L, 7L))
+      .toDF("id_a", "id_b")
+    val labels = Materialize.withFrontiers { scope =>
+      graft.datapipe.Dedup
+        .duplicateComponents(pairs, scope = Some(scope))
+        .collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    }
+    assert(labels == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L, 7L -> 7L))
+    assert(persistedCount == baseline,
+      s"contraction frontiers must be freed at scope close, got $persistedCount vs $baseline")
+  }
 }

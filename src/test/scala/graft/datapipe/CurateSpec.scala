@@ -127,4 +127,28 @@ class CurateSpec extends SparkSpec {
       qualityRuleset = Some(QualityRules.Config(stopwords = Seq("zzz"))))
     assert(Curate.run(docs, strict)._1.count() == 0L)
   }
+
+  test("scoped run releases every frontier at close; results identical") {
+    val s = spark; import s.implicits._
+    val good = "the quick brown fox and the lazy dog of a house with many different words inside"
+    val docs = Seq(
+      (1L, good + " one"), (2L, good + " one"), (3L, good + " two"),
+      (4L, "the cat and the dog of a house walked to a park and found many things there")
+    ).toDF("doc_id", "text")
+    // include the opt-in stages so every frontier path in run() is exercised
+    val cfg = Curate.Config(dedupLinesWithinDoc = true,
+      boilerplateMinDocFreq = Some(100L), lmScoreFloorMicro = Some(Long.MinValue))
+    val baseline = spark.sparkContext.getPersistentRDDs.size
+    val kept = graft.core.Materialize.withFrontiers { scope =>
+      val (curated, counts) = Curate.run(docs, cfg, scope = Some(scope))
+      counts.collect() // consume both returned frames inside the scope
+      curated.collect().map(_.getAs[Long]("doc_id")).toSet
+    }
+    assert(spark.sparkContext.getPersistentRDDs.size == baseline,
+      "scoped Curate.run must free all its frontiers at close")
+    // identical result via the unscoped (GC-managed) path
+    val unscoped = Curate.run(docs, cfg)._1
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(kept == unscoped)
+  }
 }
