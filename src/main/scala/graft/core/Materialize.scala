@@ -107,6 +107,51 @@ object Materialize {
   def estimateBytes(df: DataFrame): BigInt =
     df.queryExecution.optimizedPlan.stats.sizeInBytes
 
+  /** True when re-evaluating the frame costs ~one scan: the optimized
+    * plan is a leaf (parquet/local relation), optionally under
+    * attribute-only projections and cheap row-local filters. Such frames
+    * gain nothing from a frontier (the "materialization" would write the
+    * same bytes a re-scan reads) — [[frontierHandleIfExpensive]] skips
+    * them. Deliberately conservative: any join/aggregate/generate/window,
+    * or any non-trivial projection expression (tokenizers, hashes,
+    * higher-order functions) fails the test, because re-evaluating those
+    * per consumer is exactly what frontiers exist to prevent.
+    */
+  def isReusableScan(df: DataFrame): Boolean = {
+    import org.apache.spark.sql.catalyst.expressions._
+    import org.apache.spark.sql.catalyst.plans.logical._
+    def cheapExpr(e: Expression): Boolean = e match {
+      case _: Attribute | _: Literal => true
+      case a: Alias => cheapExpr(a.child)
+      case c: Cast => cheapExpr(c.child)
+      case b: BinaryComparison => b.children.forall(cheapExpr)
+      case i: In => i.children.forall(cheapExpr)
+      case And(l, r) => cheapExpr(l) && cheapExpr(r)
+      case Or(l, r) => cheapExpr(l) && cheapExpr(r)
+      case Not(c) => cheapExpr(c)
+      case _: IsNull | _: IsNotNull => e.children.forall(cheapExpr)
+      case _ => false
+    }
+    def scanShaped(p: LogicalPlan): Boolean = p match {
+      case Project(exprs, child) => exprs.forall(cheapExpr) && scanShaped(child)
+      case Filter(cond, child) => cheapExpr(cond) && scanShaped(child)
+      case l: LeafNode => l.getClass.getSimpleName != "CommandResult"
+      case _ => false
+    }
+    scanShaped(df.queryExecution.optimizedPlan)
+  }
+
+  /** [[frontierHandle]], except scan-shaped inputs ([[isReusableScan]])
+    * are returned as-is under a no-op handle: consumers re-read the
+    * (already stored) source instead of paying a materialization job +
+    * storage for bytes that exist on disk. The artifact-read fast path
+    * for operators whose input is "usually an expensive pipeline, but
+    * sometimes a stored table".
+    */
+  def frontierHandleIfExpensive(df: DataFrame): Frontier =
+    if (isReusableScan(df)) new Frontier(df, () => ())
+    else frontierHandle(df)
+
   /** Delete every scratch subdirectory this JVM has written. Safe to call
     * repeatedly; only call once frames returned by [[frontier]] are fully
     * consumed (they lazily re-read the scratch files).

@@ -543,12 +543,15 @@ object Dedup {
                                 idCol: String = "doc_id",
                                 scope: Option[graft.core.FrontierScope] = None)
       : (DataFrame, Int) = {
-    // materialize the (a, b) projection ONCE: both the node set and the
-    // initial edge set derive from it, and `pairs` is typically an
-    // expensive pipeline (an LSH candidate graph) that a union of two
-    // selects would otherwise re-evaluate per leg — measured as 2/3 of
-    // d12's post-fix wall time at sf0.1
-    val p0h = Materialize.frontierHandle(pairs.select(col(aCol), col(bCol)))
+    require(maxIters >= 1, "star contraction needs at least one round")
+    // materialize the (a, b) projection ONCE when `pairs` is an expensive
+    // pipeline (an LSH candidate graph) that the node-set union and the
+    // edge orientation would otherwise re-evaluate per leg — measured as
+    // 2/3 of d12's post-fix wall time at sf0.1. When it is already a
+    // stored table (the persisted pair-graph artifact), skip the
+    // materialization job and let the legs re-scan it.
+    val p0h = Materialize.frontierHandleIfExpensive(
+      pairs.select(col(aCol), col(bCol)))
     val p0 = p0h.df
     // one-job set signature, observed ON the materializing action itself
     // (Materialize.frontierObserved): (count, XOR of two independent
@@ -569,24 +572,34 @@ object Dedup {
       (m("__n").asInstanceOf[Long], m("__x1").asInstanceOf[Long],
         m("__x2").asInstanceOf[Long])
     // every id that appears in a pair gets a label, including self-pairs.
-    // Materialized (it backs the lazily-returned labels frame) so p0 can
-    // be released before the contraction loop starts.
-    val nodesH = Materialize.frontierHandle(
-      p0.select(col(aCol).as("id"))
-        .union(p0.select(col(bCol).as("id"))).distinct())
-    // canonical orientation src > dst; both passes preserve it
-    var (edgesH, m0) = Materialize.frontierObserved(
-      p0.select(greatest(col(aCol), col(bCol)).as("src"),
-          least(col(aCol), col(bCol)).as("dst"))
-        .where(col("src") =!= col("dst")).distinct(),
-      sigExprs: _*)
-    // p0 fed nodes + initial edges, both now materialized — free it
-    p0h.release()
-    var edgeSig = sigOf(m0)
+    // Lazy: consumed exactly once, by the returned labels join — a
+    // frontier here would be a whole job spent avoiding zero re-use.
+    val nodes = p0.select(col(aCol).as("id"))
+      .union(p0.select(col(bCol).as("id"))).distinct()
+    // canonical orientation src > dst; both passes preserve it. Left
+    // LAZY and NOT deduplicated: orientation is a pure map over the pair
+    // source (no shuffle), so round 1 can reference it twice (symmetrize
+    // + join-back) for two scans instead of two shuffles — ReuseExchange
+    // does NOT fire across a self-union's legs, so a materialized-or-
+    // distinct initial edge set here would either cost a whole extra job
+    // or shuffle the pair set twice. Duplicate pairs (repeats, both
+    // orientations) are absorbed by round 1 itself: min-aggregates are
+    // duplicate-insensitive and both star outputs end in distinct(). The
+    // sentinel signature below makes round 1's comparison a guaranteed
+    // miss; an empty edge set is detected from round 1's observed count.
+    val edges0 = p0
+      .select(greatest(col(aCol), col(bCol)).as("src"),
+        least(col(aCol), col(bCol)).as("dst"))
+      .where(col("src") =!= col("dst"))
+    // p0 backs the lazy node set in the returned labels — the caller's
+    // scope owns its lifetime (no-op for the scan-shaped fast path)
+    scope.foreach(_.track(p0h))
+    var edgesH: Option[graft.core.Frontier] = None
+    var edgeSig = (-1L, 0L, 0L) // sentinel: no real set has count -1
     var round = 0
-    var converged = edgeSig._1 == 0L
+    var converged = false
     while (!converged && round < maxIters) {
-      val edges = edgesH.df
+      val edges = edgesH.map(_.df).getOrElse(edges0)
       // large-star: symmetrize, m(u) = min(N(u) ∪ {u}); emit (v, m(u))
       // for neighbors v > u. Output keeps src > dst (v > u >= m).
       val und = edges.select("src", "dst")
@@ -608,28 +621,31 @@ object Dedup {
         .distinct()
       val (nextH, nm) = Materialize.frontierObserved(small, sigExprs: _*)
       val nextSig = sigOf(nm)
-      converged = nextSig == edgeSig
+      // an empty edge set is a fixpoint of both star passes — converge
+      // immediately rather than confirming with an identity round
+      converged = nextSig == edgeSig || nextSig._1 == 0L
       // the previous round's frontier fed `small`, now materialized —
       // free it eagerly so peak storage is one round's edge set
-      edgesH.release()
-      edgesH = nextH
+      edgesH.foreach(_.release())
+      edgesH = Some(nextH)
       edgeSig = nextSig
       round += 1
     }
     if (!converged) {
-      edgesH.release(); nodesH.release()
+      edgesH.foreach(_.release()); p0h.release()
       throw new IllegalStateException(
         s"duplicateComponents did not converge in $maxIters rounds; " +
           "raise maxIters (star contraction needs O(log² n) rounds)")
     }
-    // nodes + fixpoint edges back the lazily-returned labels: register
-    // them with the caller's scope (GC-managed when none, the pre-scope
-    // behavior)
-    scope.foreach { s => s.track(nodesH); s.track(edgesH) }
+    // the fixpoint edges back the lazily-returned labels: register with
+    // the caller's scope (GC-managed when none, the pre-scope behavior).
+    // edgesH is always Some here: converged ⇒ at least one round ran.
+    val finalH = edgesH.get
+    scope.foreach(_.track(finalH))
     // at fixpoint edges are (member, root) stars; roots + self-paired
     // nodes label themselves
-    val labels = nodesH.df
-      .join(edgesH.df.withColumnRenamed("src", "id"), Seq("id"), "left")
+    val labels = nodes
+      .join(finalH.df.withColumnRenamed("src", "id"), Seq("id"), "left")
       .select(col("id").as(idCol),
         coalesce(col("dst"), col("id")).as("cluster_id"))
     (labels, round)

@@ -100,16 +100,17 @@ object GraphRank {
                scope: Option[graft.core.FrontierScope] = None): DataFrame = {
     // the pair graph is typically an expensive pipeline (LSH candidates);
     // materialize it ONCE — both the component contraction and the rank
-    // iterations ride the same frontier table
-    val pmH = Materialize.frontierHandle(pairs)
+    // iterations ride the same frontier table (skipped when it is
+    // already a stored table, which re-scans are as cheap as)
+    val pmH = Materialize.frontierHandleIfExpensive(pairs)
     val pm = pmH.df
     val comp = Dedup.duplicateComponents(pm, idCol = idCol, scope = scope)
       .withColumnRenamed(idCol, "__id")
     val rank = pageRankMicro(pm, iters = iters, scope = scope)
-    // both consumers have materialized their own frontiers (contraction
-    // nodes/edges, rank/edge tables); neither the labels nor the rank
-    // frame references the pair graph any more — free it here
-    pmH.release()
+    // the returned labels still read pm lazily (through the contraction's
+    // lazy node set) — pm's lifetime belongs to the caller's scope, not
+    // to this function
+    scope.foreach(_.track(pmH))
     // left join: a node present only via self-pairs has a component
     // label but no rank (self-loops carry no mass); rank 0 keeps it
     // eligible without preferring it

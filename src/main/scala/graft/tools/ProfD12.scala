@@ -31,6 +31,22 @@ object ProfD12 {
       println(f"PROF $tag ${(System.nanoTime() - t0) / 1e9}%.2f s")
     }
     spark.range(100000L).selectExpr("sum(id)").collect()
+    // artifact-shaped input: pairs stored as parquet, like the bench rows
+    val store = java.nio.file.Files.createTempDirectory("profd12").toString
+    Dedup.minhashLshCandidatesPortable(docsWithNearDups, k = 16, bands = 4)
+      .write.mode("overwrite").parquet(s"$store/pairs")
+    val stored = spark.read.parquet(s"$store/pairs")
+    for (i <- 1 to 3) {
+      time(s"components_from_artifact_$i") {
+        val (lbl, rounds) = Dedup.duplicateComponentsRounds(stored)
+        lbl.write.mode("overwrite").format("noop").save()
+        println(s"PROF rounds=$rounds")
+      }
+      time(s"component_keep_from_artifact_$i") {
+        Dedup.componentKeep(docsWithNearDups, stored)
+          .write.mode("overwrite").format("noop").save()
+      }
+    }
     for (i <- 1 to 2) {
       time(s"pairs_only_$i") {
         Dedup.minhashLshCandidatesPortable(docsWithNearDups, k = 16, bands = 4)
