@@ -134,9 +134,20 @@ object Dsir {
   def select(candidates: DataFrame, targetDocs: DataFrame, rawDocs: DataFrame,
              n: Int, nBuckets: Int = 4096, seed: Long = 0L,
              textCol: String = "text", idCol: String = "doc_id"): DataFrame =
-    importanceWeights(candidates,
+    selectWith(candidates,
       fitModel(targetDocs, nBuckets, seed, textCol, idCol),
       fitModel(rawDocs, nBuckets, seed, textCol, idCol),
+      n, nBuckets, seed, textCol, idCol)
+
+  /** [[select]] against PRE-FIT count tables (e.g. [[fitModel]] outputs
+    * persisted via `ArtifactStore`/parquet) — the production score-later
+    * path: no training anywhere in this plan.
+    */
+  def selectWith(candidates: DataFrame,
+                 targetCounts: DataFrame, rawCounts: DataFrame,
+                 n: Int, nBuckets: Int, seed: Long = 0L,
+                 textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    importanceWeights(candidates, targetCounts, rawCounts,
       nBuckets, seed, textCol, idCol)
       .orderBy(desc("logw_micro"), col(idCol))
       .limit(n)
@@ -155,12 +166,21 @@ object Dsir {
   def selectGumbel(candidates: DataFrame, targetDocs: DataFrame, rawDocs: DataFrame,
                    n: Int, nBuckets: Int = 4096, seed: Long = 0L,
                    gumbelSeed: Long = 1L,
-                   textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
-    val u = (Sampling.inclusionHash(col(idCol), gumbelSeed).cast("double") + 0.5) /
-      Sampling.HashSpace.toDouble
-    importanceWeights(candidates,
+                   textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    selectGumbelWith(candidates,
       fitModel(targetDocs, nBuckets, seed, textCol, idCol),
       fitModel(rawDocs, nBuckets, seed, textCol, idCol),
+      n, nBuckets, seed, gumbelSeed, textCol, idCol)
+
+  /** [[selectGumbel]] against pre-fit count tables — see [[selectWith]]. */
+  def selectGumbelWith(candidates: DataFrame,
+                       targetCounts: DataFrame, rawCounts: DataFrame,
+                       n: Int, nBuckets: Int, seed: Long = 0L,
+                       gumbelSeed: Long = 1L,
+                       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val u = (Sampling.inclusionHash(col(idCol), gumbelSeed).cast("double") + 0.5) /
+      Sampling.HashSpace.toDouble
+    importanceWeights(candidates, targetCounts, rawCounts,
       nBuckets, seed, textCol, idCol)
       .withColumn("gumbel_micro",
         floor(-log(-log(u)) * 1000000d + lit(0.5)).cast("long"))

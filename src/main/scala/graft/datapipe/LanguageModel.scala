@@ -244,16 +244,36 @@ object LanguageModel {
     */
   def crossEntropySelect(
       candidates: DataFrame, targetDocs: DataFrame, sourceDocs: DataFrame,
+      n: Int, textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    crossEntropySelectWith(candidates,
+      unigramCounts(targetDocs, textCol),
+      bigramCounts(targetDocs, textCol, idCol),
+      unigramCounts(sourceDocs, textCol),
+      bigramCounts(sourceDocs, textCol, idCol),
+      n, textCol, idCol)
+
+  /** [[crossEntropySelect]] against PRE-FIT count tables — the
+    * fit-once/score-later production path (persist the four [[
+    * unigramCounts]]/[[bigramCounts]] tables, e.g. via `ArtifactStore`,
+    * and contrast many candidate batches without re-training). Also the
+    * latency-correct shape inline: the target unigram table is consumed
+    * by the shared-vocabulary union AND the target scoring pass (the
+    * source one likewise), so unmaterialized models re-tokenize each
+    * training corpus up to three times inside one plan.
+    */
+  def crossEntropySelectWith(
+      candidates: DataFrame,
+      targetUnigrams: DataFrame, targetBigrams: DataFrame,
+      sourceUnigrams: DataFrame, sourceBigrams: DataFrame,
       n: Int, textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
-    val tu = unigramCounts(targetDocs, textCol)
-    val su = unigramCounts(sourceDocs, textCol)
-    val sharedV = tu.select("token").union(su.select("token"))
+    val sharedV = targetUnigrams.select("token")
+      .union(sourceUnigrams.select("token"))
       .distinct().agg(count(lit(1)).as("__v"))
-    val t = score(candidates, tu,
-      bigramCounts(targetDocs, textCol, idCol), textCol, idCol, Some(sharedV))
+    val t = score(candidates, targetUnigrams, targetBigrams,
+        textCol, idCol, Some(sharedV))
       .select(col(idCol), col("mean_logp_micro").as("target_logp_micro"))
-    val s = score(candidates, su,
-      bigramCounts(sourceDocs, textCol, idCol), textCol, idCol, Some(sharedV))
+    val s = score(candidates, sourceUnigrams, sourceBigrams,
+        textCol, idCol, Some(sharedV))
       .select(col(idCol), col("mean_logp_micro").as("source_logp_micro"))
     t.join(s, Seq(idCol))
       .withColumn("ml_score_micro",

@@ -140,5 +140,42 @@ object GraftFunctions {
     registry.createOrReplaceTempFunction(
       pushdownBarrierName,
       (args: Seq[Expression]) => PushdownBarrier(args(0)), "built-in")
+    warmUpOnce()
   }
+
+  private val warmed = new java.util.concurrent.atomic.AtomicBoolean(false)
+
+  /** One-time driver-side JIT warm-up of the shared hot loops the
+    * generated code calls into (`TextStats.compute`, the `IdValid`
+    * check-digit loops). These are ordinary JVM methods — C2 compiles
+    * them after ~10k invocations — and because every whole-stage-codegen
+    * class delegates to the SAME method, warming it here amortizes the
+    * first-run interpretation cliff for every query in the session
+    * (measured r10: first TextStats-heavy run 3-4× its steady state).
+    * Local-mode complete (driver == executor JVM); on a real cluster
+    * executors warm on their own first partitions — unavoidable without
+    * a cluster-wide warm job, and proportionally invisible at that
+    * scale. Cost: a few ms, driver-side only, no Spark job.
+    */
+  private def warmUpOnce(): Unit =
+    if (warmed.compareAndSet(false, true)) {
+      val stops = new java.util.HashSet[String]()
+      stops.add("the"); stops.add("and")
+      val text = org.apache.spark.unsafe.types.UTF8String.fromString(
+        "the quick brown fox jumps over the lazy dog and runs away\nsecond line of text 123 !?")
+      val ids = Seq("037833100", "US0378331005", "BBG000B9XRY4",
+        "BBG000B9XRY5", "bad", "")
+        .map(org.apache.spark.unsafe.types.UTF8String.fromString)
+      var i = 0
+      var sink = 0L
+      while (i < 12000) { // past the C2 invocation threshold
+        sink ^= TextStats.compute(text, stops).getLong(0)
+        val id = ids(i % ids.size)
+        if (IdValid.valid(IdValid.Cusip, id)) sink += 1L
+        if (IdValid.valid(IdValid.Isin, id)) sink += 1L
+        if (IdValid.valid(IdValid.Figi, id)) sink += 1L
+        i += 1
+      }
+      if (sink == Long.MinValue) println("") // keep the loop un-elidable
+    }
 }
