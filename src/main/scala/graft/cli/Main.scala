@@ -521,6 +521,60 @@ object Main {
         ClientConfig("http://fake"), AuthStrategy.NoAuth, new FakeBarServer(1, 1))
       require(c.fetchBatch("HLT", 0L, 60000000000L).nonEmpty)
     }
+    // per-dialect connectivity probes (ref cli/health_check.py
+    // check_provider_registry/check_fake_provider, widened to every
+    // registered dialect): each provider is CONSTRUCTED through the
+    // registry and drains one small batch from its canned in-process
+    // wire server — auth plumbing, pagination, parsing and field maps
+    // all execute, zero egress. Dialects registered at runtime without
+    // a canned fixture are reported, not failed: absence of a test seam
+    // is not ill health.
+    locally {
+      val base = VendorFakeBars.BaseEpochSec
+      val tokenAuth = AuthStrategy.QueryTokenAuth("token", "health-probe")
+      val canned: Map[String, (HttpClient, AuthStrategy, Long, Long)] = Map(
+        "barfeed" -> ((new FakeBarServer(nBars = 5, pageSize = 5),
+          tokenAuth, 0L, 5L * 60000000000L)),
+        "fake" -> ((new FakeBarServer(nBars = 5, pageSize = 5),
+          tokenAuth, 0L, 5L * 60000000000L)),
+        "iex" -> ((new FakeIexServer(nBars = 5), tokenAuth,
+          base * 1000000000L, (base + 300L) * 1000000000L)),
+        "finnhub" -> ((new FakeFinnhubServer(nBars = 5), tokenAuth,
+          base * 1000000000L, (base + 300L) * 1000000000L)),
+        "polygon" -> ((new FakePolygonServer(nBars = 5, pageSize = 5),
+          AuthStrategy.QueryTokenAuth("apikey", "health-probe"),
+          base * 1000000000L, (base + 300L) * 1000000000L)))
+      ProviderRegistry.list().foreach { name =>
+        canned.get(name) match {
+          case Some((server, auth, startNs, endNs)) =>
+            check(s"provider:$name") {
+              val client = ProviderRegistry.get(name).get(
+                ClientConfig("http://fake"), auth, server)
+              val bars = client.fetchBatch("HLT", startNs, endNs)
+              require(bars.nonEmpty, s"dialect $name returned no bars")
+            }
+          case None =>
+            println(f"[health] provider:$name%-19s SKIP (no canned wire fixture)")
+        }
+      }
+    }
+    check("config_parse") {
+      val cfg = graft.config.IngestConfig.loadString(
+        """|symbols: [HLT]
+           |start: 2024-01-02
+           |end: 2024-01-03
+           |provider: fake
+           |""".stripMargin)
+      require(cfg.symbols.nonEmpty)
+    }
+    check("job_state_store") {
+      val repo = new graft.jobs.JobRepo(spark, s"$root/state/jobs")
+      repo.load().limit(1).collect(); repo.histogram().collect()
+    }
+    check("checkpoint_store") {
+      new graft.jobs.Checkpoints(spark, s"$root/state/checkpoints")
+        .load().limit(1).collect()
+    }
     check("data_dir_writable") {
       val p = new org.apache.hadoop.fs.Path(s"$root/.health_probe")
       val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)

@@ -56,18 +56,38 @@ object Normalizer {
       .withColumn("cik", when(col("cik_valid"), Identifiers.cikNormalize(col("cik"))))
   }
 
+  /** Dimension-size bound (optimizer estimate, bytes) under which
+    * [[assignIds]] keeps the simple global-window form; above it the
+    * scalable twin runs automatically. 64 MiB default: a one-task sort
+    * over that much dimension data is cheaper than the range-partition
+    * job the scalable path adds.
+    */
+  val AssignIdsLocalMaxBytesConf = "spark.graft.assignIds.localMaxBytes"
+  val DefaultAssignIdsLocalMaxBytes: Long = 64L << 20
+
   /** W2: dense surrogate IDs ordered by natural_key, stable across reruns;
     * `offset` shifts new inserts past the current max id
     * (ref: symbol_normalizer.sql:46-82; scd_writer.py:94-112).
     *
-    * Scale note (SURVEY §7.4.7): a global row_number is a single-partition
-    * window — acceptable only for small dimensions; [[assignIdsScalable]]
-    * produces identical ids with no single-partition stage.
+    * Size-dispatching (SURVEY §7.4.7): a global row_number is a
+    * single-partition window — fine for small dimensions, a one-task
+    * bottleneck for a 100M-row one — so above
+    * [[AssignIdsLocalMaxBytesConf]] (optimizer size estimate) this
+    * routes to [[assignIdsScalable]] automatically. Both paths produce
+    * IDENTICAL ids (the global rank of the unique natural_key;
+    * NormalizerSpec pins equality), so the dispatch is invisible to
+    * callers.
     */
-  def assignIds(deduped: DataFrame, offset: Long = 0L): DataFrame =
-    deduped.withColumn(
-      "id",
-      row_number().over(Window.orderBy("natural_key")).cast("long") + offset)
+  def assignIds(deduped: DataFrame, offset: Long = 0L): DataFrame = {
+    val threshold = deduped.sparkSession.conf
+      .getOption(AssignIdsLocalMaxBytesConf).flatMap(_.toLongOption)
+      .getOrElse(DefaultAssignIdsLocalMaxBytes)
+    if (graft.core.Materialize.estimateBytes(deduped) <= threshold)
+      deduped.withColumn(
+        "id",
+        row_number().over(Window.orderBy("natural_key")).cast("long") + offset)
+    else assignIdsScalable(deduped, offset)
+  }
 
   /** [[assignIds]] without the single-partition window: range-partition by
     * natural_key (globally ordered partitions), sort within each, then

@@ -190,6 +190,43 @@ class CliSpec extends SparkSpec {
     assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$root/state")))
   }
 
+  test("health matrix: broken raw store, broken provider dialect, fixture-less dialect") {
+    import graft.sources._
+    val root = newRoot()
+    Main.ingest(spark, root, Seq("INTC"), "2024-01-02", 10)
+    assert(Main.health(spark, root), "baseline install must be healthy")
+
+    // a dialect with no canned wire fixture is reported SKIP, never FAIL:
+    // absence of a test seam is not ill health
+    ProviderRegistry.register("customx",
+      (cfg, auth, http) => new BarFeedClient(cfg, auth, http))
+    assert(Main.health(spark, root),
+      "a fixture-less registered dialect must not fail health")
+
+    // a provider whose registered factory breaks fails its probe -> UNHEALTHY
+    ProviderRegistry.register("iex", (_, _, _) =>
+      throw new RuntimeException("simulated dialect breakage"))
+    try
+      assert(!Main.health(spark, root), "broken provider dialect must fail health")
+    finally // restore the real dialect for the rest of the suite
+      ProviderRegistry.register("iex", (cfg, auth, http) => new IexBarFeed(cfg, auth, http))
+    assert(Main.health(spark, root), "restored registry must be healthy again")
+
+    // corrupt raw store: a store whose only file is unreadable parquet
+    // fails raw_store_readable (a corrupt file BESIDE healthy ones can
+    // escape the limit(1) sample — store-wide scans are the validate
+    // command's job, not a liveness probe's)
+    val root2 = newRoot()
+    Main.ingest(spark, root2, Seq("INTC"), "2024-01-02", 10)
+    val fs = new org.apache.hadoop.fs.Path(root2)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$root2/raw"), true)
+    val junk = new org.apache.hadoop.fs.Path(s"$root2/raw/junk.parquet")
+    val o = fs.create(junk, true)
+    o.write("this is not parquet".getBytes); o.close()
+    assert(!Main.health(spark, root2), "corrupt raw store must fail health")
+  }
+
   test("jobs cleanup compacts the append log") {
     val root = newRoot()
     Main.ingest(spark, root, Seq("AMD"), "2024-01-02", 30)

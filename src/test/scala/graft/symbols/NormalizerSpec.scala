@@ -35,4 +35,25 @@ class NormalizerSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!scalablePlan.contains("Window"))
   }
+
+  test("assignIds auto-promotes to the scalable path above the size threshold") {
+    val s = spark; import s.implicits._
+    val dim = (0 until 300)
+      .map(i => (f"KEY$i%04d", s"name_$i"))
+      .toDF("natural_key", "payload")
+      .orderBy(rand(11))
+    val small = Normalizer.assignIds(dim).collect()
+      .map(r => r.getAs[String]("natural_key") -> r.getAs[Long]("id")).toMap
+    spark.conf.set(Normalizer.AssignIdsLocalMaxBytesConf, "0")
+    try {
+      val promoted = Normalizer.assignIds(dim, offset = 0L)
+      // no single-partition global-order window anywhere in the plan...
+      assert(!promoted.queryExecution.executedPlan.toString.contains("Window"),
+        "above threshold assignIds must take the scalable path")
+      // ...and ids identical to the window form, dispatch invisible
+      val ids = promoted.collect()
+        .map(r => r.getAs[String]("natural_key") -> r.getAs[Long]("id")).toMap
+      assert(ids == small)
+    } finally spark.conf.unset(Normalizer.AssignIdsLocalMaxBytesConf)
+  }
 }
