@@ -110,33 +110,40 @@ class MaterializeSpec extends SparkSpec {
     }
   }
 
-  // deterministic lifecycle: blocks/files freed at release/close, not GC
+  // deterministic lifecycle: blocks/files freed at release/close, not GC.
+  // Assertions are ID-SET based (the blocks THIS test created are gone),
+  // not global-count based: the async ContextCleaner may concurrently
+  // reap GC'd frontiers from earlier suites in the shared session.
 
-  private def persistedCount: Int = spark.sparkContext.getPersistentRDDs.size
+  private def persistedIds: Set[Int] =
+    spark.sparkContext.getPersistentRDDs.keySet.toSet
 
   test("FrontierScope.close releases localCheckpoint blocks back to baseline") {
-    val baseline = persistedCount
+    val before = persistedIds
+    var added = Set.empty[Int]
     val out = Materialize.withFrontiers { scope =>
       val a = scope.frontier(df)
       val b = scope.frontier(a.groupBy("k").agg(sum("id").as("s")))
-      assert(persistedCount > baseline, "frontiers must hold blocks while in scope")
+      added = persistedIds -- before
+      assert(added.nonEmpty, "frontiers must hold blocks while in scope")
       b.collect().length // last consumer runs inside the scope
     }
     assert(out == 7)
-    assert(persistedCount == baseline,
-      s"blocks must return to baseline after close, got $persistedCount vs $baseline")
+    assert(persistedIds.intersect(added).isEmpty,
+      s"scope close must free every block it created, still live: ${persistedIds.intersect(added)}")
   }
 
   test("Frontier.release is deterministic, eager and idempotent") {
-    val baseline = persistedCount
+    val before = persistedIds
     val h = Materialize.frontierHandle(df)
     assert(rows(h.df) == rows(df))
-    assert(persistedCount == baseline + 1)
+    val added = persistedIds -- before
+    assert(added.size == 1)
     h.release()
     assert(h.isReleased)
-    assert(persistedCount == baseline, "release must free the block synchronously")
+    assert(persistedIds.intersect(added).isEmpty, "release must free the block synchronously")
     h.release() // idempotent
-    assert(persistedCount == baseline)
+    assert(persistedIds.intersect(added).isEmpty)
   }
 
   test("scratch-path release deletes that frontier's files only") {
@@ -183,7 +190,7 @@ class MaterializeSpec extends SparkSpec {
 
   test("duplicateComponents with a scope frees all its frontiers at close") {
     val s = spark; import s.implicits._
-    val baseline = persistedCount
+    val before = persistedIds
     val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (7L, 7L))
       .toDF("id_a", "id_b")
     val labels = Materialize.withFrontiers { scope =>
@@ -193,7 +200,8 @@ class MaterializeSpec extends SparkSpec {
         .map(r => r.getLong(0) -> r.getLong(1)).toMap
     }
     assert(labels == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L, 7L -> 7L))
-    assert(persistedCount == baseline,
-      s"contraction frontiers must be freed at scope close, got $persistedCount vs $baseline")
+    val leaked = persistedIds -- before
+    assert(leaked.isEmpty,
+      s"contraction frontiers must be freed at scope close, leaked: $leaked")
   }
 }

@@ -138,14 +138,17 @@ class CurateSpec extends SparkSpec {
     // include the opt-in stages so every frontier path in run() is exercised
     val cfg = Curate.Config(dedupLinesWithinDoc = true,
       boilerplateMinDocFreq = Some(100L), lmScoreFloorMicro = Some(Long.MinValue))
-    val baseline = spark.sparkContext.getPersistentRDDs.size
+    // id-set based, not count based: the async ContextCleaner may reap
+    // earlier suites' GC'd blocks concurrently in the shared session
+    val before = spark.sparkContext.getPersistentRDDs.keySet.toSet
     val kept = graft.core.Materialize.withFrontiers { scope =>
       val (curated, counts) = Curate.run(docs, cfg, scope = Some(scope))
       counts.collect() // consume both returned frames inside the scope
       curated.collect().map(_.getAs[Long]("doc_id")).toSet
     }
-    assert(spark.sparkContext.getPersistentRDDs.size == baseline,
-      "scoped Curate.run must free all its frontiers at close")
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet.toSet -- before
+    assert(leaked.isEmpty,
+      s"scoped Curate.run must free all its frontiers at close, leaked: $leaked")
     // identical result via the unscoped (GC-managed) path
     val unscoped = Curate.run(docs, cfg)._1
       .collect().map(_.getAs[Long]("doc_id")).toSet
