@@ -451,16 +451,40 @@ object Similarity {
     * space — a map-side scan over `dims`-long vectors plus one
     * TakeOrderedAndProject; re-rank the result with [[bruteForceTopK]]
     * when exact cosine order matters.
+    *
+    * `normalize = false` ranks by the RAW projected dot — engine-exact
+    * integer arithmetic (the sim8 oracle row's contract), but at corpus
+    * scale a long vector pointed vaguely the right way outranks a true
+    * neighbor: projected norms of unit vectors vary ~chi²(dims), and the
+    * max raw dot over n random vectors overtakes a cosine-0.99
+    * neighbor's once n·dims crosses ~10^4·16 (measured in the recall
+    * artifact: self-retrieval itself fails at 20k vectors).
+    * `normalize = true` ranks by projected COSINE (the standard SRP
+    * estimator — normalize both sides' projections), which restores the
+    * neighbor ordering the projection actually preserves; values are
+    * doubles derived from the same exact integer dots, ties broken by
+    * id, so the ranking is still deterministic.
     */
   def jlTopK(vecs: DataFrame, query: DataFrame, k: Int, dims: Int = 16,
-             idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+             idCol: String = "vec_id", vecCol: String = "embedding",
+             normalize: Boolean = false): DataFrame = {
     val pq = broadcast(jlProject(query.limit(1), dims, idCol, vecCol)
       .select(col("proj").as("__qp")))
-    jlProject(vecs, dims, idCol, vecCol)
+    val scored = jlProject(vecs, dims, idCol, vecCol)
       .crossJoin(pq)
       .withColumn("pdot", Vectors.dotQN(col("proj"), col("__qp")))
-      .select(col(idCol), col("pdot"))
-      .orderBy(desc("pdot"), col(idCol))
-      .limit(k)
+    if (normalize)
+      scored
+        .withColumn("pcos", col("pdot").cast("double") /
+          (sqrt(Vectors.dotQN(col("proj"), col("proj")).cast("double")) *
+            sqrt(Vectors.dotQN(col("__qp"), col("__qp")).cast("double"))))
+        .select(col(idCol), col("pcos"))
+        .orderBy(desc("pcos"), col(idCol))
+        .limit(k)
+    else
+      scored
+        .select(col(idCol), col("pdot"))
+        .orderBy(desc("pdot"), col(idCol))
+        .limit(k)
   }
 }

@@ -397,6 +397,18 @@ object DataPipeQueries {
       Similarity.jlTopK(e, e.where(col("vec_id") === 0), k = 20, dims = 16)
     }),
 
+    // The projected-COSINE ranking twin (normalize = true): raw projected
+    // dot favors long projections — at 20k vectors even self-retrieval
+    // fails (measured in bench_out/recall_sf1.json) — while the
+    // normalized SRP estimator restores the neighbor ordering (planted
+    // recall 0.93 vs 0.00). Values are doubles derived from the same
+    // exact integer dots, so the oracle reproduces them bit-for-bit.
+    "sim8b_jl_cosine_topk" -> ((s, dir) => {
+      val e = embs(s, dir)
+      Similarity.jlTopK(e, e.where(col("vec_id") === 0), k = 20, dims = 16,
+        normalize = true)
+    }),
+
     // SQ8 vector compression + search: embeddings scalar-quantized to
     // int8 codes (one global max-|component| scale), top-20 by exact
     // integer code dot product. The qdot values pin every code byte, so
@@ -1741,6 +1753,22 @@ object DataPipeQueries {
          |SELECT pv.vec_id,
          |       CAST(list_sum(list_transform(list_zip(pv.proj, pq.qproj), s -> s[1] * s[2])) AS BIGINT) AS pdot
          |FROM pv, pq ORDER BY pdot DESC, vec_id LIMIT 20""".stripMargin,
+    "sim8b_jl_cosine_topk" ->
+      s"""WITH $quantCte,
+         |planes AS (SELECT unnest(range(0, 16)) AS p),
+         |coords AS (
+         |  SELECT vec_id, p,
+         |    CAST(list_sum(list_transform(q, (x, i) ->
+         |      CASE WHEN ((((1103515245::BIGINT * (p * 65537 + (i - 1)) + 12345) % 2147483648) >> 16) & 1) = 0
+         |           THEN x ELSE -x END)) AS BIGINT) AS y
+         |  FROM qv CROSS JOIN planes),
+         |pv AS (SELECT vec_id, list(y ORDER BY p) AS proj FROM coords GROUP BY vec_id),
+         |pq AS (SELECT proj AS qproj FROM pv WHERE vec_id = 0)
+         |SELECT pv.vec_id,
+         |       CAST(CAST(list_sum(list_transform(list_zip(pv.proj, pq.qproj), s -> s[1] * s[2])) AS BIGINT) AS DOUBLE)
+         |         / (sqrt(CAST(CAST(list_sum(list_transform(list_zip(pv.proj, pv.proj), s -> s[1] * s[2])) AS BIGINT) AS DOUBLE))
+         |            * sqrt(CAST(CAST(list_sum(list_transform(list_zip(pq.qproj, pq.qproj), s -> s[1] * s[2])) AS BIGINT) AS DOUBLE))) AS pcos
+         |FROM pv, pq ORDER BY pcos DESC, vec_id LIMIT 20""".stripMargin,
     "sim7_ivfpq_topk" ->
       s"""WITH $quantCte,
          |cents AS (SELECT vec_id AS centroid_id, q AS qc FROM qv WHERE vec_id % 50 = 0),
