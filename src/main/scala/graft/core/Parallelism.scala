@@ -39,7 +39,14 @@ object Parallelism {
   def widenForCpu(df: DataFrame): DataFrame = {
     if (df.isStreaming) return df
     val target = df.sparkSession.sessionState.conf.numShufflePartitions
-    // .rdd compiles (not runs) the physical plan to read its partitioning
-    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+    // queryExecution.toRdd compiles (not runs) the physical plan to read
+    // its partitioning. NOT Dataset.rdd: that wraps the conversion in a
+    // tracked execution, firing QueryExecutionListeners with zero rows
+    // flowed — which silently latches (and zeroes) any caller-attached
+    // Observation upstream of this probe (bit us in Curate's
+    // observed stage counts).
+    if (df.queryExecution.toRdd.getNumPartitions < target)
+      df.repartition(target)
+    else df
   }
 }

@@ -1,7 +1,7 @@
 package graft.datapipe
 
 import graft.core.Materialize
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Observation}
 import org.apache.spark.sql.functions._
 
 /** End-to-end corpus curation — the composition a training-data pipeline
@@ -50,12 +50,17 @@ object Curate {
 
   /** Returns (curated documents with redacted text, stage counts).
     *
-    * Stage counts cost THREE jobs total: input, the exact-dedup frontier,
-    * and ONE aggregate over the (frontiered) near-dedup survivors that
-    * computes the cumulative lang/quality/repetition counts — and, on the
-    * ruleset path, every per-rule drop count (`rule:<name>` rows, counted
-    * among language-passing docs) — as conditional sums in a single pass.
-    * The map stages themselves are never re-executed per count.
+    * Stage counts cost ONE extra job total: the input, boilerplate, and
+    * exact-dedup counts ride Observations on the frontier
+    * materializations the pipeline performs anyway, and a single
+    * aggregate over the (frontiered) near-dedup survivors computes the
+    * cumulative lang/quality/repetition counts — and, on the ruleset
+    * path, every per-rule drop count (`rule:<name>` rows, counted among
+    * language-passing docs) — as conditional sums in one pass. The map
+    * stages themselves are never re-executed per count. (One exception:
+    * boilerplate-without-line-dedup pays an explicit input count — that
+    * plan scans the raw docs twice, where a shared observe node would
+    * double-count.)
     */
   def run(docs: DataFrame, cfg: Config = Config(),
           textCol: String = "text", idCol: String = "doc_id",
@@ -65,14 +70,29 @@ object Curate {
     import spark.implicits._
     graft.functions.GraftFunctions.register(spark)
 
+    // the input count rides an Observation through the first
+    // SINGLE-SCAN materialization of the chain (the exact-dedup frontier
+    // by default; the line-normalization frontier on that opt-in path),
+    // so "0_input" costs zero extra jobs. The one shape it cannot ride:
+    // boilerplate-without-line-dedup materializes a plan that scans the
+    // raw docs TWICE (blocklist build + strip join) — a shared observe
+    // node there would double-count, so that path keeps the explicit
+    // docs.count().
+    val docsObs = new Observation(
+      "curate_in_" + java.util.UUID.randomUUID().toString.take(8))
+    val observeOnDocs =
+      cfg.boilerplateMinDocFreq.isEmpty || cfg.dedupLinesWithinDoc
+    val docs0 =
+      if (observeOnDocs) docs.observe(docsObs, count(lit(1)).as("n")) else docs
+
     // stage 0: line normalization (both default-off). Within-doc dedup is
     // a pure map; boilerplate stripping is frontiered because its output
     // feeds both the count and the dedup chain, and docs reduced to
     // nothing (every line corpus-frequent) drop here.
     val preLines0 =
       if (cfg.dedupLinesWithinDoc)
-        docs.withColumn(textCol, Boilerplate.dedupLinesInDoc(col(textCol)))
-      else docs
+        docs0.withColumn(textCol, Boilerplate.dedupLinesInDoc(col(textCol)))
+      else docs0
     // stripBoilerplate scans its input twice (blocklist build + strip
     // join) — when the O(lines²)-per-doc dedup expression feeds it,
     // materialize first so the dedup runs once, not twice
@@ -81,12 +101,17 @@ object Curate {
         Some(Materialize.frontierHandle(preLines0))
       else None
     val preLines = preLinesH.map(_.df).getOrElse(preLines0)
-    val boilerH = cfg.boilerplateMinDocFreq.map { k =>
-      Materialize.frontierHandle(
+    // the boilerplate-survivor count observes the stripping frontier's
+    // own materialization — no separate count() action
+    val boilerObs = cfg.boilerplateMinDocFreq.map { k =>
+      val (h, m) = Materialize.frontierObserved(
         Boilerplate.stripBoilerplate(preLines, k, textCol, idCol)
           .where(col("n_removed") < col("n_lines"))
-          .select(col(idCol), col(textCol)))
+          .select(col(idCol), col(textCol)),
+        count(lit(1)).as("n"))
+      (h, m("n").asInstanceOf[Long])
     }
+    val boilerH = boilerObs.map(_._1)
     // the line-normalized frame fed only the boilerplate pass, which is
     // now materialized — free it before the heavy stages run
     if (boilerH.isDefined) preLinesH.foreach(_.release())
@@ -96,9 +121,10 @@ object Curate {
     // exactKeep feeds BOTH the pair generation and the survivor join, and
     // afterNear feeds the annotation pass (counts) plus the final
     // redaction — without this, each action re-executes the (expensive)
-    // pairwise stage
-    val afterExactH =
-      Materialize.frontierHandle(Dedup.exactKeep(input, textCol, idCol))
+    // pairwise stage. Its own row count is observed on the same job.
+    val (afterExactH, exactMetrics) = Materialize.frontierObserved(
+      Dedup.exactKeep(input, textCol, idCol), count(lit(1)).as("n"))
+    val nExact = exactMetrics("n").asInstanceOf[Long]
     val afterExact = afterExactH.df
     // the pair frame lazily reads ngramJaccardPairs' internal postings /
     // pair-array frontiers; scope them and free as soon as afterNear (the
@@ -207,10 +233,15 @@ object Curate {
         cnt(col("__lang_ok") && array_contains(col("failed_rules"), r)).as(r))
     val row = annotatedAll.agg(stageAggs.head, stageAggs.tail: _*).first()
 
-    val counts = (Seq(("0_input", docs.count())) ++
-      boiler.map(b => ("0b_boilerplate", b.count())).toSeq ++
+    // every observation below has fired by now: the exact-dedup frontier
+    // (and the line-normalization frontier, when present) materialized
+    // above, so .get returns immediately
+    val nInput = if (observeOnDocs) docsObs.get("n").asInstanceOf[Long]
+                 else docs.count()
+    val counts = (Seq(("0_input", nInput)) ++
+      boilerObs.map(b => ("0b_boilerplate", b._2)).toSeq ++
       Seq(
-        ("1_exact_dedup", afterExact.count()),
+        ("1_exact_dedup", nExact),
         ("2_near_dedup", row.getAs[Long]("__near")),
         ("3_lang_filter", row.getAs[Long]("__lang")),
         ("4_quality_floor", row.getAs[Long]("__quality")),
