@@ -11,6 +11,15 @@ import org.apache.spark.sql.functions._
   * customer dimension (one open version per customer); the incoming
   * snapshot re-reads customers (company_name flips to 'DELINQ' for
   * negative balances -> updates) and adds suppliers (new keys -> inserts).
+  *
+  * The natural key is `<name>#<key>` — NOT the bare name: the synthetic
+  * generator reuses a fixed name pool (15k c_name / 1k s_name values at
+  * every scale), so at sf10 each name repeats ~100×. SCD semantics
+  * require a unique natural key (the reference dedupes snapshots by key
+  * before merging — the W1 rank step); feeding duplicate keys into the
+  * merge multiplies both classify and the close-join ~dup² — measured as
+  * the one catastrophically super-linear sf10 row before this fix
+  * (s8_scd_write_roundtrip: 4.9 s at sf1 → 20+ min at sf10).
   */
 object ScdQueries {
 
@@ -23,7 +32,7 @@ object ScdQueries {
   private def master(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "customer").select(
       col("c_custkey").cast("long").as("id"),
-      col("c_name").as("natural_key"),
+      concat(col("c_name"), lit("#"), col("c_custkey")).as("natural_key"),
       col("c_mktsegment").as("company_name"),
       lit("ACTIVE").as("status"),
       to_date(lit("2023-01-01")).as("valid_from"),
@@ -31,12 +40,12 @@ object ScdQueries {
 
   private def snapshot(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "customer").select(
-      col("c_name").as("natural_key"),
+      concat(col("c_name"), lit("#"), col("c_custkey")).as("natural_key"),
       when(col("c_acctbal") < 0, "DELINQ").otherwise(col("c_mktsegment"))
         .as("company_name"),
       lit("ACTIVE").as("status"))
       .unionByName(Tables.load(s, dir, "supplier").select(
-        col("s_name").as("natural_key"),
+        concat(col("s_name"), lit("#"), col("s_suppkey")).as("natural_key"),
         lit("SUPPLIER").as("company_name"),
         lit("ACTIVE").as("status")))
 
@@ -117,17 +126,18 @@ object ScdQueries {
 
   private val baseCte =
     s"""WITH master AS (
-       |  SELECT CAST(c_custkey AS BIGINT) AS id, c_name AS natural_key,
+       |  SELECT CAST(c_custkey AS BIGINT) AS id,
+       |         c_name || '#' || CAST(c_custkey AS VARCHAR) AS natural_key,
        |         c_mktsegment AS company_name, 'ACTIVE' AS status,
        |         DATE '2023-01-01' AS valid_from, CAST(NULL AS DATE) AS valid_to
        |  FROM customer),
        |snap AS (
-       |  SELECT c_name AS natural_key,
+       |  SELECT c_name || '#' || CAST(c_custkey AS VARCHAR) AS natural_key,
        |         CASE WHEN c_acctbal < 0 THEN 'DELINQ' ELSE c_mktsegment END AS company_name,
        |         'ACTIVE' AS status
        |  FROM customer
        |  UNION ALL
-       |  SELECT s_name, 'SUPPLIER', 'ACTIVE' FROM supplier),
+       |  SELECT s_name || '#' || CAST(s_suppkey AS VARCHAR), 'SUPPLIER', 'ACTIVE' FROM supplier),
        |cur AS (SELECT * FROM master WHERE valid_to IS NULL),
        |cls AS (
        |  SELECT s.natural_key, s.company_name, s.status, m.id AS m_id,

@@ -27,6 +27,13 @@ object ScdMerge {
   /** Classify snapshot rows against the *current* master rows
     * (valid_to IS NULL). Returns snapshot columns + `id` (null for inserts)
     * + `action` in {insert, update, unchanged}.
+    *
+    * PRECONDITION: `natural_key` is unique within the snapshot and within
+    * the current master — the SCD-2 contract (one version chain per key).
+    * Duplicate keys multiply both this join and the close-join by the
+    * duplication factor squared; dedupe upstream first
+    * ([[Normalizer.dedup]] / the W1 rank step, exactly what the
+    * reference's symbol_normalizer does before merging).
     */
   def classify(
       master: DataFrame,
