@@ -88,8 +88,20 @@ object Bench {
       try { f; (System.nanoTime() - t0) / 1e9 }
       catch { case e: Throwable =>
         System.err.println(s"[bench] FAILED: ${e.getClass.getSimpleName}: ${e.getMessage}")
+        // dead-context guard (r11 postmortem): one fatal row killed the
+        // SparkContext and every later row "failed" in milliseconds,
+        // leaving a 65x wall of silent -1s that averaged into a
+        // plausible-looking total. A stopped context means NOTHING
+        // after this point can measure anything — abort the sweep
+        // loudly instead of emitting garbage.
+        if (spark.sparkContext.isStopped) {
+          System.err.println(
+            "[bench] ABORT: SparkContext is stopped — remaining rows " +
+              "cannot run; no artifact written. Fix the fatal row and rerun.")
+          throw new IllegalStateException("bench sweep aborted: dead SparkContext", e)
+        }
         -1.0
-      } finally dropBlocks()
+      } finally if (!spark.sparkContext.isStopped) dropBlocks()
     }
 
     // Pipeline workloads run FIRST (before the ~100-query sweep) and 3x
@@ -215,8 +227,15 @@ object Bench {
     def obj(kvs: Seq[(String, Double)]): String =
       kvs.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
     val total = all.map(_._2).filter(_ >= 0).sum
+    val nFailed = all.count(_._2 < 0)
+    // record the JVM/config so "which sweep was this" is answerable from
+    // the artifact alone (r11: a default-heap sweep was indistinguishable
+    // from a 48g one after the fact)
+    val heapGb = Runtime.getRuntime.maxMemory / (1024.0 * 1024 * 1024)
+    val env =
+      s""""heap_gb":${fmt(heapGb)},"cpus":$cpus,"n_failed":$nFailed"""
     val json =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${obj(all)},"runs":${obj(runDetail)},"sf":"$sfDir","n_queries":${all.length}}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${obj(all)},"runs":${obj(runDetail)},"sf":"$sfDir","n_queries":${all.length},$env}"""
     println(json)
     // ALSO write the full JSON to a committed artifact: log captures have
     // truncated the stdout tail two rounds running, making the per-query
@@ -239,7 +258,7 @@ object Bench {
     val headline = all.filter { case (k, _) =>
       k == "pipeline_year_1sym" || k == "pipeline_day_50sym" }
     println(
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${obj(headline)},"sf":"$sfDir","n_queries":${all.length},"detail":"$outDir/$artifact"}""")
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${obj(headline)},"sf":"$sfDir","n_queries":${all.length},$env,"detail":"$outDir/$artifact"}""")
     spark.stop()
   }
 }

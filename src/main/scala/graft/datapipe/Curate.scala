@@ -253,6 +253,17 @@ object Curate {
     // Result-backing frontiers (afterNear on the default path, afterLm on
     // the LM path) go to the caller's scope — GC-managed when none, the
     // pre-scope behavior.
+    // Block-loss caveat (Frontier contract nuance): `curated` still has
+    // actions to run, and on the persist (DISK_ONLY_2) materialization
+    // path its lineage reaches back through the intermediates released
+    // here. Local mode (this engine's test/bench reality) and healthy
+    // replicas never recompute, so the release is safe; on a cluster
+    // where BOTH replicas of a persisted block die, a later `curated`
+    // action would recompute through a released upstream and fail
+    // instead of recomputing quietly. If that failure mode matters more
+    // than prompt memory, hold these releases in the caller's scope
+    // (scope.track) instead — deterministic-release-vs-self-healing is
+    // a deployment choice, not a correctness one.
     boilerH.foreach(_.release())
     afterExactH.release()
     if (afterLmH.isDefined) {

@@ -689,11 +689,22 @@ object Dedup {
     * borderline pairs. Buckets at or under the cap are never split
     * (bits = 0, mask = 0): results there are exactly the uncapped
     * operator's.
+    *
+    * The cap DEFAULTS ON (1024) since round 12: the r11 sf10 sweep
+    * measured the uncapped form at 62x cost for 10x rows (in-bucket
+    * pairs grow with occupancy², and occupancy grows with corpus
+    * density — at 20k vectors/bucket the default-path row took 132.7 s
+    * vs 7.0 s capped). Because sub-1024 buckets never split, small-SF
+    * results — including every oracle fixture — are bit-identical to
+    * the uncapped operator; only the degenerate dense buckets that
+    * would go quadratic get bounded. Pass `maxBucketSize =
+    * Int.MaxValue` explicitly for the exhaustive form (recall oracles,
+    * ground-truth builds).
     */
   def embeddingCosinePairs(
       vecs: DataFrame, bucketCol: String, threshold: Double,
       idCol: String = "vec_id", vecCol: String = "embedding",
-      maxBucketSize: Int = Int.MaxValue, srpPlanes: Int = 16): DataFrame = {
+      maxBucketSize: Int = 1024, srpPlanes: Int = 16): DataFrame = {
     graft.functions.GraftFunctions.register(vecs.sparkSession)
     // norms computed once per vector (O(n)), not once per pair (O(n²))
     val base0 = Parallelism.widenForCpu(vecs).select(
@@ -763,7 +774,7 @@ object Dedup {
       vecs: DataFrame, threshold: Double,
       nlist: Int = 0, iters: Int = 0,
       idCol: String = "vec_id", vecCol: String = "embedding",
-      maxBucketSize: Int = Int.MaxValue,
+      maxBucketSize: Int = 1024,
       portable: Boolean = false): DataFrame = {
     val centroids =
       if (iters > 0) Similarity.ivfTrain(vecs, nlist, iters, idCol, vecCol)

@@ -38,14 +38,19 @@ object RelQueries {
           // canonical row encoding matches engines that promote sum types
           sum(col("l_quantity").cast("decimal(18,4)")).cast("double").as("sum_qty"),
           sum(col("l_extendedprice").cast("decimal(18,4)")).cast("double").as("sum_base_price"),
-          // scale-8 sums exceed 2^53 micro-units at larger SFs; emit via
-          // exact-long -> double -> one division so the double equals any
-          // engine's (int/10^scale) conversion, not BigDecimal's correctly-
-          // rounded one (they differ by 1 ulp above 2^53)
+          // emit via exact-long -> double -> one division so the double
+          // equals any engine's (int/10^scale) conversion, not
+          // BigDecimal's correctly-rounded one (they differ by 1 ulp
+          // above 2^53). Micro-units are SCALE 4, not 8: price (2dp) x
+          // (1 - discount) (2dp) is exact at 4dp, so the long is still
+          // exact, and the overflow ceiling moves from 9.2e10 to 9.2e14
+          // group sums — sf10's ~1.5e12 N/O sum killed the scale-8 form
+          // with CAST_OVERFLOW under ANSI (VERDICT r11; spec'd in
+          // RelQueriesSpec "q1 disc-price conversion survives 1e12 sums")
           ((sum((col("l_extendedprice").cast("decimal(18,4)") *
             (lit(1).cast("decimal(18,4)") - col("l_discount").cast("decimal(18,4)")))
-            .cast("decimal(38,8)")) * lit(100000000L)).cast("long").cast("double") /
-            lit(1.0e8)).as("sum_disc_price"),
+            .cast("decimal(38,8)")) * lit(10000L)).cast("long").cast("double") /
+            lit(1.0e4)).as("sum_disc_price"),
           count(lit(1)).as("count_order"))
         .orderBy("l_returnflag", "l_linestatus")),
 
@@ -382,7 +387,7 @@ object RelQueries {
       """SELECT l_returnflag, l_linestatus,
         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
         |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
-        |  CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4))) AS DECIMAL(38,8))) AS DOUBLE) AS sum_disc_price,
+        |  CAST(CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4))) AS DECIMAL(38,8))) * 10000 AS BIGINT) AS DOUBLE) / 10000.0 AS sum_disc_price,
         |  count(*) AS count_order
         |FROM lineitem GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,

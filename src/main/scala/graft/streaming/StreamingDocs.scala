@@ -64,6 +64,14 @@ object StreamingDocs {
     * Returns the configured [[DataStreamWriter]]; the caller sets the
     * checkpoint location / trigger and starts it.
     *
+    * SINK CONTRACT (changed in round 11): the frames handed to `sink`
+    * are backed by a per-batch [[graft.core.Materialize.FrontierScope]]
+    * and are released — lineage-truncated, unrecomputable — the moment
+    * `sink` returns. A sink MUST fully consume (write/collect) both
+    * frames before returning; deferring consumption (async writers,
+    * retained DataFrame references) fails at first touch after the
+    * batch closes. This is what bounds streaming state to one batch.
+    *
     * Scale shape (100 TB lens): banding a micro-batch is map + one
     * (id)-keyed combine over the batch only; the lookup is a
     * (band, bucket) semi-join to which the corpus contributes INDEX ROWS

@@ -129,9 +129,14 @@ object Identifiers {
   def figiValidNative(raw: Column): Column =
     call_function(graft.functions.GraftFunctions.figiValidName, raw)
 
+  // \z (absolute end), not $: Java's '$' matches BEFORE a final line
+  // terminator, so "123\n" / "ABCD\n" validated — and trim strips
+  // spaces only, not newlines. Same defect class as the FIGI length
+  // guard above; fixtures in IdentifiersSpec.
+
   /** CIK: 1-10 digits (stored zero-padded to 10, ref symbol.py:160-173). */
   def cikValid(raw: Column): Column =
-    trim(raw).rlike("^[0-9]{1,10}$")
+    trim(raw).rlike("^[0-9]{1,10}\\z")
 
   /** CIK normalized to the canonical 10-digit zero-padded form. */
   def cikNormalize(raw: Column): Column =
@@ -141,9 +146,9 @@ object Identifiers {
     * shape; ref symbol.py:175-184 enforces length 4).
     */
   def micValid(raw: Column): Column =
-    upper(trim(raw)).rlike("^[A-Z0-9]{4}$")
+    upper(trim(raw)).rlike("^[A-Z0-9]{4}\\z")
 
   /** 3-letter ISO currency shape (ref symbol.py:186-195). */
   def currencyValid(raw: Column): Column =
-    upper(trim(raw)).rlike("^[A-Z]{3}$")
+    upper(trim(raw)).rlike("^[A-Z]{3}\\z")
 }

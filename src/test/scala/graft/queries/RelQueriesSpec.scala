@@ -1,0 +1,40 @@
+package graft.queries
+
+import graft.SparkSpec
+import org.apache.spark.sql.Row
+
+/** Pins the q1 disc-price conversion contract after the r11 sf10
+  * CAST_OVERFLOW: the exact-long parity trick must (a) survive group
+  * sums ~1e12 (the sf10 scale that killed the scale-8 form — x10^8
+  * pushed a 5e11 sum past Long.MaxValue under ANSI) and (b) still equal
+  * the exact BigDecimal sum wherever that sum is representable, since
+  * the long is exact and long->double->/1e4 rounds once.
+  */
+class RelQueriesSpec extends SparkSpec {
+
+  test("q1 disc-price conversion survives 1e12 sums (sf10 overflow regression)") {
+    import spark.implicits._
+    val dir = tmpDir("q1fix")
+    // 600 rows x ~9.5e8 discounted -> group sum ~5.7e11: past the old
+    // scale-8 ceiling (9.2e10), far under the scale-4 one (9.2e14)
+    val rows = (1 to 600).map(i =>
+      ("N", "O", 1.0, 999999999.99, 0.05)) ++
+      (1 to 3).map(i => ("A", "F", 2.0, 100.10, 0.01))
+    rows.toDF("l_returnflag", "l_linestatus", "l_quantity",
+        "l_extendedprice", "l_discount")
+      .write.parquet(s"$dir/lineitem.parquet")
+
+    val out = RelQueries.queries("q1_pricing_summary")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r).toMap
+
+    // exact 4dp micro-units: 999999999.99 * 0.95 = 949999999.9905
+    val microsNO = 9499999999905L * 600L // 5.6999...e15 > 2^53: rounds once
+    assert(out(("N", "O")).getAs[Double]("sum_disc_price")
+      === microsNO.toDouble / 1e4)
+    // small-sum group stays BigDecimal-exact: 100.10 * 0.99 = 99.0990
+    val microsAF = 990990L * 3L
+    assert(out(("A", "F")).getAs[Double]("sum_disc_price")
+      === microsAF.toDouble / 1e4)
+    assert(out(("A", "F")).getAs[Long]("count_order") === 3L)
+  }
+}

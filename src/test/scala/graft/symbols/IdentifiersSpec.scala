@@ -78,15 +78,19 @@ class IdentifiersSpec extends SparkSpec {
   test("CIK digits + zero-pad normalization, MIC and currency shapes") {
     check(Seq(
       "320193" -> true, "0000320193" -> true,
-      "12345678901" -> false, "32O193" -> false, "" -> false
+      "12345678901" -> false, "32O193" -> false, "" -> false,
+      // Java '$' matches before a final line terminator and trim strips
+      // spaces only — the \z anchors reject these (FIGI fix mirrored)
+      "320193\n" -> false, "320193\r\n" -> false
     ), Identifiers.cikValid)
     val s = spark; import s.implicits._
     val n = Seq("320193").toDF("x")
       .select(Identifiers.cikNormalize(col("x"))).first().getString(0)
     assert(n == "0000320193")
     check(Seq("XNAS" -> true, "XNYS" -> true, "ARCX" -> true,
-      "XN!S" -> false, "XNASQ" -> false, "XNA" -> false), Identifiers.micValid)
-    check(Seq("USD" -> true, "EUR" -> true, "US1" -> false, "USDX" -> false),
-      Identifiers.currencyValid)
+      "XN!S" -> false, "XNASQ" -> false, "XNA" -> false,
+      "XNAS\n" -> false), Identifiers.micValid)
+    check(Seq("USD" -> true, "EUR" -> true, "US1" -> false, "USDX" -> false,
+      "USD\n" -> false), Identifiers.currencyValid)
   }
 }
