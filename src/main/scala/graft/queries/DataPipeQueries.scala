@@ -34,7 +34,7 @@ object DataPipeQueries {
   private def docsWide(s: SparkSession, dir: String): DataFrame =
     graft.core.Parallelism.widenForCpu(docs(s, dir))
 
-  /** documents ∪ mutated near-copies (ids +100000, last 5 tokens dropped)
+  /** documents ∪ mutated near-copies (ids +1e9, last 5 tokens dropped)
     * — guarantees the near-dup detectors have true positives to find.
     */
   private def docsWithNearDups(s: SparkSession, dir: String): DataFrame = {
@@ -42,7 +42,7 @@ object DataPipeQueries {
     val t = TextAnalysis.tokens(col("text"))
     val mutated = d.where(col("doc_id") < 50)
       .select(
-        (col("doc_id") + 100000L).as("doc_id"),
+        (col("doc_id") + 1000000000L).as("doc_id"),
         array_join(slice(t, lit(1), greatest(size(t) - 5, lit(1))), " ").as("text"))
     d.select("doc_id", "text").unionByName(mutated)
   }
@@ -169,9 +169,9 @@ object DataPipeQueries {
   private def docsWithExactDups(s: SparkSession, dir: String): DataFrame = {
     val d = docs(s, dir).select("doc_id", "text")
     val c2 = d.where(col("doc_id") < 30)
-      .select((col("doc_id") + 200000L).as("doc_id"), col("text"))
+      .select((col("doc_id") + 2000000000L).as("doc_id"), col("text"))
     val c3 = d.where(col("doc_id") < 10)
-      .select((col("doc_id") + 300000L).as("doc_id"), col("text"))
+      .select((col("doc_id") + 3000000000L).as("doc_id"), col("text"))
     d.unionByName(c2).unionByName(c3)
   }
 
@@ -304,7 +304,7 @@ object DataPipeQueries {
         .select("doc_id", "text")
       val incoming = incoming0.unionByName(
         incoming0.where(col("doc_id") < 400)
-          .withColumn("doc_id", col("doc_id") + 100000L))
+          .withColumn("doc_id", col("doc_id") + 1000000000L))
       Dedup.incrementalExactKeep(incoming, existing)
         .agg(count(lit(1)).as("n_accepted"),
           sum(col("doc_id")).as("id_sum"),
@@ -322,7 +322,7 @@ object DataPipeQueries {
         .select("doc_id", "text")
       val incoming = incoming0.unionByName(
         incoming0.where(col("doc_id") < 400)
-          .withColumn("doc_id", col("doc_id") + 100000L))
+          .withColumn("doc_id", col("doc_id") + 1000000000L))
       Dedup.incrementalExactKeepBloom(incoming, existing)
         .agg(count(lit(1)).as("n_accepted"),
           sum(col("doc_id")).as("id_sum"),
@@ -349,7 +349,7 @@ object DataPipeQueries {
       val stored = docs(s, dir).select("doc_id", "text")
       val t = TextAnalysis.tokens(col("text"))
       val incoming = stored.where(col("doc_id") < 50)
-        .select((col("doc_id") + 100000L).as("doc_id"),
+        .select((col("doc_id") + 1000000000L).as("doc_id"),
           array_join(slice(t, lit(1), greatest(size(t) - 5, lit(1))), " ").as("text"))
       Dedup.incrementalLshCandidates(
           Dedup.minhashBandsPortable(incoming, k = 16, bands = 4),
@@ -484,12 +484,12 @@ object DataPipeQueries {
       Similarity.ivfTopK(e, centroids, e.where(col("vec_id") === 0), k = 20, nProbe = 3)
     }),
 
-    // PII scrub: documents ∪ injected PII rows (ids +200000, crafted
+    // PII scrub: documents ∪ injected PII rows (ids +2e9, crafted
     // email/url/phone suffix) -> per-source hit counts + redaction delta.
     "pii_scrub" -> ((s, dir) => {
       val base = docs(s, dir).select("doc_id", "source", "text")
       val injected = base.where(col("doc_id") < 40)
-        .select((col("doc_id") + 200000L).as("doc_id"),
+        .select((col("doc_id") + 2000000000L).as("doc_id"),
           lit("pii").as("source"),
           concat(col("text"),
             lit(" contact bob.smith@example.com or https://example.com/x?q=1 or +14155551234"))
@@ -512,11 +512,13 @@ object DataPipeQueries {
     // of the surviving set (pins set identity, not just cardinality).
     "curate_pipeline" -> ((s, dir) => {
       import s.implicits._
-      // half the corpus (plus all injected dups): the pairwise stage's
-      // full-scale cost is d2's own benchmark; this query checks the
-      // composition end-to-end
+      // a quarter of the corpus (plus all injected dups): scales WITH
+      // the corpus (the r11 "doc_id < 1200" cutoff silently made this a
+      // fixed 1250-doc workload at every sf once the injected-id offset
+      // stopped colliding with real ids) while keeping the pairwise
+      // stage's full-scale cost in d2's own benchmark
       val input = docsWithNearDups(s, dir)
-        .where(col("doc_id") < 1200 || col("doc_id") >= 100000)
+        .where(col("doc_id") % 4 === 0 || col("doc_id") >= 1000000000L)
       val (curated, counts) = Curate.run(input)
       val idSum = curated.agg(coalesce(sum(col("doc_id")), lit(0L))).first().getLong(0)
       counts.unionByName(Seq(("6_curated_id_sum", idSum)).toDF("stage", "n_docs"))
@@ -530,7 +532,7 @@ object DataPipeQueries {
     "curate_ruleset_pipeline" -> ((s, dir) => {
       import s.implicits._
       val input = docsWithNearDups(s, dir)
-        .where(col("doc_id") < 1200 || col("doc_id") >= 100000)
+        .where(col("doc_id") % 4 === 0 || col("doc_id") >= 1000000000L)
       val cfg = Curate.Config(qualityRuleset = Some(QualityRules.Config()))
       val (curated, counts) = Curate.run(input, cfg)
       val idSum = curated.agg(coalesce(sum(col("doc_id")), lit(0L))).first().getLong(0)
@@ -918,7 +920,7 @@ object DataPipeQueries {
       implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
       val base = docs(s, dir).select("doc_id", "text")
       val withCopies = base.unionByName(base.where(col("doc_id") < 50)
-        .select((col("doc_id") + 100000L).as("doc_id"), col("text")))
+        .select((col("doc_id") + 1000000000L).as("doc_id"), col("text")))
       val mem = MemoryStream[(Long, String)]
       mem.addData(withCopies.collect().map(r => (r.getLong(0), r.getString(1))).toSeq)
       val stream = mem.toDF().toDF("doc_id", "text")
@@ -936,8 +938,8 @@ object DataPipeQueries {
     }),
 
     // Streaming incremental-LSH near-dup: near-dups of the corpus
-    // (truncated copies, ids +100000) and novel docs (synthetic qz-token
-    // text, ids +200000) arrive as one stream; each micro-batch's band
+    // (truncated copies, ids +1e9) and novel docs (synthetic qz-token
+    // text, ids +2e9) arrive as one stream; each micro-batch's band
     // rows look up the persisted corpus band index and colliders drop.
     // Summarized by (n_kept, id_sum) — ids are deterministic, so the
     // result is invariant to batch boundaries and arrival order.
@@ -948,10 +950,10 @@ object DataPipeQueries {
       val stored = docs(s, dir).select("doc_id", "text")
       val t = TextAnalysis.tokens(col("text"))
       val incoming = stored.where(col("doc_id") < 50)
-        .select((col("doc_id") + 100000L).as("doc_id"),
+        .select((col("doc_id") + 1000000000L).as("doc_id"),
           array_join(slice(t, lit(1), greatest(size(t) - 5, lit(1))), " ").as("text"))
         .unionByName(stored.where(col("doc_id") >= 50 && col("doc_id") < 80)
-          .select((col("doc_id") + 200000L).as("doc_id"),
+          .select((col("doc_id") + 2000000000L).as("doc_id"),
             concat_ws(" ", lit("qznovel"), col("doc_id").cast("string"),
               lit("qzalpha"), col("doc_id").cast("string"),
               lit("qzbeta qzgamma")).as("text")))
@@ -1041,7 +1043,7 @@ object DataPipeQueries {
     """WITH base AS (
       |  SELECT doc_id, text FROM documents
       |  UNION ALL
-      |  SELECT doc_id + 100000 AS doc_id,
+      |  SELECT doc_id + 1000000000 AS doc_id,
       |         array_to_string(list_slice(t, 1, greatest(len(t) - 5, 1)), ' ') AS text
       |  FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
       |        FROM documents WHERE doc_id < 50))""".stripMargin
@@ -1201,7 +1203,7 @@ object DataPipeQueries {
       |inc AS (
       |  SELECT * FROM inc0
       |  UNION ALL
-      |  SELECT doc_id + 100000 AS doc_id, text FROM inc0 WHERE doc_id < 400),
+      |  SELECT doc_id + 1000000000 AS doc_id, text FROM inc0 WHERE doc_id < 400),
       |keep AS (
       |  SELECT doc_id FROM (
       |    SELECT doc_id, text,
@@ -1255,7 +1257,7 @@ object DataPipeQueries {
     */
   private val curateBaseCtes =
     s"""$nearDupCte,
-       |cin AS (SELECT * FROM base WHERE doc_id < 1200 OR doc_id >= 100000),
+       |cin AS (SELECT * FROM base WHERE doc_id % 4 = 0 OR doc_id >= 1000000000),
        |norm AS (SELECT doc_id, text, md5(lower(trim(text))) AS h FROM cin),
        |exact AS (
        |  SELECT doc_id, text FROM (
@@ -1629,7 +1631,7 @@ object DataPipeQueries {
          |${minhashBandCtes()}
          |SELECT DISTINCT x.doc_id AS stored_id, y.doc_id AS incoming_id
          |FROM banded x JOIN banded y ON x.b = y.b AND x.bucket = y.bucket
-         |WHERE x.doc_id < 100000 AND y.doc_id >= 100000
+         |WHERE x.doc_id < 1000000000 AND y.doc_id >= 1000000000
          |ORDER BY stored_id, incoming_id""".stripMargin,
     "d5_simhash" ->
       s"""$nearDupCte,
@@ -1973,12 +1975,12 @@ object DataPipeQueries {
     },
     "stream_neardup" ->
       s"""WITH inc AS (
-         |  SELECT doc_id + 100000 AS doc_id,
+         |  SELECT doc_id + 1000000000 AS doc_id,
          |         array_to_string(list_slice(t, 1, greatest(len(t) - 5, 1)), ' ') AS text
          |  FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t
          |        FROM documents WHERE doc_id < 50)
          |  UNION ALL
-         |  SELECT doc_id + 200000 AS doc_id,
+         |  SELECT doc_id + 2000000000 AS doc_id,
          |         concat_ws(' ', 'qznovel', CAST(doc_id AS VARCHAR), 'qzalpha',
          |                   CAST(doc_id AS VARCHAR), 'qzbeta qzgamma') AS text
          |  FROM documents WHERE doc_id >= 50 AND doc_id < 80),
@@ -1996,7 +1998,7 @@ object DataPipeQueries {
          |dup AS (
          |  SELECT DISTINCT y.doc_id AS incoming_id
          |  FROM banded x JOIN banded y ON x.b = y.b AND x.bucket = y.bucket
-         |  WHERE x.doc_id < 100000 AND y.doc_id >= 100000)
+         |  WHERE x.doc_id < 1000000000 AND y.doc_id >= 1000000000)
          |SELECT CAST(count(*) AS BIGINT) AS n_kept,
          |       CAST(coalesce(sum(doc_id), 0) AS BIGINT) AS id_sum
          |FROM inc WHERE doc_id NOT IN (SELECT incoming_id FROM dup)""".stripMargin,
@@ -2014,7 +2016,7 @@ object DataPipeQueries {
       """WITH base AS (
         |  SELECT doc_id, source, text FROM documents
         |  UNION ALL
-        |  SELECT doc_id + 200000, 'pii',
+        |  SELECT doc_id + 2000000000, 'pii',
         |         text || ' contact bob.smith@example.com or https://example.com/x?q=1 or +14155551234'
         |  FROM documents WHERE doc_id < 40),
         |c AS (
@@ -2530,8 +2532,8 @@ object DataPipeQueries {
     "d15_dup_weights" ->
       """WITH base AS (
         |  SELECT doc_id, text FROM documents
-        |  UNION ALL SELECT doc_id + 200000, text FROM documents WHERE doc_id < 30
-        |  UNION ALL SELECT doc_id + 300000, text FROM documents WHERE doc_id < 10)
+        |  UNION ALL SELECT doc_id + 2000000000, text FROM documents WHERE doc_id < 30
+        |  UNION ALL SELECT doc_id + 3000000000, text FROM documents WHERE doc_id < 10)
         |SELECT md5(lower(trim(text))) AS content_hash,
         |       min(doc_id) AS canonical_id, count(*) AS n_copies,
         |       CAST(floor((1.0 - power(0.5, CAST(count(*) AS DOUBLE))) / 0.5

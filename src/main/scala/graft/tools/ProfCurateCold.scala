@@ -27,9 +27,9 @@ object ProfCurateCold {
         .select(col("doc_id"), col("text"))
       val t = TextAnalysis.tokens(col("text"))
       val mutated = d.where(col("doc_id") < 50)
-        .select((col("doc_id") + 100000L).as("doc_id"),
+        .select((col("doc_id") + 1000000000L).as("doc_id"),
           array_join(slice(t, lit(1), greatest(size(t) - 5, lit(1))), " ").as("text"))
-      d.unionByName(mutated).where(col("doc_id") < 1200 || col("doc_id") >= 100000)
+      d.unionByName(mutated).where(col("doc_id") % 4 === 0 || col("doc_id") >= 1000000000L)
     }
     spark.range(100000L).selectExpr("sum(id)").collect()
     if (sys.env.get("SPARK_GRAFT_TINY_WARM").contains("true")) {

@@ -22,7 +22,7 @@ object ProfD3Stages {
         .select(col("doc_id"), col("text"))
       val t = TextAnalysis.tokens(col("text"))
       val mutated = d.where(col("doc_id") < 50)
-        .select((col("doc_id") + 100000L).as("doc_id"),
+        .select((col("doc_id") + 1000000000L).as("doc_id"),
           array_join(slice(t, lit(1), greatest(size(t) - 5, lit(1))), " ").as("text"))
       d.unionByName(mutated)
     }

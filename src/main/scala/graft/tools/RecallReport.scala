@@ -104,15 +104,91 @@ object RecallReport {
       methods.map { case (name, _) => name -> hits(name) / (NQueries * K).toDouble }
     }
 
+    /** Coverage-vs-distortion decomposition (round-12 ask): for the
+      * cell-probing methods, recall loss has two independent causes —
+      * the true neighbors' cells were never probed (CANDIDATE COVERAGE,
+      * fixed only by probing more cells) vs the quantized distance
+      * misranked candidates that WERE in reach (DISTORTION, fixed by an
+      * exact re-rank over a slightly larger shortlist). Per nProbe p:
+      *   - `coverage`: |truth ∩ probed cells| / K — the ceiling no
+      *     ranking inside probed cells can exceed;
+      *   - `ivf`: exact cosine inside probed cells (= the ceiling,
+      *     modulo k-th-place ties) — pure coverage;
+      *   - `ivfpq`: ADC ranking inside probed cells — coverage AND
+      *     distortion;
+      *   - `ivfpq_rr10`: ADC shortlist of 10k, exact re-rank to k —
+      *     distortion repaired, coverage untouched.
+      * `pq` scans everything (coverage = 1), so its gap is pure
+      * distortion and `pq_rr10` shows how much a 10x shortlist repairs.
+      */
+    def curve(corpus: DataFrame): Seq[(String, Double)] = {
+      graft.functions.GraftFunctions.register(spark)
+      val c = graft.core.Materialize.frontier(corpus)
+      val centroids = graft.core.Materialize.frontier(
+        Similarity.ivfCentroids(c, nlist = 0, portable = true))
+      val codebooks = graft.core.Materialize.frontier(
+        Similarity.pqCodebooks(c, m = 4, ksub = 16, portable = true))
+      val pqCodes = graft.core.Materialize.frontier(
+        Similarity.pqAssign(c, codebooks))
+      val assigned = graft.core.Materialize.frontier(
+        Similarity.ivfAssignIds(c, centroids))
+      def ids(df: DataFrame): Set[Long] =
+        df.select("vec_id").collect().map(_.getLong(0)).toSet
+      def rerank(q: DataFrame, shortlist: DataFrame): DataFrame =
+        Similarity.bruteForceTopK(
+          c.join(shortlist.select("vec_id"), Seq("vec_id")), q, k = K)
+      val nProbes = Seq(1, 3, 5, 10)
+      val hits = scala.collection.mutable.Map.empty[String, Double]
+      def add(k2: String, v: Double): Unit =
+        hits(k2) = hits.getOrElse(k2, 0.0) + v
+      queryIds.foreach { qid =>
+        val q = c.where(col("vec_id") === qid)
+        val truth = ids(Similarity.bruteForceTopK(c, q, k = K))
+        // cell of each true neighbor (tiny collect: K rows)
+        val truthCells = assigned
+          .where(col("vec_id").isin(truth.toSeq.map(java.lang.Long.valueOf): _*))
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        // probe ranking exactly as ivfTopK orders it
+        val rankedCells = centroids
+          .select(col("centroid_id"),
+            graft.datapipe.Vectors.quantize(col("embedding")).as("qc"))
+          .crossJoin(broadcast(q.select(
+            graft.datapipe.Vectors.quantize(col("embedding")).as("qq"))))
+          .withColumn("cos", graft.datapipe.Vectors.cosineQN(col("qc"), col("qq")))
+          .orderBy(desc("cos"), col("centroid_id"))
+          .select("centroid_id").collect().map(_.getLong(0))
+        nProbes.foreach { p =>
+          val probed = rankedCells.take(p).toSet
+          add(s"coverage_nprobe$p",
+            truth.count(t => truthCells.get(t).exists(probed)).toDouble / K)
+          add(s"ivf_nprobe$p",
+            (truth & ids(Similarity.ivfTopK(c, centroids, q, K, p))).size.toDouble / K)
+          add(s"ivfpq_nprobe$p",
+            (truth & ids(Similarity.ivfPqTopK(c, centroids, codebooks, q, K, p))).size.toDouble / K)
+          add(s"ivfpq_nprobe${p}_rr10",
+            (truth & ids(rerank(q,
+              Similarity.ivfPqTopK(c, centroids, codebooks, q, 10 * K, p)))).size.toDouble / K)
+        }
+        add("pq", (truth & ids(Similarity.pqTopK(pqCodes, codebooks, q, K))).size.toDouble / K)
+        add("pq_rr10", (truth & ids(rerank(q,
+          Similarity.pqTopK(pqCodes, codebooks, q, 10 * K)))).size.toDouble / K)
+      }
+      hits.toSeq.sortBy(_._1).map { case (k2, v) => k2 -> v / NQueries }
+    }
+
     def js(rs: Seq[(String, Double)]): String =
       rs.map { case (k2, v) => s""""$k2":${f"$v%.3f"}""" }.mkString(",")
     val natural = report(e)
     val plantedR = report(e.unionByName(planted))
+    val curvePlanted = curve(e.unionByName(planted))
+    val curveNatural = curve(e)
     val randomBaseline = K.toDouble / n
     val line =
       s"""{"metric":"ann_recall@$K","n_vectors":$n,"n_queries":$NQueries,""" +
         s""""random_baseline":${f"$randomBaseline%.4f"},""" +
-        s""""natural":{${js(natural)}},"planted":{${js(plantedR)}}}"""
+        s""""natural":{${js(natural)}},"planted":{${js(plantedR)}},""" +
+        s""""curve_planted":{${js(curvePlanted)}},""" +
+        s""""curve_natural":{${js(curveNatural)}}}"""
     println(line)
     val out = java.nio.file.Paths.get("bench_out", s"recall_$tag.json")
     java.nio.file.Files.createDirectories(out.getParent)
