@@ -606,6 +606,13 @@ object Dedup {
         .union(edges.select(col("dst").as("src"), col("src").as("dst")))
       val mins = und.groupBy("src").agg(min(col("dst")).as("__mn"))
         .select(col("src").as("u"), least(col("__mn"), col("u")).as("m"))
+      // the intermediate distinct stays (r12 audit): it collapses
+      // clique-quadratic large-star output to linear BEFORE the two
+      // small-star consumers, and its Exchange is the only shared root
+      // that lets the plan evaluate `large` once — ReuseExchange cannot
+      // be trusted across the union legs below (verified: it does not
+      // fire across a self-union), so an un-shuffled `large` would
+      // re-execute the whole und+mins+join subtree per consumer.
       val large = und.join(mins, und("src") === mins("u"))
         .where(col("dst") > col("src"))
         .select(col("dst").as("src"), col("m").as("dst"))
@@ -775,11 +782,22 @@ object Dedup {
       nlist: Int = 0, iters: Int = 0,
       idCol: String = "vec_id", vecCol: String = "embedding",
       maxBucketSize: Int = 1024,
-      portable: Boolean = false): DataFrame = {
+      portable: Boolean = false,
+      scope: Option[graft.core.FrontierScope] = None): DataFrame = {
     val centroids =
       if (iters > 0) Similarity.ivfTrain(vecs, nlist, iters, idCol, vecCol)
       else Similarity.ivfCentroids(vecs, nlist, idCol, vecCol, portable = portable)
-    val assigned = Similarity.ivfAssignIds(vecs, centroids, idCol, vecCol)
+    // frontier the NARROW (id, centroid) assignment: downstream it feeds
+    // the bucket-count leg (finite maxBucketSize), the pair scan, and
+    // the final keep join — left lazy, each consumer re-runs the full
+    // broadcast-centroids assignment (n·nlist·dim integer dots, the
+    // dominant cost here; measured as the r12 sf10 d11 jump when the
+    // default cap added the count leg). GC-managed without a scope (the
+    // one-shot query shape); callers composing further should pass one.
+    val assignedH = graft.core.Materialize.frontierHandle(
+      Similarity.ivfAssignIds(vecs, centroids, idCol, vecCol))
+    scope.foreach(_.track(assignedH))
+    val assigned = assignedH.df
     val clustered = vecs.join(assigned, Seq(idCol))
     val pairs = embeddingCosinePairs(clustered, "centroid_id", threshold,
       idCol, vecCol, maxBucketSize)

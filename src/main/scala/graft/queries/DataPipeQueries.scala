@@ -362,7 +362,10 @@ object DataPipeQueries {
     // match counts (the published n-gram decontamination method).
     "d6_decontaminate" -> ((s, dir) => {
       val d = docs(s, dir)
-      val bench = d.where(col("doc_id") % 97 === 0)
+      // fixed-size benchmark premise (same fix as d18): an eval suite
+      // does not grow with the pretraining corpus — the id bound caps
+      // |bench| at 100 docs from sf0.2 up, unchanged below
+      val bench = d.where(col("doc_id") % 97 === 0 && col("doc_id") < 9700)
         .select(col("doc_id").as("bench_id"), col("text"))
       Decontaminate.contaminated(d, bench, n = 8)
         .orderBy("doc_id")
@@ -451,6 +454,23 @@ object DataPipeQueries {
       val e = embs(s, dir)
       val centroids = e.where(col("vec_id") % 50 === 0)
         .select(col("vec_id").as("centroid_id"), col("embedding"))
+      val cb = graft.core.Materialize.frontier(
+        Similarity.pqCodebooks(e, m = 4, ksub = 16, portable = true))
+      Similarity.ivfPqTopK(e, centroids, cb,
+        e.where(col("vec_id") === 0), k = 20, nProbe = 3)
+    }),
+
+    // The PRODUCTION IVF+PQ path (r12): sqrt(n) portable hashed-id
+    // centroids instead of sim7's every-50th-vector rule — sim7's nlist
+    // grows as n/50, so one query's assignment is n²/50 dots and the
+    // sf10 sweep measured it at 70.6 s (the same comparability-row class
+    // as sim3_ivf_topk, kept for cross-scale comparisons). This twin is
+    // the shape a cluster runs: n·sqrt(n) assignment, candidates from 3
+    // probed cells, PQ ADC ranking — full vectors never fetched in the
+    // search path.
+    "sim7b_ivfpq_trained" -> ((s, dir) => {
+      val e = embs(s, dir)
+      val centroids = Similarity.ivfCentroids(e, nlist = 0, portable = true)
       val cb = graft.core.Materialize.frontier(
         Similarity.pqCodebooks(e, m = 4, ksub = 16, portable = true))
       Similarity.ivfPqTopK(e, centroids, cb,
@@ -1709,7 +1729,7 @@ object DataPipeQueries {
         |  WHERE len(t) >= 8),
         |bsh AS (
         |  SELECT DISTINCT doc_id AS bench_id, shingle
-        |  FROM dsh WHERE doc_id % 97 = 0)
+        |  FROM dsh WHERE doc_id % 97 = 0 AND doc_id < 9700)
         |SELECT d.doc_id,
         |       count(DISTINCT d.shingle) AS n_matched_ngrams,
         |       count(DISTINCT b.bench_id) AS n_benchmarks
@@ -1798,6 +1818,49 @@ object DataPipeQueries {
          |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cosine DESC, centroid_id) AS rn
          |    FROM ac)
          |  WHERE rn = 1),
+         |probes AS (
+         |  SELECT centroid_id FROM cents CROSS JOIN qq
+         |  ORDER BY ${dotD("qc", "qy")} / (sqrt(${dotD("qc", "qc")}) * sqrt(${dotD("qy", "qy")})) DESC,
+         |           centroid_id
+         |  LIMIT 3),
+         |msub AS (SELECT unnest(range(0, 4)) AS m),
+         |meta AS (SELECT (len(q) + 3) // 4 AS L FROM qv LIMIT 1),
+         |seeds AS (
+         |  SELECT code, q FROM (
+         |    SELECT q, row_number() OVER (
+         |      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS code
+         |    FROM qv)
+         |  WHERE code < 16),
+         |cb AS (
+         |  SELECT m, code, q[m * L + 1 : (m + 1) * L] AS qc
+         |  FROM seeds CROSS JOIN meta CROSS JOIN msub),
+         |sub AS (
+         |  SELECT vec_id, m, q[m * L + 1 : (m + 1) * L] AS qx
+         |  FROM qv CROSS JOIN meta CROSS JOIN msub),
+         |dist AS (
+         |  SELECT vec_id, m, code,
+         |    CAST(list_sum(list_transform(list_zip(qc, qc), s -> s[1] * s[2]))
+         |      AS BIGINT)
+         |    - 2 * CAST(list_sum(list_transform(list_zip(qx, qc), s -> s[1] * s[2]))
+         |      AS BIGINT) AS d
+         |  FROM sub JOIN cb USING (m)),
+         |pqassign AS (
+         |  SELECT vec_id, m, code FROM (
+         |    SELECT vec_id, m, code,
+         |      row_number() OVER (PARTITION BY vec_id, m ORDER BY d, code) AS rn
+         |    FROM dist)
+         |  WHERE rn = 1),
+         |qtab AS (SELECT m, code, d FROM dist WHERE vec_id = 0),
+         |cand AS (SELECT vec_id FROM assigned JOIN probes USING (centroid_id))
+         |SELECT p.vec_id, CAST(sum(q.d) AS BIGINT) AS pq_dist
+         |FROM pqassign p JOIN cand USING (vec_id) JOIN qtab q USING (m, code)
+         |GROUP BY p.vec_id ORDER BY pq_dist, vec_id LIMIT 20""".stripMargin,
+    // same ADC chain as sim7, with the centroid seeding/assignment swapped
+    // for the shared trained-IVF CTEs (sqrt(n) portable hashed-id seeding)
+    "sim7b_ivfpq_trained" ->
+      s"""WITH $quantCte,
+         |$ivfAssignCtes,
+         |qq AS (SELECT q AS qy FROM qv WHERE vec_id = 0),
          |probes AS (
          |  SELECT centroid_id FROM cents CROSS JOIN qq
          |  ORDER BY ${dotD("qc", "qy")} / (sqrt(${dotD("qc", "qc")}) * sqrt(${dotD("qy", "qy")})) DESC,
