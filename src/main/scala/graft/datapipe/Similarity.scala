@@ -14,6 +14,35 @@ import org.apache.spark.sql.functions._
   *   signature is a partition/bucket column.
   * - `ivfTopK`: inverted-file variant — vectors pre-assigned to nearest
   *   centroid; probe the `nProbe` closest centroids, exact re-rank inside.
+  *
+  * ==Operating guidance (measured, `bench_out/recall_sf1.json`)==
+  * The r12 coverage-vs-distortion curve (20k vectors, planted
+  * neighborhoods — the near-dup retrieval task) separates the two recall
+  * losses: CANDIDATE COVERAGE (true neighbors in unprobed cells; only
+  * more probes help) and QUANTIZATION DISTORTION (ADC misranks reachable
+  * candidates; an exact re-rank over a slightly larger shortlist repairs
+  * it). Findings and recommended configs:
+  *
+  *  - IVF recall EQUALS candidate coverage at every nProbe (0.765 / 0.98
+  *    / 1.00 at nProbe 1/3/5) — in-cell ranking is exact, so tune
+  *    `nProbe` alone. Recommend `nProbe = 3` (0.98) or 5 (1.00) with
+  *    sqrt(n) trained centroids.
+  *  - IVF+PQ pays ~0.1 extra recall to ADC distortion once coverage
+  *    saturates (0.895 at nProbe 5 vs 1.00 ceiling) — and a 10x
+  *    shortlist + exact re-rank recovers the ceiling EXACTLY at every
+  *    probe level (1.00 at nProbe >= 5). Never ship ADC rankings raw:
+  *    `ivfPqTopK(..., k = 10 * k)` then exact re-rank of the pool.
+  *  - Full-scan PQ: 0.705 raw -> 1.00 with the same 10x re-rank.
+  *  - int8 scalar quantization: 0.925+ with NO re-rank — the robust
+  *    default when 1 byte/dim fits memory.
+  *  - JL projection: use `normalize = true` (projected cosine) + a 10x
+  *    re-rank pool (1.00 planted); raw projected dots lose
+  *    self-retrieval at corpus scale.
+  *
+  * On structureless corpora (the synthetic `natural` section) coverage
+  * itself binds (top-k are statistical ties spread uniformly over
+  * cells) and no re-rank budget recovers it — expected, documented, and
+  * why the planted section is the meaningful floor.
   */
 object Similarity {
 
