@@ -232,15 +232,26 @@ object Bench {
     // the artifact alone (r11: a default-heap sweep was indistinguishable
     // from a 48g one after the fact)
     val heapGb = Runtime.getRuntime.maxMemory / (1024.0 * 1024 * 1024)
+    // cpus comes from an env string: "*" is a valid local[*] setting but
+    // interpolating it bare would emit invalid JSON — non-numeric values
+    // get JSON-quoted
+    val cpusJson = scala.util.Try(cpus.trim.toInt).map(_.toString)
+      .getOrElse("\"" + cpus.replace("\"", "") + "\"")
     val env =
-      s""""heap_gb":${fmt(heapGb)},"cpus":$cpus,"n_failed":$nFailed"""
+      s""""heap_gb":${fmt(heapGb)},"cpus":$cpusJson,"n_failed":$nFailed"""
     val json =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${obj(all)},"runs":${obj(runDetail)},"sf":"$sfDir","n_queries":${all.length},$env}"""
     println(json)
-    // ALSO write the full JSON to a committed artifact: log captures have
+    // ALSO write the full JSON to a durable file: log captures have
     // truncated the stdout tail two rounds running, making the per-query
-    // numbers unverifiable — the file is the durable record
-    val outDir = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out")
+    // numbers unverifiable. Default target is bench_out/scratch/
+    // (GITIGNORED): every run — builder rehearsal or driver sweep —
+    // lands there, and only a deliberate `cp` promotes a blessed sweep
+    // to the committed bench_out/<sf>.json. This keeps exactly one
+    // unambiguous committed artifact per (sf, round) — in r12 a driver
+    // re-run overwrote the builder's committed artifact in the working
+    // tree and the two were only distinguishable by heap_gb.
+    val outDir = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out/scratch")
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outDir))
     // subset runs get their own artifact name so a targeted rehearsal
     // never clobbers the full-sweep record

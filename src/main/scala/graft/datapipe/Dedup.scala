@@ -16,6 +16,12 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** Sequence for unique CollectMetrics names on the bucket-split
+    * signal (same-named observe nodes in one plan fail analysis).
+    */
+  private[datapipe] val splitObsSeq =
+    new java.util.concurrent.atomic.AtomicLong(0L)
+
   /** Exact dedup by normalized-content hash: one group per distinct
     * content, canonical = min(id). Shuffles hashes + ids only (columns
     * pruned before the exchange).
@@ -707,6 +713,12 @@ object Dedup {
     * would go quadratic get bounded. Pass `maxBucketSize =
     * Int.MaxValue` explicitly for the exhaustive form (recall oracles,
     * ground-truth builds).
+    *
+    * Lossy-mode signal: when the cap is finite the plan carries a named
+    * observe ("graft.cosine_bucket_splits.N") with {split_buckets,
+    * n_buckets} — a QueryExecutionListener reads it after any action on
+    * the result, and split_buckets == 0 certifies the output equals the
+    * uncapped operator's (pinned in DedupSpec).
     */
   def embeddingCosinePairs(
       vecs: DataFrame, bucketCol: String, threshold: Double,
@@ -727,9 +739,23 @@ object Dedup {
         val mask = (0 until srpPlanes).map(j =>
           when(lit(maxBucketSize.toLong << j) < col("__cnt"), lit(1L << j))
             .otherwise(lit(0L))).reduce(_ + _)
+        // runtime split signal: capping silently turns the operator
+        // approximate on dense buckets (pairs spanning SRP sub-buckets
+        // are dropped), so a caller must be able to tell exhaustive
+        // results from capped ones WITHOUT reading the scaladoc. The
+        // named CollectMetrics fires on whatever action executes the
+        // returned plan; QueryExecutionListeners (and `Observation`-
+        // style readers) see {split_buckets, n_buckets} under a
+        // "graft.cosine_bucket_splits.*" name (unique per call — two
+        // capped pair scans may share one plan). split_buckets == 0
+        // certifies the result is bit-identical to the uncapped form.
         val sized = base0.groupBy("bucket")
           .agg(count(lit(1)).as("__cnt"))
           .select(col("bucket"), mask.as("__mask"))
+          .observe(
+            s"graft.cosine_bucket_splits.${Dedup.splitObsSeq.incrementAndGet()}",
+            sum(when(col("__mask") > 0, 1L).otherwise(0L)).as("split_buckets"),
+            count(lit(1)).as("n_buckets"))
         // bucket-count side is dimension-scale (one row per bucket): AQE
         // broadcast-joins it back, so the corpus never re-shuffles here
         base0.join(sized, Seq("bucket"))
@@ -776,6 +802,14 @@ object Dedup {
     * With sqrt(n) clusters and balanced assignment, candidate work is
     * ~n*sqrt(n)/2 pairs — the same sublinear-per-row shape the trained
     * IVF rehearsal measured.
+    *
+    * Side effect: the (id, centroid) assignment is materialized EAGERLY
+    * at call time (`Materialize.frontierHandle` runs Spark jobs and
+    * persists blocks even if the returned DataFrame is never executed)
+    * — this is not a fully lazy plan. Without a `scope` the blocks are
+    * GC-managed, so repeated calls in a long-lived driver accumulate
+    * dead blocks until the ContextCleaner collects them; pass a
+    * [[graft.core.FrontierScope]] for deterministic release.
     */
   def semanticDedup(
       vecs: DataFrame, threshold: Double,

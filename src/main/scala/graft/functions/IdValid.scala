@@ -21,8 +21,8 @@ import org.apache.spark.unsafe.types.UTF8String
   *
   * Semantics are pinned bit-equal to the declarative twins
   * (IdentifiersNativeSpec property-checks random mixed corpora):
-  * input is `upper(trim(raw))` (UTF8String trim/upper — identical to
-  * the `upper(trim(col))` the twins apply); char values are the
+  * input is upper(whitespace-strip(raw)) — [[stripWs]] matches the
+  * twins' `Identifiers.wstrip` regex class exactly; char values are the
   * CUSIP alphabet (0-9, A-Z→10-35, *→36, @→37, #→38, else invalid);
   * any non-ASCII char makes the string invalid in both formulations,
   * so Java-char iteration and codepoint iteration cannot diverge on
@@ -57,9 +57,24 @@ object IdValid {
   private[functions] val names =
     Array("graft_cusip_valid", "graft_isin_valid", "graft_figi_valid")
 
+  /** ASCII-whitespace strip matching the declarative twins' `wstrip`
+    * (Java regex `\s`: space, tab, LF, VT, FF, CR) — reference symbol.py
+    * validates `raw.strip()`, so "320193\n" must validate like "320193".
+    * UTF8String.trim() strips 0x20 only, which diverged from that.
+    */
+  private def stripWs(s: String): String = {
+    def ws(c: Char): Boolean =
+      c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
+    var from = 0
+    var to = s.length
+    while (from < to && ws(s.charAt(from))) from += 1
+    while (to > from && ws(s.charAt(to - 1))) to -= 1
+    s.substring(from, to)
+  }
+
   /** Entry point shared by interpreted eval and generated code. */
   def valid(kind: Int, raw: UTF8String): Boolean = {
-    val s = raw.trim().toUpperCase().toString
+    val s = stripWs(raw.toString).toUpperCase(java.util.Locale.ROOT)
     kind match {
       case Cusip => cusip(s)
       case Isin => isin(s)

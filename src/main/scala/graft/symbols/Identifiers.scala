@@ -17,6 +17,17 @@ import org.apache.spark.sql.functions._
   */
 object Identifiers {
 
+  /** Reference-parity whitespace strip (ref symbol.py validates
+    * `raw.strip()`, which removes newlines/tabs as well as spaces —
+    * Spark's `trim` strips spaces ONLY, so a `trim`-based validator
+    * rejected "320193\n" that the reference accepts). ASCII whitespace
+    * (Java regex `\s`: space, tab, LF, VT, FF, CR); Python's strip also
+    * removes exotic Unicode spaces, a documented residual divergence no
+    * identifier feed produces.
+    */
+  private[graft] def wstrip(c: Column): Column =
+    regexp_replace(c, "^\\s+|\\s+$", "")
+
   /** Per-character numeric values: '0'-'9' -> 0-9, 'A'-'Z' -> 10-35,
     * CUSIP specials '*' -> 36, '@' -> 37, '#' -> 38; anything else -> -1.
     * Input must be uppercased. One array element per char.
@@ -47,7 +58,7 @@ object Identifiers {
     * digit-sum of each; check = (10 - sum mod 10) mod 10.
     */
   def cusipValid(raw: Column): Column = {
-    val s = upper(trim(raw))
+    val s = upper(wstrip(raw))
     cusipValidFrom(s, charValues(s))
   }
 
@@ -70,7 +81,7 @@ object Identifiers {
     * divisible by 10, doubling every second digit from the right.
     */
   def isinValid(raw: Column): Column = {
-    val s = upper(trim(raw))
+    val s = upper(wstrip(raw))
     isinValidFrom(s, charValues(s))
   }
 
@@ -94,7 +105,7 @@ object Identifiers {
     * 12th char.
     */
   def figiValid(raw: Column): Column = {
-    val s = upper(trim(raw))
+    val s = upper(wstrip(raw))
     figiValidFrom(s, charValues(s))
   }
 
@@ -105,9 +116,10 @@ object Identifiers {
       digitSum(v * when((i + 1) % 2 === 0, 2).otherwise(1))))
     val check = (lit(10L) - (sum % 10L)) % 10L
     // explicit length guard alongside the anchored regex: Java's '$'
-    // matches BEFORE a final line terminator, so a 13-char
-    // "BBG000B9XRY4\n" would otherwise pass here while the native
-    // IdValid.figi twin (which tests s.length != 12) rejects it
+    // matches BEFORE a final line terminator, so a 13-char string with
+    // an INTERIOR-adjacent trailing "\n" surviving wstrip's edge strip
+    // cannot exist, but the guard keeps the verdict pinned to the
+    // native IdValid.figi twin (which tests s.length != 12) regardless
     (length(s) === 12) &&
       s.rlike("^[B-DF-HJ-NP-TV-Z0-9]{2}G[B-DF-HJ-NP-TV-Z0-9]{8}[0-9]$") &&
       (check === element_at(vals, 12).cast("long"))
@@ -130,25 +142,26 @@ object Identifiers {
     call_function(graft.functions.GraftFunctions.figiValidName, raw)
 
   // \z (absolute end), not $: Java's '$' matches BEFORE a final line
-  // terminator, so "123\n" / "ABCD\n" validated — and trim strips
-  // spaces only, not newlines. Same defect class as the FIGI length
-  // guard above; fixtures in IdentifiersSpec.
+  // terminator, so with a space-only trim "123\n" / "ABCD\n" validated
+  // as 3/4-char shapes. wstrip removes edge whitespace first (reference
+  // .strip() parity) and \z keeps any INTERIOR terminator invalid.
+  // Fixtures in IdentifiersSpec.
 
   /** CIK: 1-10 digits (stored zero-padded to 10, ref symbol.py:160-173). */
   def cikValid(raw: Column): Column =
-    trim(raw).rlike("^[0-9]{1,10}\\z")
+    wstrip(raw).rlike("^[0-9]{1,10}\\z")
 
   /** CIK normalized to the canonical 10-digit zero-padded form. */
   def cikNormalize(raw: Column): Column =
-    when(cikValid(raw), lpad(trim(raw), 10, "0"))
+    when(cikValid(raw), lpad(wstrip(raw), 10, "0"))
 
   /** Exchange MIC: exactly 4 uppercase alphanumeric chars (ISO 10383
     * shape; ref symbol.py:175-184 enforces length 4).
     */
   def micValid(raw: Column): Column =
-    upper(trim(raw)).rlike("^[A-Z0-9]{4}\\z")
+    upper(wstrip(raw)).rlike("^[A-Z0-9]{4}\\z")
 
   /** 3-letter ISO currency shape (ref symbol.py:186-195). */
   def currencyValid(raw: Column): Column =
-    upper(trim(raw)).rlike("^[A-Z]{3}\\z")
+    upper(wstrip(raw)).rlike("^[A-Z]{3}\\z")
 }

@@ -212,6 +212,33 @@ class DedupSpec extends SparkSpec {
     assert(pairs(vecs.repartition(7), 10) == capped)
   }
 
+  test("capped cosine pairs emit the lossy-mode bucket-split observation") {
+    val s = spark; import s.implicits._
+    def vec(group: Int, member: Int): Seq[Float] = {
+      val a = Array.fill(8)(0.001f * member)
+      a(group % 8) = 1.0f; a(7 - group % 8) += 0.1f * (group / 8); a.toSeq
+    }
+    val rows = for (g <- 0 until 10; m <- 0 until 4)
+      yield ((g * 10 + m).toLong, 0, vec(g, m))
+    val vecs = rows.toDF("vec_id", "label", "embedding")
+    def splitMetric(cap: Int): (Long, Long) = {
+      val df = Dedup.embeddingCosinePairs(vecs, "label", 0.95, maxBucketSize = cap)
+      df.collect()
+      val m = df.queryExecution.observedMetrics.collectFirst {
+        case (name, row) if name.startsWith("graft.cosine_bucket_splits.") =>
+          (row.getAs[Long]("split_buckets"), row.getAs[Long]("n_buckets"))
+      }
+      assert(m.isDefined, "capped run must carry the split observation")
+      m.get
+    }
+    // binding cap: the signal reports the bucket split (lossy mode ON)
+    val (split10, n10) = splitMetric(10)
+    assert(split10 == 1L && n10 == 1L)
+    // cap >= bucket size: zero splits certifies exhaustive results
+    val (split40, _) = splitMetric(40)
+    assert(split40 == 0L)
+  }
+
   test("semantic dedup: within-cluster near-dups drop, lowest id survives") {
     val s = spark; import s.implicits._
     // two tight direction groups; nlist = 1 puts everything in one

@@ -15,9 +15,12 @@ class RelQueriesSpec extends SparkSpec {
   test("q1 disc-price conversion survives 1e12 sums (sf10 overflow regression)") {
     import spark.implicits._
     val dir = tmpDir("q1fix")
-    // 600 rows x ~9.5e8 discounted -> group sum ~5.7e11: past the old
-    // scale-8 ceiling (9.2e10), far under the scale-4 one (9.2e14)
-    val rows = (1 to 600).map(i =>
+    // 1000 rows x ~9.5e8 discounted -> group sum ~9.5e11: past the old
+    // scale-8 ceiling (9.2e10), far under the scale-4 one (9.2e14) —
+    // and the MICRO-unit sum (~9.5e15) exceeds 2^53 (~9.007e15), so the
+    // long->double conversion actually exercises the single-rounding
+    // path the contract claims (600 rows left it exactly representable)
+    val rows = (1 to 1000).map(i =>
       ("N", "O", 1.0, 999999999.99, 0.05)) ++
       (1 to 3).map(i => ("A", "F", 2.0, 100.10, 0.01))
     rows.toDF("l_returnflag", "l_linestatus", "l_quantity",
@@ -28,7 +31,8 @@ class RelQueriesSpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getString(1)) -> r).toMap
 
     // exact 4dp micro-units: 999999999.99 * 0.95 = 949999999.9905
-    val microsNO = 9499999999905L * 600L // 5.6999...e15 > 2^53: rounds once
+    val microsNO = 9499999999905L * 1000L // 9.4999...e15 > 2^53: rounds once
+    assert(microsNO > (1L << 53), "fixture must exceed 2^53 to test rounding")
     assert(out(("N", "O")).getAs[Double]("sum_disc_price")
       === microsNO.toDouble / 1e4)
     // small-sum group stays BigDecimal-exact: 100.10 * 0.99 = 99.0990

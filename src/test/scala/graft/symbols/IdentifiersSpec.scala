@@ -79,9 +79,12 @@ class IdentifiersSpec extends SparkSpec {
     check(Seq(
       "320193" -> true, "0000320193" -> true,
       "12345678901" -> false, "32O193" -> false, "" -> false,
-      // Java '$' matches before a final line terminator and trim strips
-      // spaces only — the \z anchors reject these (FIGI fix mirrored)
-      "320193\n" -> false, "320193\r\n" -> false
+      // reference parity (symbol.py validates raw.strip()): edge
+      // whitespace — including newlines/tabs, which Spark trim leaves —
+      // is stripped before the \z-anchored match, so these validate;
+      // INTERIOR whitespace still fails (the \z anchor's job)
+      "320193\n" -> true, "320193\r\n" -> true, "\t320193" -> true,
+      " 320193 " -> true, "320\n193" -> false
     ), Identifiers.cikValid)
     val s = spark; import s.implicits._
     val n = Seq("320193").toDF("x")
@@ -89,8 +92,8 @@ class IdentifiersSpec extends SparkSpec {
     assert(n == "0000320193")
     check(Seq("XNAS" -> true, "XNYS" -> true, "ARCX" -> true,
       "XN!S" -> false, "XNASQ" -> false, "XNA" -> false,
-      "XNAS\n" -> false), Identifiers.micValid)
+      "XNAS\n" -> true, "XN\nAS" -> false), Identifiers.micValid)
     check(Seq("USD" -> true, "EUR" -> true, "US1" -> false, "USDX" -> false,
-      "USD\n" -> false), Identifiers.currencyValid)
+      "USD\n" -> true, "U\nSD" -> false), Identifiers.currencyValid)
   }
 }
