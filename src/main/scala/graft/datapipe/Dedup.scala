@@ -236,8 +236,19 @@ object Dedup {
             x.getField("id").as("id_a"), y.getField("id").as("id_b"),
             x.getField("set_size").as("size_a"), y.getField("set_size").as("size_b")))))
       .as("pairs"))
-    // O(df²) pair array must not be rebuilt per exploded row
-    val pairs = mat(pairArrays)
+    // The pair arrays explode LAZILY — no frontier. The generator input
+    // is a projection over the aggregated `docs` attribute, evaluated
+    // once per POSTING row (O(df²) per posting, O(Σdf²) total — the
+    // operator's intrinsic cost); materializing it first was pure
+    // overhead, and the dominant memory term: at sf10 the checkpoint
+    // held ~7 GB of pair structs in executor storage (423 s of task
+    // time to write, 21 GB of downstream spill competing with the
+    // pinned blocks), which is why the row OOM'd below a 48 g driver
+    // (SCALE.md r7). Without it the identical result (count+hash-
+    // verified at sf1 and sf10, tools/ProfD2Alt) runs on the DEFAULT
+    // 8 GiB heap at sf10 — the shingle-array frontier above stays, it
+    // feeds two consumers (set_size + explode).
+    val pairs = pairArrays
       .select(explode(col("pairs")).as("p")).select("p.*")
     pairs
       .groupBy("id_a", "id_b")

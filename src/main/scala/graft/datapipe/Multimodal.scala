@@ -190,17 +190,28 @@ object Multimodal {
     * verifiable bit-for-bit against any SQL engine.
     */
   def featuresStub(media: DataFrame, dim: Int = 8): DataFrame = {
-    val txt = col("content").cast("string")
-    val nBytes = octet_length(col("content")).cast("long")
-    val nChars = greatest(length(txt).cast("long"), lit(1L))
-    media.select(
-      col("media_id"),
-      transform(sequence(lit(0), lit(dim - 1)), i => {
-        val pos = (lit(1L) + pmod(i.cast("long") * 7L, nChars)).cast("int")
-        val ch = ascii(txt.substr(pos, lit(1))).cast("long")
-        (pmod(ch * (i.cast("long") + 1L) + nBytes * 13L + i.cast("long") * i.cast("long"),
-          lit(1000L)).cast("double") / 1000.0)
-      }).as("features"))
+    // dim is known at plan time, so the per-dimension lambda is unrolled
+    // into plain column expressions: the original
+    // `transform(sequence(0, dim-1), i => ...)` ran the whole formula
+    // through the interpreted higher-order-function machinery per row —
+    // measured at sf10 (r13 ProfQ) as 47-50 s steady-state for 500k docs
+    // where the codegen'd decode stub over the same bytes takes 2.3 s.
+    // Unrolled expressions stay inside whole-stage codegen (length/cast
+    // subexpressions eliminated once per row, not once per dimension),
+    // and element extraction of an array() literal folds, so a consumer
+    // selecting two features computes exactly two. Values bit-identical.
+    val withBase = media.select(col("media_id"),
+      col("content").cast("string").as("__t"),
+      octet_length(col("content")).cast("long").as("__nb"))
+    val t = col("__t"); val nb = col("__nb")
+    val nc = greatest(length(t).cast("long"), lit(1L))
+    val feats = (0 until dim).map { i =>
+      val pos = (lit(1L) + pmod(lit(i.toLong * 7L), nc)).cast("int")
+      val ch = ascii(t.substr(pos, lit(1))).cast("long")
+      (pmod(ch * lit(i.toLong + 1L) + nb * 13L + lit(i.toLong * i.toLong),
+        lit(1000L)).cast("double") / 1000.0)
+    }
+    withBase.select(col("media_id"), array(feats: _*).as("features"))
   }
 
   /** Frame sampling (stub): split the payload into `frameBytes` chunks and

@@ -287,16 +287,28 @@ object RelQueries {
     // every 5 minutes, each event lands in exactly two (SURVEY §2.9
     // lists sliding windows as a reference non-goal; built here as the
     // Spark-native extension, same map-side bucket expansion as the
-    // oracle's two UNION legs)
-    "a19_hopping_window" -> ((s, dir) =>
+    // oracle's two UNION legs). Integer bucket math on ts_ns with LONG
+    // group keys, not `window(ts, "10 minutes", "5 minutes")`: the
+    // TimeWindow form expands through an Expand node with per-projection
+    // timestamp arithmetic and groups on a struct(timestamp, timestamp)
+    // key — measured at sf10 as the sweep's worst JIT-sensitive row
+    // (same stage: 134.6 s task-CPU after four unrelated agg rows vs
+    // 15.2 s steady-state, SCALE.md r13). A 2-element long-array explode
+    // plus (long, string) keys is the hashing-cheapest shape and the
+    // identical result (for length = 2x slide the containing windows are
+    // exactly b and b - slide, b = ts_ns - ts_ns % slide).
+    "a19_hopping_window" -> ((s, dir) => {
+      val slide = lit(300000000000L) // 5 minutes in ns
       Tables.events(s, dir)
-        .groupBy(window(col("ts"), "10 minutes", "5 minutes"), col("event_type"))
-        .agg(count(lit(1)).as("n"),
-          sum(col("value").cast("decimal(18,4)")).cast("double").as("sum_v"))
-        .select(
-          (unix_micros(col("window.start")) * lit(1000L)).as("win_start_ns"),
-          col("event_type"), col("n"), col("sum_v"))
-        .orderBy("win_start_ns", "event_type")),
+        .select(col("event_type"), col("value").cast("decimal(18,4)").as("v"),
+          (col("ts_ns") - col("ts_ns") % slide).as("b"))
+        .select(col("event_type"), col("v"),
+          explode(array(col("b"), col("b") - slide)).as("win_start_ns"))
+        .groupBy("win_start_ns", "event_type")
+        .agg(count(lit(1)).as("n"), sum(col("v")).cast("double").as("sum_v"))
+        .orderBy("win_start_ns", "event_type")
+        .select("win_start_ns", "event_type", "n", "sum_v")
+    }),
 
     // A18: HLL approximate distinct — the 100 TB cardinality path
     // (countDistinct shuffles every distinct value; HLL++ ships a
