@@ -193,13 +193,20 @@ object Bench {
       "t10_bigram_lm_score", "t11_crossentropy_select",
       "t13_perplexity_buckets", "t13_perplexity_buckets_approx",
       "d11_semantic_dedup",
-      // first-execution JIT cliff, measured at sf10 (r13): the row sits
-      // ~8th in the name-ordered sweep — the post-a15..a18 JIT-churn
-      // valley — and its first plan execution pays 13.9 s where runs
-      // 2/3 of the identical plan in the same JVM take 1.5/3.6 s
-      // (profiled stage: 107-147 s task-CPU run1 vs ~15 s steady).
-      // r12's single-shot 55.7 s was this cliff, not the operator.
-      "a19_hopping_window",
+      // early-sweep JIT-churn valley (r13, profiled): rows at sweep
+      // positions ~5-15 pay a first-execution cliff while C2 digests the
+      // first wave of fresh generated classes — a19's first plan
+      // execution measured 13.9 s vs 1.5/3.6 s for runs 2/3 of the
+      // identical plan in one JVM (107-147 s task-CPU run1 vs ~15 s
+      // steady); r12's single-shot 55.7 s was this cliff, not the
+      // operator. Fixing a19 moved the valley onto its neighbors in the
+      // very next sweep (a1_resample_1h 38.1 s one-shot vs 3.3-4.2 s
+      // isolated; a3 10.6 vs 4.6) — so the whole early-position
+      // flagship family gets the median, not whichever row the valley
+      // lands on this round.
+      "a19_hopping_window", "a1_resample_5m", "a1_resample_15m",
+      "a1_resample_1h", "a1_resample_4h", "a2_resample_1d_market_open",
+      "a3_partial_trade_count",
       // model-artifact parquet roundtrip (temp-dir write class)
       "t14b_dsir_fit_reuse")
     var extraRuns = Seq.empty[(String, Double)]

@@ -114,40 +114,53 @@ object Similarity {
         Seq(idCol))
       .select(col(idCol), col(centroidIdCol), col("q_vec"))
 
-  /** Assignment WITHOUT the vector payload: (id, centroid_id) only. The
-    * max_by value is just the centroid id, so the exchange carries
-    * ~16-byte rows instead of the quantized embedding — use this when the
-    * caller doesn't re-rank afterwards (e.g. diversity sampling).
+  /** Assignment WITHOUT the vector payload: (id, centroid_id) only —
+    * computed as a PER-ROW argmax over the packed broadcast centroid
+    * array ([[graft.functions.NearestCentroidLong]]): n rows in, n rows
+    * out, NO n×k intermediate and no aggregate at all.
+    *
+    * History (r13, SCALE.md): the previous row-explosion form —
+    * crossJoin(broadcast(centroids)) then groupBy(id).max_by(cid,
+    * struct(cosine, -cid)) — put a struct in the aggregate buffer, which
+    * HashAggregate cannot hold, so Catalyst planned SortAggregate and
+    * every task SORTED its n×k score slice: at sf100 (2M × 1414
+    * centroids = 2.8e9 rows) that one stage ran 1129 s and spilled
+    * 139 GB for a 46 MB result. The per-row loop computes the identical
+    * cosines in the identical double steps and keeps the lowest cid on
+    * exact ties (Double.compare — Spark's own double total order), so
+    * results are bit-equal; oracle rows pin it.
     */
   def ivfAssignIds(
       vecs: DataFrame, centroids: DataFrame,
       idCol: String = "vec_id", vecCol: String = "embedding",
-      centroidIdCol: String = "centroid_id"): DataFrame =
-    centroidScores(vecs, centroids, idCol, vecCol, centroidIdCol)
-      .groupBy(idCol)
-      .agg(max_by(col(centroidIdCol),
-        struct(col("cosine"), (-col(centroidIdCol)).as("neg_cid"))).as(centroidIdCol))
-
-  /** Every (vector, centroid) cosine: the broadcast-centroids map both
-    * assignment variants reduce over.
-    */
-  private def centroidScores(
-      vecs: DataFrame, centroids: DataFrame,
-      idCol: String, vecCol: String, centroidIdCol: String): DataFrame = {
+      centroidIdCol: String = "centroid_id"): DataFrame = {
     graft.functions.GraftFunctions.register(vecs.sparkSession)
-    val c = centroids.select(
-      col(centroidIdCol), Vectors.quantize(col(vecCol)).as("q_cent"))
-    val v = graft.core.Parallelism.widenForCpu(vecs)
+    // one row: centroids sorted by cid (ascending iteration = min-cid
+    // tie-break), each with its quantized vector and precomputed norm
+    val packed = centroids
+      .select(struct(
+        col(centroidIdCol).cast("long").as("cid"),
+        Vectors.quantize(col(vecCol)).as("q_cent"),
+        sqrt(Vectors.dotQ(Vectors.quantize(col(vecCol)),
+          Vectors.quantize(col(vecCol))).cast("double")).as("cnorm")).as("__c"))
+      .agg(sort_array(collect_list(col("__c"))).as("__cents"))
+    graft.core.Parallelism.widenForCpu(vecs)
       .select(col(idCol), Vectors.quantize(col(vecCol)).as("q_vec"))
-    v.crossJoin(broadcast(c))
-      .withColumn("cosine", Vectors.cosineQN(col("q_vec"), col("q_cent")))
+      .crossJoin(broadcast(packed))
+      .select(col(idCol),
+        call_function(graft.functions.GraftFunctions.nearestCentroidName,
+          col("q_vec"), col("__cents")).as(centroidIdCol))
+      // empty centroid set -> sentinel -1; the old groupBy-over-scores
+      // shape emitted no rows at all in that degenerate case
+      .where(col(centroidIdCol) >= 0)
   }
 
   /** One k-means refinement iteration over quantized vectors: assign each
     * vector to its nearest centroid (cosine), then recompute centroids as
     * per-dimension means. Shuffle profile: one exchange on vec_id for the
-    * assignment (max_by, map-side combined), one on (centroid, dim) for
-    * the means — both partial-aggregating, no windows, no collect. Means
+    * assignment-to-payload join (the argmax itself is a per-row map since
+    * r13), one on (centroid, dim) for the means — partial-aggregating,
+    * no windows, no corpus-scale collect. Means
     * are exact-integer sums divided once, so results are engine-exact.
     * Returns (centroid_id, pos, mean_q) — the new centroid matrix in
     * long-micro-units as one row per dimension.
@@ -349,11 +362,15 @@ object Similarity {
     Vectors.dotQN(qc, qc) - lit(2L) * Vectors.dotQN(qx, qc)
 
   /** PQ assignment: per vector and subspace, the code of the nearest
-    * codebook entry (integer L2, ties to the smaller code). One broadcast
-    * join against the m·ksub codebook and one (id, m)-keyed partial
-    * aggregate — the n·m·ksub candidate rows combine map-side, so the
-    * shuffle carries n·m rows. Output: (id, codes array<int>, ordered by
-    * subspace) — the compressed representation.
+    * codebook entry (integer L2, ties to the smaller code), computed as
+    * a PER-ROW argmin over the packed broadcast sub-codebook
+    * ([[graft.functions.NearestCodeLong]]): n·m (id, subspace) rows in,
+    * n·m code values out — no n·m·ksub candidate explosion. The old
+    * min_by(code, struct(__d, code)) put a struct in the aggregate
+    * buffer, forcing SortAggregate over the exploded candidates (the
+    * exact cliff ivfAssignIds hit at sf100, SCALE.md r13); the integer
+    * argmin here is bit-equal by construction. Output: (id, codes
+    * array<int>, ordered by subspace) — the compressed representation.
     */
   def pqAssign(vecs: DataFrame, codebooks: DataFrame,
                idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
@@ -366,11 +383,20 @@ object Similarity {
         expr(s"(size(__qv) + ${m - 1}) div $m").as("__L"))
       .select(col(idCol), col("m"),
         slice(col("__qv"), col("m") * col("__L") + 1, col("__L")).as("qx"))
+    // m rows, each holding its whole sub-codebook sorted by code
+    // (ascending iteration = min-code tie-break), with ||c||² precomputed
+    val packed = codebooks
+      .select(col("m"), struct(
+        col("code").cast("long").as("code"), col("qc"),
+        Vectors.dotQ(col("qc"), col("qc")).as("qcself")).as("__e"))
+      .groupBy("m")
+      .agg(sort_array(collect_list(col("__e"))).as("__codes"))
     sub
-      .join(broadcast(codebooks), Seq("m"))
-      .withColumn("__d", pqDist(col("qx"), col("qc")))
-      .groupBy(col(idCol), col("m"))
-      .agg(min_by(col("code"), struct(col("__d"), col("code"))).as("code"))
+      .join(broadcast(packed), Seq("m"))
+      .select(col(idCol), col("m"),
+        call_function(graft.functions.GraftFunctions.nearestCodeName,
+          col("qx"), col("__codes")).cast("int").as("code"))
+      .where(col("code") >= 0)
       .groupBy(idCol)
       .agg(transform(
         sort_array(collect_list(struct(col("m"), col("code")))),

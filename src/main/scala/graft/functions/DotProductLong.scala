@@ -78,6 +78,8 @@ object GraftFunctions {
   val figiValidName = "graft_figi_valid"
   val textStatsName = "graft_text_stats"
   val pushdownBarrierName = "graft_pushdown_barrier"
+  val nearestCentroidName = "graft_nearest_centroid"
+  val nearestCodeName = "graft_nearest_code"
 
   /** Distributed Bloom-filter build over xxhash64 of the argument —
     * Spark's own `BloomFilterAggregate` (the engine uses it for runtime
@@ -140,6 +142,12 @@ object GraftFunctions {
     registry.createOrReplaceTempFunction(
       pushdownBarrierName,
       (args: Seq[Expression]) => PushdownBarrier(args(0)), "built-in")
+    registry.createOrReplaceTempFunction(
+      nearestCentroidName,
+      (args: Seq[Expression]) => NearestCentroidLong(args(0), args(1)), "built-in")
+    registry.createOrReplaceTempFunction(
+      nearestCodeName,
+      (args: Seq[Expression]) => NearestCodeLong(args(0), args(1)), "built-in")
     warmUpOnce()
   }
 
