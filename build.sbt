@@ -11,6 +11,17 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Every BENCH_r* capture to date has "parsed": null because sbt's logger
+// prefixes the forked program's stdout with "[info] " and appends a
+// "[success] Total time" line after it — the driver's tail parser never
+// sees a raw JSON line. StdoutOutput passes the forked JVM's stdout
+// through verbatim (no [info] prefix) and showSuccess drops the trailing
+// [success] line, so Bench's compact summary is the last line of output.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+Global / showSuccess := false
+// showSuccess is consumed by sbt's command layer, not a task — exclude
+// it from the unused-key lint
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

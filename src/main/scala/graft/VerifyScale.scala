@@ -130,15 +130,22 @@ object VerifyScale {
     * cheap scale twin of the sf0.01 hash oracle.
     */
   def checkDeterminism(mk: () => DataFrame): Either[String, String] = {
-    def sig(df: DataFrame): (Long, Long) = {
+    def sig(df: DataFrame): (Long, Long, String) = {
       val cols = df.columns.sorted.map(c => col(c).cast("string"))
+      val h = xxhash64(cols: _*)
+      // XOR alone cancels duplicate rows PAIRWISE (count + xor cannot
+      // tell {x,x,y} from {x,y,y} — ADVICE r13), so the signature also
+      // carries the order-independent SUM of hashes. decimal(38,0), not
+      // long: ANSI sum(long) over billions of full-range hashes would
+      // overflow-throw; the decimal sum is exact and deterministic.
       val r = df.agg(count(lit(1)).cast("long"),
-        coalesce(bit_xor(xxhash64(cols: _*)), lit(0L))).first()
-      (r.getLong(0), r.getLong(1))
+        coalesce(bit_xor(h), lit(0L)),
+        coalesce(sum(h.cast("decimal(38,0)")), lit(0).cast("decimal(38,0)"))).first()
+      (r.getLong(0), r.getLong(1), r.getDecimal(2).toPlainString)
     }
     val (a, b) = (sig(mk()), sig(mk()))
     if (a != b) Left(s"two executions disagree: $a vs $b")
-    else Right(s"stable n=${a._1} hash=${a._2}")
+    else Right(s"stable n=${a._1} xor=${a._2} sum=${a._3}")
   }
 
   /** Named checks over the live query surface at `dir`. */
@@ -150,8 +157,11 @@ object VerifyScale {
         checkQ1(q("q1_pricing_summary"),
           graft.core.Tables.load(spark, dir, "lineitem").count())),
       "a19_conservation" -> (() =>
+        // a19 drops null-ts rows (floor-alignment fix, ADVICE r13), so
+        // the conservation base is the non-null event count
         checkA19(q("a19_hopping_window"),
-          graft.core.Tables.load(spark, dir, "events").count())),
+          graft.core.Tables.load(spark, dir, "events")
+            .where(col("ts").isNotNull).count())),
       "d4_capped_bounds" -> (() => checkCosinePairs(q("d4_cosine_capped"), 0.3)),
       "d6_subset" -> (() =>
         checkSubset(q("d6_decontaminate"), docs().select("doc_id"), "doc_id")),

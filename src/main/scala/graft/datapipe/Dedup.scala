@@ -22,6 +22,12 @@ object Dedup {
   private[datapipe] val splitObsSeq =
     new java.util.concurrent.atomic.AtomicLong(0L)
 
+  /** Sequence for unique CollectMetrics names on the n-gram pair-budget
+    * signal (same rationale as [[splitObsSeq]]).
+    */
+  private[datapipe] val pairBudgetObsSeq =
+    new java.util.concurrent.atomic.AtomicLong(0L)
+
   /** Exact dedup by normalized-content hash: one group per distinct
     * content, canonical = min(id). Shuffles hashes + ids only (columns
     * pruned before the exchange).
@@ -212,7 +218,37 @@ object Dedup {
       docs: DataFrame, n: Int = 3, threshold: Double = 0.5,
       maxDocsPerShingle: Int = 1000,
       textCol: String = "text", idCol: String = "doc_id",
-      scope: Option[graft.core.FrontierScope] = None): DataFrame = {
+      scope: Option[graft.core.FrontierScope] = None): DataFrame =
+    ngramJaccardPairsWithSignal(docs, n, threshold, maxDocsPerShingle,
+      textCol, idCol, scope)._1
+
+  /** [[ngramJaccardPairs]] plus the NAME of its pair-budget observe, so
+    * a caller can read the signal without prefix-scanning metric names
+    * (ADVICE r13 on the cosine split signal — names are per-call unique
+    * because same-named CollectMetrics in one plan fail analysis).
+    *
+    * Routing signal (VERDICT r13 item 4): the exhaustive operator's
+    * intrinsic cost is Σ df·(df−1)/2 over posting lists — superlinear in
+    * duplicate DENSITY, not just corpus size (measured ×15.7 for 10×
+    * rows at sf10, SCALE.md). Nothing in the plan tells a caller when
+    * that envelope is left, so the postings stage carries a named
+    * observe with {candidate_pairs, capped_shingles, n_postings}
+    * readable via `Observation`/QueryExecutionListener after any action:
+    *  - candidate_pairs is the exact pair-scoring work this run did.
+    *    Threshold guidance: at candidate_pairs ≳ 50·|docs| the two-stage
+    *    route — [[minhashLshCandidates]] → [[jaccardVerifyCandidates]]
+    *    (d2b, Lee et al. 2022) — is strictly cheaper and was measured
+    *    ×7.4 vs this operator's ×15.7 at sf10; treat this operator as
+    *    the recall oracle, not the production path, past that line.
+    *  - capped_shingles > 0 means the df > maxDocsPerShingle stopword
+    *    cap dropped shingles, i.e. the result is the documented
+    *    cap-approximate variant, not the exhaustive one.
+    */
+  def ngramJaccardPairsWithSignal(
+      docs: DataFrame, n: Int = 3, threshold: Double = 0.5,
+      maxDocsPerShingle: Int = 1000,
+      textCol: String = "text", idCol: String = "doc_id",
+      scope: Option[graft.core.FrontierScope] = None): (DataFrame, String) = {
     // inverted-index WITHOUT a self-join: group postings per shingle and
     // emit ordered candidate pairs in-row. One evaluation of the shingle
     // expansion, two shuffles total (by shingle, then by pair); the
@@ -222,12 +258,25 @@ object Dedup {
       case Some(sc) => sc.frontier(df)
       case None => Materialize.frontier(df)
     }
+    val obsName = s"graft.ngram_pair_budget.${pairBudgetObsSeq.incrementAndGet()}"
+    val df = size(col("docs"))
     val postings = mat(shingleArrays(docs, n, textCol, idCol))
       // see shingles(): explode re-evaluates its input per output row
       .withColumn("set_size", size(col("shingles")))
       .select(col(idCol), col("set_size"), explode(col("shingles")).as("shingle"))
       .groupBy("shingle")
       .agg(sort_array(collect_list(struct(col(idCol).as("id"), col("set_size")))).as("docs"))
+      // the observe sits BETWEEN the aggregate and the cap filter so the
+      // metrics see every posting, including the ones the cap drops
+      // (DedupSpec pins that the filter does not push below it)
+      .observe(obsName,
+        // df(df−1) is even, so >>1 is the exact integer df-choose-2
+        // (Column./ is double division and would widen the sum)
+        sum(when(df.between(2, maxDocsPerShingle),
+          shiftright(df.cast("long") * (df.cast("long") - 1L), 1)).otherwise(0L))
+          .as("candidate_pairs"),
+        sum(when(df > maxDocsPerShingle, 1L).otherwise(0L)).as("capped_shingles"),
+        count(lit(1)).as("n_postings"))
       .where(size(col("docs")).between(2, maxDocsPerShingle))
     val pairArrays = postings.select(flatten(
       transform(col("docs"), (x, i) =>
@@ -250,7 +299,7 @@ object Dedup {
     // feeds two consumers (set_size + explode).
     val pairs = pairArrays
       .select(explode(col("pairs")).as("p")).select("p.*")
-    pairs
+    val out = pairs
       .groupBy("id_a", "id_b")
       .agg(count(lit(1)).as("n_common"),
         first(col("size_a")).as("size_a"), first(col("size_b")).as("size_b"))
@@ -261,6 +310,7 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("n_common"),
         col("size_a").cast("long").as("size_a"),
         col("size_b").cast("long").as("size_b"), col("jaccard"))
+    (out, obsName)
   }
 
   /** Exact Jaccard VERIFICATION of a candidate pair set — the second
@@ -729,18 +779,37 @@ object Dedup {
     * observe ("graft.cosine_bucket_splits.N") with {split_buckets,
     * n_buckets} — a QueryExecutionListener reads it after any action on
     * the result, and split_buckets == 0 certifies the output equals the
-    * uncapped operator's (pinned in DedupSpec).
+    * uncapped operator's (pinned in DedupSpec). Use
+    * [[embeddingCosinePairsWithSignal]] to get the generated name back
+    * instead of prefix-matching.
     */
   def embeddingCosinePairs(
       vecs: DataFrame, bucketCol: String, threshold: Double,
       idCol: String = "vec_id", vecCol: String = "embedding",
-      maxBucketSize: Int = 1024, srpPlanes: Int = 16): DataFrame = {
+      maxBucketSize: Int = 1024, srpPlanes: Int = 16): DataFrame =
+    embeddingCosinePairsWithSignal(vecs, bucketCol, threshold, idCol,
+      vecCol, maxBucketSize, srpPlanes)._1
+
+  /** [[embeddingCosinePairs]] plus the NAME of its split-signal observe
+    * (None when `maxBucketSize == Int.MaxValue` — the exhaustive form
+    * carries no observe). Callers were previously left prefix-matching
+    * "graft.cosine_bucket_splits." against metric names (ADVICE r13);
+    * the per-call unique suffix itself stays, because two capped pair
+    * scans in one plan with the same observe name fail analysis.
+    */
+  def embeddingCosinePairsWithSignal(
+      vecs: DataFrame, bucketCol: String, threshold: Double,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      maxBucketSize: Int = 1024, srpPlanes: Int = 16): (DataFrame, Option[String]) = {
     graft.functions.GraftFunctions.register(vecs.sparkSession)
     // norms computed once per vector (O(n)), not once per pair (O(n²))
     val base0 = Parallelism.widenForCpu(vecs).select(
       col(idCol), col(bucketCol).as("bucket"),
       Vectors.quantize(col(vecCol)).as("q"))
       .withColumn("nrm", sqrt(Vectors.dotQN(col("q"), col("q")).cast("double")))
+    val obsName =
+      if (maxBucketSize == Int.MaxValue) None
+      else Some(s"graft.cosine_bucket_splits.${Dedup.splitObsSeq.incrementAndGet()}")
     val base =
       if (maxBucketSize == Int.MaxValue) base0.withColumn("sub", lit(0L))
       else {
@@ -763,8 +832,7 @@ object Dedup {
         val sized = base0.groupBy("bucket")
           .agg(count(lit(1)).as("__cnt"))
           .select(col("bucket"), mask.as("__mask"))
-          .observe(
-            s"graft.cosine_bucket_splits.${Dedup.splitObsSeq.incrementAndGet()}",
+          .observe(obsName.get,
             sum(when(col("__mask") > 0, 1L).otherwise(0L)).as("split_buckets"),
             count(lit(1)).as("n_buckets"))
         // bucket-count side is dimension-scale (one row per bucket): AQE
@@ -779,12 +847,13 @@ object Dedup {
       col("q").as("qa"), col("nrm").as("na"))
     val b = base.select(col(idCol).as("id_b"), col("bucket"), col("sub"),
       col("q").as("qb"), col("nrm").as("nb"))
-    a.join(b, Seq("bucket", "sub"))
+    val out = a.join(b, Seq("bucket", "sub"))
       .where(col("id_a") < col("id_b"))
       .withColumn("cosine",
         Vectors.dotQN(col("qa"), col("qb")).cast("double") / (col("na") * col("nb")))
       .where(col("cosine") >= threshold)
       .select("id_a", "id_b", "cosine")
+    (out, obsName)
   }
 
   /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic

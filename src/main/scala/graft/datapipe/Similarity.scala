@@ -119,6 +119,16 @@ object Similarity {
     * array ([[graft.functions.NearestCentroidLong]]): n rows in, n rows
     * out, NO n×k intermediate and no aggregate at all.
     *
+    * Preconditions (ADVICE r13): embeddings must be NON-NULL — a null
+    * vector maps to the -1 sentinel and is silently dropped by the
+    * sentinel filter (the old max_by formulation emitted (id, null) for
+    * it); and centroid ids must be NON-NEGATIVE, since a legitimately
+    * negative id would be indistinguishable from the empty-centroid-set
+    * sentinel. Both hold for every in-repo caller (ids are
+    * row_number/monotonic-derived, embeddings come from the non-null
+    * `embeddings.embedding` column); [[pqAssign]] has the same contract
+    * for its codes.
+    *
     * History (r13, SCALE.md): the previous row-explosion form —
     * crossJoin(broadcast(centroids)) then groupBy(id).max_by(cid,
     * struct(cosine, -cid)) — put a struct in the aggregate buffer, which
@@ -371,6 +381,9 @@ object Similarity {
     * exact cliff ivfAssignIds hit at sf100, SCALE.md r13); the integer
     * argmin here is bit-equal by construction. Output: (id, codes
     * array<int>, ordered by subspace) — the compressed representation.
+    * Same preconditions as [[ivfAssignIds]]: non-null embeddings (a null
+    * sub-vector maps to the -1 sentinel and drops) and non-negative
+    * codebook codes (-1 is the empty-codebook sentinel).
     */
   def pqAssign(vecs: DataFrame, codebooks: DataFrame,
                idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {

@@ -35,9 +35,16 @@ case class NearestCentroidLong(left: Expression, right: Expression)
     extends BinaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    // the nested q_cent field matches ArrayType(LongType, _) like the
+    // outer arrays: == against ArrayType(LongType) would demand
+    // containsNull=true exactly, rejecting the array<bigint> a
+    // not-null-preserving transform produces even though eval handles it
     case (ArrayType(LongType, _), ArrayType(s: StructType, _))
         if s.length == 3 && s(0).dataType == LongType &&
-          s(1).dataType == ArrayType(LongType) && s(2).dataType == DoubleType =>
+          (s(1).dataType match {
+            case ArrayType(LongType, _) => true
+            case _ => false
+          }) && s(2).dataType == DoubleType =>
       TypeCheckResult.TypeCheckSuccess
     case (l, r) => TypeCheckResult.TypeCheckFailure(
       s"$prettyName requires (array<bigint>, array<struct<bigint, array<bigint>, double>>), " +
@@ -71,9 +78,14 @@ case class NearestCodeLong(left: Expression, right: Expression)
     extends BinaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    // see NearestCentroidLong: nested qc field must pattern-match on
+    // element type, not == (containsNull must stay free)
     case (ArrayType(LongType, _), ArrayType(s: StructType, _))
         if s.length == 3 && s(0).dataType == LongType &&
-          s(1).dataType == ArrayType(LongType) && s(2).dataType == LongType =>
+          (s(1).dataType match {
+            case ArrayType(LongType, _) => true
+            case _ => false
+          }) && s(2).dataType == LongType =>
       TypeCheckResult.TypeCheckSuccess
     case (l, r) => TypeCheckResult.TypeCheckFailure(
       s"$prettyName requires (array<bigint>, array<struct<bigint, array<bigint>, bigint>>), " +

@@ -811,6 +811,17 @@ object DataPipeQueries {
         .orderBy("media_id")
     }),
 
+    // The mapPartitions codec-contract twin of m1: decodeBatched computes
+    // the same deterministic values through the per-partition iterator
+    // the REAL codecs (decodeImages/imagePixelStats) run on, so this row
+    // pins the batch-path overhead vs the codegen stub at every scale
+    // factor — the contract's scale datapoint, not just spec coverage.
+    "m1b_multimodal_decode_batched" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      Multimodal.decodeBatched(Multimodal.fromText(docs(s, dir)))
+        .orderBy("media_id")
+    }),
+
     "m2_multimodal_features" -> ((s, dir) =>
       // char/length-arithmetic stub features: fully oracle-expressible
       Multimodal.featuresStub(Multimodal.fromText(docs(s, dir)))
@@ -2493,6 +2504,15 @@ object DataPipeQueries {
       """SELECT doc_id, md5(lower(trim(text))) AS fp_md5
         |FROM documents ORDER BY doc_id""".stripMargin,
     "m1_multimodal_decode" ->
+      """SELECT CAST(doc_id AS BIGINT) AS media_id,
+        |       CAST(64 + (ascii(substr(text, 1, 1)) & 63) AS BIGINT) AS width,
+        |       CAST(64 + (octet_length(CAST(text AS BLOB)) % 64) AS BIGINT) AS height,
+        |       'fake/rgb8' AS format,
+        |       CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes
+        |FROM documents ORDER BY media_id""".stripMargin,
+    // decodeBatched is the value-identical batch-contract twin of m1 —
+    // the oracle is the same SQL by construction
+    "m1b_multimodal_decode_batched" ->
       """SELECT CAST(doc_id AS BIGINT) AS media_id,
         |       CAST(64 + (ascii(substr(text, 1, 1)) & 63) AS BIGINT) AS width,
         |       CAST(64 + (octet_length(CAST(text AS BLOB)) % 64) AS BIGINT) AS height,

@@ -296,12 +296,18 @@ object RelQueries {
     // 15.2 s steady-state, SCALE.md r13). A 2-element long-array explode
     // plus (long, string) keys is the hashing-cheapest shape and the
     // identical result (for length = 2x slide the containing windows are
-    // exactly b and b - slide, b = ts_ns - ts_ns % slide).
+    // exactly b and b - slide, b = ts_ns - pmod(ts_ns, slide)). pmod, not
+    // %: Spark's remainder truncates toward zero, so a pre-epoch ts_ns
+    // would land in the window ABOVE it instead of the one containing it
+    // — pmod is the floor alignment TimeWindow used. Null ts_ns rows are
+    // filtered (TimeWindow's grouping dropped them; bare bucket math
+    // would keep them under a null key).
     "a19_hopping_window" -> ((s, dir) => {
       val slide = lit(300000000000L) // 5 minutes in ns
       Tables.events(s, dir)
+        .where(col("ts_ns").isNotNull)
         .select(col("event_type"), col("value").cast("decimal(18,4)").as("v"),
-          (col("ts_ns") - col("ts_ns") % slide).as("b"))
+          (col("ts_ns") - pmod(col("ts_ns"), slide)).as("b"))
         .select(col("event_type"), col("v"),
           explode(array(col("b"), col("b") - slide)).as("win_start_ns"))
         .groupBy("win_start_ns", "event_type")
@@ -538,11 +544,13 @@ object RelQueries {
     "a19_hopping_window" ->
       """WITH b AS (
         |  SELECT epoch_ns(ts) AS tn, event_type, CAST(value AS DECIMAL(18,4)) AS v
-        |  FROM events),
+        |  FROM events WHERE ts IS NOT NULL),
         |w AS (
-        |  SELECT tn - tn % 300000000000 AS ws, event_type, v FROM b
+        |  SELECT tn - ((tn % 300000000000) + 300000000000) % 300000000000 AS ws,
+        |         event_type, v FROM b
         |  UNION ALL
-        |  SELECT tn - tn % 300000000000 - 300000000000 AS ws, event_type, v FROM b)
+        |  SELECT tn - ((tn % 300000000000) + 300000000000) % 300000000000
+        |       - 300000000000 AS ws, event_type, v FROM b)
         |SELECT ws AS win_start_ns, event_type, count(*) AS n,
         |       CAST(sum(v) AS DOUBLE) AS sum_v
         |FROM w GROUP BY ws, event_type

@@ -93,4 +93,19 @@ class VerifyScaleSpec extends SparkSpec {
     val unstable = () => { i += 1; Seq((i.toLong, "a")).toDF("id", "v") }
     assert(VerifyScale.checkDeterminism(unstable).isLeft)
   }
+
+  test("determinism check trips on XOR-cancelling duplicate swaps (ADVICE r13)") {
+    val s = spark; import s.implicits._
+    // {a,a,b} vs {c,c,b}: equal counts, and the duplicated rows cancel
+    // PAIRWISE under bit_xor, so (count, xor) alone pass both multisets
+    // as identical — the sum-of-hashes component must catch the swap
+    var i = 0
+    val swapped = () => {
+      i += 1
+      (if (i == 1) Seq((1L, "a"), (1L, "a"), (2L, "b"))
+       else Seq((3L, "c"), (3L, "c"), (2L, "b"))).toDF("id", "v")
+    }
+    assert(VerifyScale.checkDeterminism(swapped).isLeft,
+      "equal-count duplicate swap must break the signature")
+  }
 }

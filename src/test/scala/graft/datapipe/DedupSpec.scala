@@ -34,6 +34,48 @@ class DedupSpec extends SparkSpec {
     assert(exact.getAs[Double]("jaccard") == 1.0)
   }
 
+  test("ngram pair-budget observe reports candidate work and cap drops (d2→d2b routing signal)") {
+    val s = spark; import s.implicits._
+    // engineered postings, cap = 2:
+    //   "c c c" in all 3 docs (df=3) -> DROPPED by the cap;
+    //   "c c a","c a a","a a a" shared by docs 1,2 (df=2) -> 1 pair each;
+    //   doc-unique shingles (df=1) -> no pairs
+    val d = Seq(
+      (1L, "c c c a a a"),
+      (2L, "c c c a a a"),
+      (3L, "c c c z z z")).toDF("doc_id", "text")
+    val (out, name) =
+      Dedup.ngramJaccardPairsWithSignal(d, n = 3, threshold = 0.5, maxDocsPerShingle = 2)
+    val rows = out.collect()
+    // result sanity: docs 1,2 share 3 kept shingles of 4 -> jaccard 0.6
+    assert(rows.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((1L, 2L)))
+    assert(rows.head.getAs[Double]("jaccard") == 0.6)
+    val m = out.queryExecution.observedMetrics.get(name)
+    assert(m.isDefined, s"plan must carry the observe under the returned name $name")
+    // candidate_pairs = Σ df(df−1)/2 over KEPT postings = 3·1 = 3;
+    // capped_shingles counts the dropped stopword shingle — which also
+    // pins that the cap filter does NOT push below the CollectMetrics
+    // node (pushed-down it would read 0); n_postings = 7 distinct shingles
+    assert(m.get.getAs[Long]("candidate_pairs") == 3L)
+    assert(m.get.getAs[Long]("capped_shingles") == 1L)
+    assert(m.get.getAs[Long]("n_postings") == 7L)
+  }
+
+  test("cosine pairs WithSignal returns the observe name (None when uncapped)") {
+    val s = spark; import s.implicits._
+    val vecs = Seq(
+      (1L, 0, Seq(1.0f, 0.0f)), (2L, 0, Seq(0.99f, 0.1f)),
+      (3L, 0, Seq(0.0f, 1.0f))).toDF("vec_id", "label", "embedding")
+    val (capped, nm) =
+      Dedup.embeddingCosinePairsWithSignal(vecs, "label", 0.9, maxBucketSize = 2)
+    assert(nm.exists(_.startsWith("graft.cosine_bucket_splits.")))
+    capped.collect()
+    assert(capped.queryExecution.observedMetrics.contains(nm.get))
+    val (_, none) = Dedup.embeddingCosinePairsWithSignal(
+      vecs, "label", 0.9, maxBucketSize = Int.MaxValue)
+    assert(none.isEmpty, "exhaustive form carries no lossy-mode signal")
+  }
+
   test("LSH-prefiltered Jaccard verify equals the exhaustive operator (d2b ≡ d2)") {
     val cand = Dedup.minhashLshCandidatesPortable(docs, k = 16, bands = 4)
     val verified = Dedup.jaccardVerifyCandidates(docs, cand, n = 3, threshold = 0.5)

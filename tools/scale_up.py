@@ -93,12 +93,23 @@ def main() -> None:
             continue
         name = f[: -len(".parquet")]
         src = pq.read_table(os.path.join(src_dir, f))
-        parts = [scale_table(name, src, k, c) for c in range(k)]
-        out = pa.concat_tables([p for p in parts if p is not None])
-        # preserve the SOURCE schema exactly (events keeps TIMESTAMP(NANOS))
-        pq.write_table(out.cast(src.schema), os.path.join(dst_dir, f),
-                       compression="zstd")
-        print(f"{name}: {src.num_rows} -> {out.num_rows}")
+        # Stream copy-by-copy through a ParquetWriter instead of
+        # concat-then-write: the output is byte-for-byte the same row
+        # order (copies 0..k-1 appended in order, one row group each),
+        # but peak memory is ONE copy, not k — which is what lets
+        # lineitem reach sf100 (600M rows) on this box.
+        out_rows = 0
+        writer = pq.ParquetWriter(os.path.join(dst_dir, f), src.schema,
+                                  compression="zstd")
+        for c in range(k):
+            part = scale_table(name, src, k, c)
+            if part is None:
+                continue
+            # preserve the SOURCE schema exactly (events keeps TIMESTAMP(NANOS))
+            writer.write_table(part.cast(src.schema))
+            out_rows += part.num_rows
+        writer.close()
+        print(f"{name}: {src.num_rows} -> {out_rows}", flush=True)
 
 
 if __name__ == "__main__":
