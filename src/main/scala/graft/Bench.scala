@@ -207,6 +207,14 @@ object Bench {
       "a19_hopping_window", "a1_resample_5m", "a1_resample_15m",
       "a1_resample_1h", "a1_resample_4h", "a2_resample_1d_market_open",
       "a3_partial_trade_count",
+      // r14 ProfQ attribution of the two ×12.6 sf10 ratios (VERDICT r13
+      // items 2-3): both are the same first-execution JIT-churn class,
+      // not superlinear CPU. d16 isolated at sf10: 105.7 / 31.9 / 22.4 s
+      // in one JVM (main stage task-CPU 2255 s cold → 317 s steady, a 7×
+      // pure-JIT inflation; steady sf1→sf10 = 3.1→22.4 s, sublinear).
+      // rep2 isolated: 5.1 / 4.6 / 4.5 s (the committed 22.8 s sweep
+      // number was cold sweep position; steady sf1→sf10 = 1.1→4.5 s).
+      "d16_winnow_fingerprints", "rep2_dup_ngram",
       // model-artifact parquet roundtrip (temp-dir write class)
       "t14b_dsir_fit_reuse")
     var extraRuns = Seq.empty[(String, Double)]
