@@ -215,6 +215,14 @@ object Bench {
       // rep2 isolated: 5.1 / 4.6 / 4.5 s (the committed 22.8 s sweep
       // number was cold sweep position; steady sf1→sf10 = 1.1→4.5 s).
       "d16_winnow_fingerprints", "rep2_dup_ngram",
+      // the r14 sf10 sweep's churn-valley victims (new positions after
+      // m1b/median-set changes): in-sweep one-shots of 15-29 s against
+      // ProfQ isolated steady states of 1.7-12 s (a18 2.1, a6 1.7, a8
+      // 2.4-18 swinging, f8 ~12, d9 3.5, g2 1.9 — SCALE.md r14). Same
+      // class, same treatment; d17 also gets the median since its
+      // winnowing input shares d16's cold profile.
+      "a6_availability_detail", "a8_bucketed_trend", "a18_approx_distinct",
+      "f8_math_pct_change", "d9_boilerplate_lines", "d17_winnow_matches",
       // model-artifact parquet roundtrip (temp-dir write class)
       "t14b_dsir_fit_reuse")
     var extraRuns = Seq.empty[(String, Double)]

@@ -47,27 +47,23 @@ object Winnowing {
                    portable: Boolean = false,
                    textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     require(k >= 1 && w >= 1, "k and w must be positive")
+    graft.functions.GraftFunctions.register(docs.sparkSession)
     val toks = TextAnalysis.tokens(col(textCol))
-    val zero = struct(lit(-1).cast("int").as("pos"),
-      lit(null).cast("long").as("h"))
     graft.core.Parallelism.widenForCpu(docs)
       .where(size(toks) >= k)
       .withColumn("__t", toks)
       .withColumn("__g", gramHashes(col("__t"), k, portable))
-      // window starts are 1-based slice offsets; rightmost min via a
-      // left-to-right fold with <= (later equal hash wins)
-      .withColumn("__w", transform(
-        sequence(lit(1), greatest(size(col("__g")) - w + 1, lit(1))), s =>
-          aggregate(slice(col("__g"), s, lit(w)), zero, (acc, g) =>
-            when(acc.getField("pos") < 0 || g.getField("h") <= acc.getField("h"), g)
-              .otherwise(acc))))
-      // dedup by ADJACENT inequality, not array_distinct: the rightmost-
-      // min position is monotone non-decreasing as the window slides, so
-      // equal selections are always consecutive — adjacent-dedup is exact
-      // and O(windows), where array_distinct on struct elements falls
-      // back to O(windows^2) pairwise comparison
-      .withColumn("__sel", filter(col("__w"), (x, i) =>
-        i === 0 || !(x === element_at(col("__w"), i))))
+      // window selection + adjacent dedup in ONE native O(grams) pass
+      // (graft.functions.WinnowSelect, monotonic deque): the previous
+      // declarative form — per window slice+aggregate fold, then an
+      // adjacent-inequality filter — was interpreted HOF evaluation with
+      // a per-window allocation, measured ~300 s task-CPU per execution
+      // at sf10 and executed twice under the deterministic ORDER BY
+      // (range-sort sampling pass + output pass; SCALE.md r14).
+      // WinnowingSpec pins native ≡ declarative selection on fixtures
+      // and a randomized corpus.
+      .withColumn("__sel", call_function(
+        graft.functions.GraftFunctions.winnowSelectName, col("__g"), lit(w)))
       // explode_OUTER: a plain explode makes Catalyst infer a
       // `size(__sel) > 0` filter and push it below the projections,
       // INLINING the whole nested winnowing expression into an
@@ -75,6 +71,32 @@ object Winnowing {
       // window and the token split per gram, turning the linear scan
       // quadratic (432 s -> ~3 s at sf0.1). The >= k token guard already
       // makes __sel non-empty, so outer semantics are identical here.
+      .select(col(idCol), explode_outer(col("__sel")).as("__fp"))
+      .select(col(idCol), col("__fp.pos").cast("long").as("pos"), col("__fp.h").as("fp"))
+  }
+
+  /** The replaced declarative selection, kept as the spec's parity
+    * oracle for [[graft.functions.WinnowSelect]] (see fingerprints()):
+    * per-window slice+fold rightmost-min, adjacent-inequality dedup.
+    */
+  private[datapipe] def fingerprintsDeclarative(
+      docs: DataFrame, k: Int = 4, w: Int = 4,
+      portable: Boolean = false,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val toks = TextAnalysis.tokens(col(textCol))
+    val zero = struct(lit(-1).cast("int").as("pos"),
+      lit(null).cast("long").as("h"))
+    graft.core.Parallelism.widenForCpu(docs)
+      .where(size(toks) >= k)
+      .withColumn("__t", toks)
+      .withColumn("__g", gramHashes(col("__t"), k, portable))
+      .withColumn("__w", transform(
+        sequence(lit(1), greatest(size(col("__g")) - w + 1, lit(1))), s =>
+          aggregate(slice(col("__g"), s, lit(w)), zero, (acc, g) =>
+            when(acc.getField("pos") < 0 || g.getField("h") <= acc.getField("h"), g)
+              .otherwise(acc))))
+      .withColumn("__sel", filter(col("__w"), (x, i) =>
+        i === 0 || !(x === element_at(col("__w"), i))))
       .select(col(idCol), explode_outer(col("__sel")).as("__fp"))
       .select(col(idCol), col("__fp.pos").cast("long").as("pos"), col("__fp.h").as("fp"))
   }

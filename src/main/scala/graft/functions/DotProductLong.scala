@@ -80,6 +80,7 @@ object GraftFunctions {
   val pushdownBarrierName = "graft_pushdown_barrier"
   val nearestCentroidName = "graft_nearest_centroid"
   val nearestCodeName = "graft_nearest_code"
+  val winnowSelectName = "graft_winnow_select"
 
   /** Distributed Bloom-filter build over xxhash64 of the argument —
     * Spark's own `BloomFilterAggregate` (the engine uses it for runtime
@@ -148,6 +149,9 @@ object GraftFunctions {
     registry.createOrReplaceTempFunction(
       nearestCodeName,
       (args: Seq[Expression]) => NearestCodeLong(args(0), args(1)), "built-in")
+    registry.createOrReplaceTempFunction(
+      winnowSelectName,
+      (args: Seq[Expression]) => WinnowSelect(args(0), args(1)), "built-in")
     warmUpOnce()
   }
 

@@ -59,6 +59,46 @@ class WinnowingSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("native WinnowSelect ≡ declarative fold selection (fixtures + randomized corpus)") {
+    val s = spark; import s.implicits._
+    def both(df: org.apache.spark.sql.DataFrame, k: Int, w: Int) = {
+      val a = Winnowing.fingerprints(df, k, w, portable = true)
+        .collect().map(_.toSeq).toSet
+      val b = Winnowing.fingerprintsDeclarative(df, k, w, portable = true)
+        .collect().map(_.toSeq).toSet
+      (a, b)
+    }
+    val (a1, b1) = both(docs, 4, 4)
+    assert(a1 == b1, "fixture parity")
+    // randomized corpus over a TINY vocabulary: repeated grams force
+    // equal hashes inside windows, exercising the rightmost-tie rule the
+    // deque's >= back-pop must reproduce exactly
+    val rnd = new scala.util.Random(7)
+    val vocab = Vector("a", "b", "c")
+    val randDocs = (1L to 60L).map { id =>
+      (id, Seq.fill(2 + rnd.nextInt(30))(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }.toDF("doc_id", "text")
+    for ((k, w) <- Seq((2, 3), (3, 1), (1, 4), (4, 6))) {
+      val (a, b) = both(randDocs, k, w)
+      assert(a == b, s"randomized parity failed at k=$k w=$w")
+    }
+  }
+
+  test("WinnowSelect unit semantics: rightmost tie, short array, dedup") {
+    import graft.functions.WinnowSelect.selectRows
+    // [3,5,3] w=3: one window, rightmost 3 (pos 2) wins the tie
+    assert(selectRows(Seq((0, 3L), (1, 5L), (2, 3L)), 3) == Seq((2, 3L)))
+    // fewer grams than w: single window over the whole array
+    assert(selectRows(Seq((0, 9L), (1, 2L)), 5) == Seq((1, 2L)))
+    // sliding: [5,3,5,1] w=2 -> windows select 3,3,1 -> dedup to 3,1
+    assert(selectRows(Seq((0, 5L), (1, 3L), (2, 5L), (3, 1L)), 2) ==
+      Seq((1, 3L), (3, 1L)))
+    // all-equal hashes: every window selects its rightmost element
+    assert(selectRows(Seq((0, 7L), (1, 7L), (2, 7L)), 2) ==
+      Seq((1, 7L), (2, 7L)))
+    assert(selectRows(Seq.empty, 3) == Seq.empty)
+  }
+
   test("matches: shared-run pair surfaces, unrelated pairs do not") {
     val m = Winnowing.matches(docs, k = 4, w = 4, minShared = 2, portable = true)
       .collect()
