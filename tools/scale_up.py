@@ -98,17 +98,29 @@ def main() -> None:
         # order (copies 0..k-1 appended in order, one row group each),
         # but peak memory is ONE copy, not k — which is what lets
         # lineitem reach sf100 (600M rows) on this box.
+        # Write to a temp name and rename on success: a mid-run failure
+        # (e.g. OOM at sf100) must not leave a truncated footer-less file
+        # where a later bench run expects a complete table — the old
+        # concat-then-write failure mode left no output file at all, and
+        # this preserves that property.
         out_rows = 0
-        writer = pq.ParquetWriter(os.path.join(dst_dir, f), src.schema,
-                                  compression="zstd")
-        for c in range(k):
-            part = scale_table(name, src, k, c)
-            if part is None:
-                continue
-            # preserve the SOURCE schema exactly (events keeps TIMESTAMP(NANOS))
-            writer.write_table(part.cast(src.schema))
-            out_rows += part.num_rows
-        writer.close()
+        dst = os.path.join(dst_dir, f)
+        tmp = dst + ".tmp"
+        writer = pq.ParquetWriter(tmp, src.schema, compression="zstd")
+        try:
+            for c in range(k):
+                part = scale_table(name, src, k, c)
+                if part is None:
+                    continue
+                # preserve the SOURCE schema exactly (events keeps TIMESTAMP(NANOS))
+                writer.write_table(part.cast(src.schema))
+                out_rows += part.num_rows
+            writer.close()
+        except BaseException:
+            writer.close()
+            os.unlink(tmp)
+            raise
+        os.replace(tmp, dst)
         print(f"{name}: {src.num_rows} -> {out_rows}", flush=True)
 
 
