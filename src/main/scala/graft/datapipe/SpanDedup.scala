@@ -48,20 +48,30 @@ object SpanDedup {
   private def occKey(idCol: String): Column = col(idCol) * PosStride + col("pos")
 
   /** K-gram occurrence postings: (gram_h, id, pos) with pos the 0-based
-    * token index of the gram start. The token array is bound as an
-    * attribute before the transform lambda (the HOF re-eval trap);
-    * per-gram work is the O(k) slice+hash.
+    * token index of the gram start. Gram hashing is the native
+    * [[graft.functions.GramHashes]] pass — each token hashed once, k
+    * consecutive token hashes combined, zero gram-string allocation; the
+    * replaced `transform(sequence(...), i -> xxhash64(array_join(slice)))`
+    * was interpreted HOF evaluation building a string per gram (VERDICT
+    * r14 item 4; the hash never reaches the output, so the grouping
+    * contract is unchanged).
     */
   def kgramOccurrences(docs: DataFrame, k: Int,
                        textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     require(k >= 2, "k must be >= 2")
+    graft.functions.GraftFunctions.register(docs.sparkSession)
     val t = col("__toks")
     graft.core.Parallelism.widenForCpu(docs)
       .select(col(idCol), TextAnalysis.tokens(col(textCol)).as("__toks"))
-      .where(size(t) >= k) // sequence(0, negative) DESCENDS, never emit it
+      .where(size(t) >= k) // short docs have no grams; prune before explode
+      // posexplode_OUTER: a plain posexplode lets Catalyst infer a
+      // `size(...) > 0` filter below the projection, re-evaluating the
+      // gram-hash expression once more per row in an interpreted Filter
+      // (the Winnowing lesson); the >= k guard already makes the array
+      // non-empty, so outer semantics are identical here
       .select(col(idCol),
-        posexplode(transform(sequence(lit(0), size(t) - k),
-          i => xxhash64(array_join(slice(t, i + 1, lit(k)), " ")))).as(Seq("pos", "gram_h")))
+        posexplode_outer(call_function(graft.functions.GraftFunctions.gramHashesName,
+          t, lit(k), lit(0L))).as(Seq("pos", "gram_h")))
   }
 
   /** Occurrences to remove: every posting of a corpus-duplicated gram

@@ -171,19 +171,24 @@ object TextAnalysis {
     * expression — referencing `tokens(text)` inside the transform
     * re-tokenizes once per n-gram element, O(tokens²) per document (the
     * langId lesson; measured 648 s vs ~3 s for the sf1 corpus).
+    *
+    * The n-gram multiset is HASHED ([[graft.functions.GramHashes]], one
+    * native pass, no gram-string allocation): distinct-over-64-bit-
+    * fingerprints equals distinct-over-gram-strings absent an
+    * in-document collision (~grams²/2⁶⁵ per doc, ~1e-14 at 1k-gram
+    * docs — the accepted-collision contract of every hashed-fingerprint
+    * operator here), so the string-built oracle stays exact.
     */
   def withDupNgramRatio(docs: DataFrame, n: Int = 5,
                         textCol: String = "text"): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
     val t = col("__toks")
     // the n-gram array is ALSO bound (`__ng`): the ratio references it
-    // twice (distinct size / total size), and an inline transform would
-    // build it twice per row. The < n guard lives inside the binding —
-    // sequence(0, negative) descends and element_at(_, 0) throws under
-    // ANSI, so short docs must short-circuit to an empty array.
-    val ng = when(size(t) >= n,
-        transform(sequence(lit(0), size(t) - n),
-          i => concat_ws(" ", (0 until n).map(k => element_at(t, i + k + 1)): _*)))
-      .otherwise(array().cast("array<string>"))
+    // twice (distinct size / total size), and an inline call would
+    // build it twice per row. GramHashes returns empty for < n tokens,
+    // short-circuiting short docs to ratio 0.0 below.
+    val ng = call_function(graft.functions.GraftFunctions.gramHashesName,
+      t, lit(n), lit(0L))
     graft.core.Parallelism.widenForCpu(docs)
       .withColumn("__toks", tokens(col(textCol)))
       .withColumn("__ng", ng)

@@ -22,21 +22,26 @@ import org.apache.spark.sql.functions._
   */
 object Winnowing {
 
-  /** Per-position k-gram hashes as array<struct<pos int, h long>>.
-    * Production hash is xxhash64 over the space-joined gram; `portable`
-    * swaps the md5 24-bit-prefix twin so the DuckDB oracle reproduces
-    * the winnowing selection bit-for-bit (within-document 24-bit
-    * collisions are negligible at document gram counts; the production
-    * path keeps the full 64 bits).
+  /** Per-position k-gram hashes. The production path (portable=false)
+    * is the native [[graft.functions.GramHashes]] pass — one xxhash64
+    * per TOKEN plus a k-term polynomial combine per gram, no gram-string
+    * materialization, array<long> (position = index; WinnowSelect
+    * accepts it directly). `portable` keeps the md5 24-bit-prefix twin
+    * over the space-joined gram string — the contract the DuckDB oracle
+    * reproduces bit-for-bit — as array<struct<pos,h>> (within-document
+    * 24-bit collisions are negligible at document gram counts; the
+    * production path keeps the full 64 bits).
     */
   private def gramHashes(toks: Column, k: Int, portable: Boolean): Column =
-    transform(sequence(lit(1), greatest(size(toks) - k + 1, lit(1))), i => {
-      val gram = array_join(slice(toks, i, lit(k)), " ")
-      val h =
-        if (portable) conv(substring(md5(gram), 1, 6), 16, 10).cast("long")
-        else xxhash64(gram)
-      struct((i - 1).cast("int").as("pos"), h.as("h"))
-    })
+    if (!portable)
+      call_function(graft.functions.GraftFunctions.gramHashesName,
+        toks, lit(k), lit(0L))
+    else
+      transform(sequence(lit(1), greatest(size(toks) - k + 1, lit(1))), i => {
+        val gram = array_join(slice(toks, i, lit(k)), " ")
+        val h = conv(substring(md5(gram), 1, 6), 16, 10).cast("long")
+        struct((i - 1).cast("int").as("pos"), h.as("h"))
+      })
 
   /** Winnowed fingerprints: one output row per selected gram —
     * (idCol, pos, fp). Documents with fewer than `k` tokens produce no
@@ -83,13 +88,20 @@ object Winnowing {
       docs: DataFrame, k: Int = 4, w: Int = 4,
       portable: Boolean = false,
       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
     val toks = TextAnalysis.tokens(col(textCol))
     val zero = struct(lit(-1).cast("int").as("pos"),
       lit(null).cast("long").as("h"))
+    // production gram hashes arrive as array<long> (see gramHashes);
+    // the declarative fold below wants the (pos, h) struct shape — wrap
+    // so the twin pins SELECTION parity on identical hash values
+    def asStructs(g: Column): Column =
+      if (portable) g
+      else transform(g, (h, i) => struct(i.cast("int").as("pos"), h.as("h")))
     graft.core.Parallelism.widenForCpu(docs)
       .where(size(toks) >= k)
       .withColumn("__t", toks)
-      .withColumn("__g", gramHashes(col("__t"), k, portable))
+      .withColumn("__g", asStructs(gramHashes(col("__t"), k, portable)))
       .withColumn("__w", transform(
         sequence(lit(1), greatest(size(col("__g")) - w + 1, lit(1))), s =>
           aggregate(slice(col("__g"), s, lit(w)), zero, (acc, g) =>

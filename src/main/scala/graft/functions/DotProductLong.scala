@@ -81,6 +81,7 @@ object GraftFunctions {
   val nearestCentroidName = "graft_nearest_centroid"
   val nearestCodeName = "graft_nearest_code"
   val winnowSelectName = "graft_winnow_select"
+  val gramHashesName = "graft_gram_hashes"
 
   /** Distributed Bloom-filter build over xxhash64 of the argument —
     * Spark's own `BloomFilterAggregate` (the engine uses it for runtime
@@ -152,6 +153,9 @@ object GraftFunctions {
     registry.createOrReplaceTempFunction(
       winnowSelectName,
       (args: Seq[Expression]) => WinnowSelect(args(0), args(1)), "built-in")
+    registry.createOrReplaceTempFunction(
+      gramHashesName,
+      (args: Seq[Expression]) => GramHashes(args(0), args(1), args(2)), "built-in")
     warmUpOnce()
   }
 

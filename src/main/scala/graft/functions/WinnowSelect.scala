@@ -46,26 +46,45 @@ import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType, S
 case class WinnowSelect(left: Expression, right: Expression)
     extends BinaryExpression {
 
+  private def longInput: Boolean = left.dataType match {
+    case ArrayType(LongType, _) => true
+    case _ => false
+  }
+
   override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
     case (ArrayType(s: StructType, _), IntegerType)
         if s.length == 2 && s(0).dataType == IntegerType && s(1).dataType == LongType =>
       if (right.foldable) TypeCheckResult.TypeCheckSuccess
       else TypeCheckResult.TypeCheckFailure(s"$prettyName window size must be foldable")
+    // bare hash array (the native GramHashes output): pos = element index
+    case (ArrayType(LongType, _), IntegerType) =>
+      if (right.foldable) TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure(s"$prettyName window size must be foldable")
     case (l, r) => TypeCheckResult.TypeCheckFailure(
-      s"$prettyName requires (array<struct<int, bigint>>, int), " +
+      s"$prettyName requires (array<struct<int, bigint>> or array<bigint>, int), " +
         s"got ${l.simpleString} and ${r.simpleString}")
   }
 
-  // element type (names, nullability) passes through unchanged
-  override def dataType: DataType = left.dataType
+  // struct input: element type (names, nullability) passes through
+  // unchanged; long input: the canonical (pos, h) struct is synthesized
+  override def dataType: DataType =
+    if (longInput)
+      ArrayType(new StructType()
+        .add("pos", IntegerType, nullable = false)
+        .add("h", LongType, nullable = false), containsNull = false)
+    else left.dataType
   override def prettyName: String = "graft_winnow_select"
 
   override protected def nullSafeEval(g: Any, w: Any): Any =
-    WinnowSelect.select(g.asInstanceOf[ArrayData], w.asInstanceOf[Int])
+    if (longInput)
+      WinnowSelect.selectLongs(g.asInstanceOf[ArrayData], w.asInstanceOf[Int])
+    else WinnowSelect.select(g.asInstanceOf[ArrayData], w.asInstanceOf[Int])
 
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val method = if (longInput) "selectLongs" else "select"
     nullSafeCodeGen(ctx, ev, (g, w) =>
-      s"${ev.value} = graft.functions.WinnowSelect.select($g, $w);")
+      s"${ev.value} = graft.functions.WinnowSelect.$method($g, $w);")
+  }
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): WinnowSelect =
@@ -98,8 +117,10 @@ object WinnowSelect {
     val dq = new Array[Int](n)
     var head = 0
     var tail = 0
+    // deque invariant: only ok indices are ever pushed, h strictly
+    // increasing front to back (the >= back-pop enforces it)
     def push(e: Int): Unit = if (ok(e)) {
-      while (tail > head && (!ok(dq(tail - 1)) || hs(dq(tail - 1)) >= hs(e))) tail -= 1
+      while (tail > head && hs(dq(tail - 1)) >= hs(e)) tail -= 1
       dq(tail) = e
       tail += 1
     }
@@ -120,6 +141,46 @@ object WinnowSelect {
     val nWindows = math.max(n - w + 1, 1)
     while (s < nWindows) {
       if (tail > head && dq(head) < s) head += 1 // evict left edge
+      push(s + w - 1)
+      emit()
+      s += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  /** The long-array variant (GramHashes input): position IS the element
+    * index, hashes are non-null by type. Same deque, same tie rule, same
+    * adjacent dedup — only the unpack differs.
+    */
+  def selectLongs(hashes: ArrayData, w: Int): ArrayData = {
+    val n = hashes.numElements()
+    if (n == 0 || w <= 0) return new GenericArrayData(Array.empty[Any])
+    val hs = hashes.toLongArray()
+    val dq = new Array[Int](n)
+    var head = 0
+    var tail = 0
+    def push(e: Int): Unit = {
+      while (tail > head && hs(dq(tail - 1)) >= hs(e)) tail -= 1
+      dq(tail) = e
+      tail += 1
+    }
+    val out = scala.collection.mutable.ArrayBuffer.empty[Any]
+    var lastSel = -1
+    def emit(): Unit = {
+      val sel = dq(head)
+      if (sel != lastSel) {
+        out += new GenericInternalRow(Array[Any](sel, hs(sel)))
+        lastSel = sel
+      }
+    }
+    val firstEnd = math.min(w, n)
+    var i = 0
+    while (i < firstEnd) { push(i); i += 1 }
+    emit()
+    var s = 1
+    val nWindows = math.max(n - w + 1, 1)
+    while (s < nWindows) {
+      if (dq(head) < s) head += 1 // evict left edge
       push(s + w - 1)
       emit()
       s += 1

@@ -61,15 +61,21 @@ class WinnowingSpec extends SparkSpec {
 
   test("native WinnowSelect ≡ declarative fold selection (fixtures + randomized corpus)") {
     val s = spark; import s.implicits._
-    def both(df: org.apache.spark.sql.DataFrame, k: Int, w: Int) = {
-      val a = Winnowing.fingerprints(df, k, w, portable = true)
+    // portable=true pins the md5-struct input path; portable=false pins
+    // the native GramHashes array<long> input path (same hash values in
+    // both arms by construction — the declarative twin wraps the same
+    // native gram hashes into structs), so the parity is about SELECTION
+    def both(df: org.apache.spark.sql.DataFrame, k: Int, w: Int, portable: Boolean) = {
+      val a = Winnowing.fingerprints(df, k, w, portable)
         .collect().map(_.toSeq).toSet
-      val b = Winnowing.fingerprintsDeclarative(df, k, w, portable = true)
+      val b = Winnowing.fingerprintsDeclarative(df, k, w, portable)
         .collect().map(_.toSeq).toSet
       (a, b)
     }
-    val (a1, b1) = both(docs, 4, 4)
-    assert(a1 == b1, "fixture parity")
+    for (portable <- Seq(true, false)) {
+      val (a1, b1) = both(docs, 4, 4, portable)
+      assert(a1 == b1, s"fixture parity (portable=$portable)")
+    }
     // randomized corpus over a TINY vocabulary: repeated grams force
     // equal hashes inside windows, exercising the rightmost-tie rule the
     // deque's >= back-pop must reproduce exactly
@@ -78,9 +84,9 @@ class WinnowingSpec extends SparkSpec {
     val randDocs = (1L to 60L).map { id =>
       (id, Seq.fill(2 + rnd.nextInt(30))(vocab(rnd.nextInt(vocab.size))).mkString(" "))
     }.toDF("doc_id", "text")
-    for ((k, w) <- Seq((2, 3), (3, 1), (1, 4), (4, 6))) {
-      val (a, b) = both(randDocs, k, w)
-      assert(a == b, s"randomized parity failed at k=$k w=$w")
+    for ((k, w) <- Seq((2, 3), (3, 1), (1, 4), (4, 6)); portable <- Seq(true, false)) {
+      val (a, b) = both(randDocs, k, w, portable)
+      assert(a == b, s"randomized parity failed at k=$k w=$w portable=$portable")
     }
   }
 

@@ -58,6 +58,22 @@ class NativeCodegenSpec extends SparkSpec {
           col("t"), lit(0L), lit(64)).as("b"))
         .as[Seq[Long]].head()
       assert(fb.nonEmpty && fb.forall(b => b >= 0 && b < 64))
+
+      // graft_gram_hashes (GramHashes) feeding graft_winnow_select's
+      // array<long> input path — the production winnowing pipeline shape
+      val sel = Seq(Tuple1(Seq("a", "b", "c", "d", "e", "f"))).toDF("t")
+        .select(call_function(GraftFunctions.winnowSelectName,
+          call_function(GraftFunctions.gramHashesName,
+            col("t"), lit(2), lit(0L)), lit(3)).as("s"))
+        .select(explode(col("s")).as("fp"))
+        .select(col("fp.pos"), col("fp.h"))
+        .collect()
+      assert(sel.nonEmpty && sel.forall(_.getInt(0) >= 0))
+      val gh = Seq(Tuple1(Seq("a", "b", "c"))).toDF("t")
+        .select(call_function(GraftFunctions.gramHashesName,
+          col("t"), lit(2), lit(0L)).as("g"))
+        .as[Seq[Long]].head()
+      assert(gh == GramHashes.reference(Seq("a", "b", "c"), 2, 0L))
     }
   }
 }
