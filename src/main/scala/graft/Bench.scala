@@ -138,93 +138,25 @@ object Bench {
           1704202200000000000L, 390), "bench-day")
       }
 
-    // Rows whose single measurements are untrustworthy get median-of-3
-    // (per-run values kept in the "runs" object):
-    //  - the two fixed-centroid comparability rows: 8M-row broadcast-NL
-    //    intermediates swing 2-4x on identical data (12-56 s at sf1);
-    //  - every row that performs real filesystem writes (temp-dir
-    //    roundtrips, streaming checkpoints, frontier-backed multi-stage
-    //    pipelines): one-shot timings of these swung 4-5x between driver
-    //    runs (s9_report_roundtrip 13.2 s at sf0.1 vs 2.7 s at sf1 on 10x
-    //    the data) — the same noise class that cost a round of
-    //    investigation on pipeline_day_50sym;
-    //  - the two deliberately-skewed synthetic rows, flagged for the same
-    //    one-shot inversions in BENCH_r06.
-    val variance3 = Set(
-      "sim3_ivf_topk", "sim4_kmeans_iter",
-      // temp-dir write roundtrips
-      "s2_empty_view_fallback", "s3_write_roundtrip_idempotent",
-      "s5_pipeline_roundtrip", "s7_load_ohlcv_window",
-      "s8_scd_write_roundtrip", "s9_report_roundtrip",
-      "s12_metrics_roundtrip", "s12_metrics_dashboard",
-      "a11_storage_stats", "t2_streaming_resample", "t3_checkpoint_resume",
-      "t6_backfill_roundtrip", "t7_job_state_machine", "t9_prune_roundtrip",
-      "v2_post_ingest_verification", "agg_reaggregate", "o5_files_recent",
-      "o6_job_history", "p4_partition_pruned_scan", "stream_doc_curate",
-      "stream_neardup",
-      // frontier-backed multi-stage pipelines (scratch parquet writes)
-      "curate_pipeline", "curate_ruleset_pipeline",
-      "d12_dup_components", "d12_component_keep",
-      "g1_graph_rank", "g2_rank_keep",
-      // same artifact+contraction machinery as d12_component_keep (the
-      // split is one extra join + hash predicate on the same labels) and
-      // the same first-execution cliff: 2.02 s single-shot in the Bench
-      // harness vs 0.45-0.80 s for the identical plan once warm (r13
-      // ProfQ) — three rounds of chasing a <1.5 s bar on a one-shot
-      // number that measures JIT state, not the operator
-      "smp11_leakage_safe_split",
-      // one-shot position swing (3.4 s vs 8.4 s on unchanged code in
-      // back-to-back r9 sweeps) — same cold-position class as t14/t15
-      "d13_span_dedup",
-      // deliberately-skewed synthetic rows
-      "skew_salted_agg", "skew_salted_join",
-      // driver-side sketch build + broadcast probe: swung 42 s one-shot
-      // in r7 (constant-size sketch since fixed, but keep the median)
-      "d19_bloom_incremental_dedup",
-      // doc-query first-execution cliff (r8): t14 measured 37 s cold /
-      // 8.5 s warm and t15 swung 5x with unchanged code — one-shot
-      // position in the sweep decides which JVM/codegen state they pay.
-      // Median-of-3 separates the operator cost from the cold cliff; the
-      // DSIR model materialization fix shrinks the cold plan itself.
-      "t14_dsir_select", "t15_bpe_pair_counts", "t16_dsir_gumbel_sample",
-      // LM/classifier family + self-clustering dedup: swung 1.6-5.1 s
-      // across identical-code r10 sweeps (page-cache/position class, the
-      // broadcast vocab build pays first-touch) — same treatment
-      "t10_bigram_lm_score", "t11_crossentropy_select",
-      "t13_perplexity_buckets", "t13_perplexity_buckets_approx",
-      "d11_semantic_dedup",
-      // early-sweep JIT-churn valley (r13, profiled): rows at sweep
-      // positions ~5-15 pay a first-execution cliff while C2 digests the
-      // first wave of fresh generated classes — a19's first plan
-      // execution measured 13.9 s vs 1.5/3.6 s for runs 2/3 of the
-      // identical plan in one JVM (107-147 s task-CPU run1 vs ~15 s
-      // steady); r12's single-shot 55.7 s was this cliff, not the
-      // operator. Fixing a19 moved the valley onto its neighbors in the
-      // very next sweep (a1_resample_1h 38.1 s one-shot vs 3.3-4.2 s
-      // isolated; a3 10.6 vs 4.6) — so the whole early-position
-      // flagship family gets the median, not whichever row the valley
-      // lands on this round.
-      "a19_hopping_window", "a1_resample_5m", "a1_resample_15m",
-      "a1_resample_1h", "a1_resample_4h", "a2_resample_1d_market_open",
-      "a3_partial_trade_count",
-      // r14 ProfQ attribution of the two ×12.6 sf10 ratios (VERDICT r13
-      // items 2-3): both are the same first-execution JIT-churn class,
-      // not superlinear CPU. d16 isolated at sf10: 105.7 / 31.9 / 22.4 s
-      // in one JVM (main stage task-CPU 2255 s cold → 317 s steady, a 7×
-      // pure-JIT inflation; steady sf1→sf10 = 3.1→22.4 s, sublinear).
-      // rep2 isolated: 5.1 / 4.6 / 4.5 s (the committed 22.8 s sweep
-      // number was cold sweep position; steady sf1→sf10 = 1.1→4.5 s).
-      "d16_winnow_fingerprints", "rep2_dup_ngram",
-      // the r14 sf10 sweep's churn-valley victims (new positions after
-      // m1b/median-set changes): in-sweep one-shots of 15-29 s against
-      // ProfQ isolated steady states of 1.7-12 s (a18 2.1, a6 1.7, a8
-      // 2.4-18 swinging, f8 ~12, d9 3.5, g2 1.9 — SCALE.md r14). Same
-      // class, same treatment; d17 also gets the median since its
-      // winnowing input shares d16's cold profile.
-      "a6_availability_detail", "a8_bucketed_trend", "a18_approx_distinct",
-      "f8_math_pct_change", "d9_boilerplate_lines", "d17_winnow_matches",
-      // model-artifact parquet roundtrip (temp-dir write class)
-      "t14b_dsir_fit_reuse")
+    // Position-independent sweep protocol (r15, replacing the per-row
+    // variance3 allowlist that grew every round): EVERY query row is
+    // median-of-N (default 3, SPARK_GRAFT_RUNS=1 for quick rehearsals).
+    // Rationale: the JIT churn valley — C2 digesting the sweep's first
+    // waves of generated classes — lands a 3-30x first-execution cliff
+    // on whichever rows occupy early/post-change sweep positions, and
+    // the victims MOVE whenever the query set or median set changes
+    // (r12-r14: a19 -> a1 family -> q1/j4/lm_model_artifact). One-shot
+    // rows therefore measured sweep position, not operators. Per-row
+    // medians make each number the operator's steady in-sweep cost;
+    // per-run values stay in the "runs" object for drift diagnosis, and
+    // n_runs is recorded so artifacts are comparable across protocols.
+    val nRuns = sys.env.get("SPARK_GRAFT_RUNS")
+      .flatMap(_.toIntOption).filter(_ >= 1).getOrElse(3)
+    def medianN(f: => Unit): (Double, Seq[Double]) = {
+      val runs = Seq.fill(nRuns)(time(f))
+      val ok = runs.filter(_ >= 0).sorted
+      (if (ok.isEmpty) -1.0 else ok(ok.size / 2), runs)
+    }
     var extraRuns = Seq.empty[(String, Double)]
     // noop sink, not count(): count() lets Catalyst prune every unused
     // column, so a no-filter pure-projection query (fingerprints, line
@@ -238,11 +170,10 @@ object Bench {
     val queryTimes = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => wanted(name) }
       .map { case (name, fn) =>
-        if (variance3(name)) {
-          val (med, runs) = median3 { exec(fn(spark, sfDir)) }
+        val (med, runs) = medianN { exec(fn(spark, sfDir)) }
+        if (nRuns > 1)
           extraRuns ++= runs.zipWithIndex.map { case (v, i) => s"${name}_run${i + 1}" -> v }
-          name -> med
-        } else name -> time { exec(fn(spark, sfDir)) }
+        name -> med
       }
 
     // total counts each workload once (medians), keeping the headline
@@ -275,7 +206,7 @@ object Bench {
     val cpusJson = scala.util.Try(cpus.trim.toInt).map(_.toString)
       .getOrElse("\"" + cpus.replace("\"", "") + "\"")
     val env =
-      s""""heap_gb":${fmt(heapGb)},"cpus":$cpusJson,"n_failed":$nFailed"""
+      s""""heap_gb":${fmt(heapGb)},"cpus":$cpusJson,"n_failed":$nFailed,"n_runs":$nRuns"""
     val json =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${obj(all)},"runs":${obj(runDetail)},"sf":"$sfDir","n_queries":${all.length},$env}"""
     println(json)
