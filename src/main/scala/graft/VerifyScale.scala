@@ -93,7 +93,11 @@ object VerifyScale {
   def checkCurateCounts(out: DataFrame): Either[String, String] = {
     val rows = out.orderBy("stage").collect()
       .map(r => (r.getString(0), r.getLong(1)))
-    val stages = rows.filter(!_._1.startsWith("6_"))
+    // retention stages only: '6_' is an id-sum, 'rule:'/'signal:' rows
+    // are diagnostics (per-rule drops, pair-budget routing), not a
+    // monotone retention chain
+    val stages = rows.filter(r =>
+      r._1.headOption.exists(_.isDigit) && !r._1.startsWith("6_"))
     val bad = stages.sliding(2).collectFirst {
       case Array((s1, n1), (s2, n2)) if n2 > n1 =>
         s"$s2=$n2 exceeds $s1=$n1 (stages can only drop docs)"

@@ -128,15 +128,36 @@ object Curate {
     val afterExact = afterExactH.df
     // the pair frame lazily reads ngramJaccardPairs' internal postings /
     // pair-array frontiers; scope them and free as soon as afterNear (the
-    // only consumer) is materialized
+    // only consumer) is materialized. The pair-budget Observation rides
+    // the postings stage of that same execution (VERDICT r14 item 6):
+    // candidate_pairs is the exact pair-scoring work the near-dup stage
+    // did, surfaced in the stage report so a pipeline operator sees when
+    // the exhaustive d2 path leaves its envelope (candidate_pairs above
+    // the 50·|docs| budget line ⇒ route to the two-stage LSH+verify d2b).
     val pairScope = new graft.core.FrontierScope
-    val pairs = Dedup.ngramJaccardPairs(afterExact, cfg.ngramN,
+    val pairObs = new Observation(
+      "curate_pair_budget_" + java.util.UUID.randomUUID().toString.take(8))
+    val (pairs, _) = Dedup.ngramJaccardPairsWithSignal(afterExact, cfg.ngramN,
       cfg.jaccardThreshold, textCol = textCol, idCol = idCol,
-      scope = Some(pairScope))
+      scope = Some(pairScope), observation = Some(pairObs))
     val afterNearH =
       Materialize.frontierHandle(Dedup.nearDupKeep(afterExact, pairs, idCol))
     pairScope.close()
     val afterNear = afterNearH.df
+    // the materialization above executed the postings stage, so the
+    // observation has completed; .get returns without blocking. One
+    // documented blind spot: a ZERO-pair corpus lets AQE's
+    // empty-relation propagation prune the branch holding the
+    // CollectMetricsExec mid-execution, completing the observation with
+    // an EMPTY row — fall back to the direct aggregate exactly then
+    // (degenerate case, the postings stage was cheap).
+    val pairSig = pairObs.get
+    val (nCandidatePairs, nCappedShingles) =
+      if (pairSig.contains("candidate_pairs"))
+        (pairSig("candidate_pairs").asInstanceOf[Long],
+          pairSig("capped_shingles").asInstanceOf[Long])
+      else Dedup.pairBudgetSignal(afterExact, cfg.ngramN,
+        textCol = textCol, idCol = idCol)
 
     // annotate every remaining stage as a boolean column (pure map over the
     // frontier) so counts and the curated filter share one plan
@@ -247,7 +268,14 @@ object Curate {
         ("4_quality_floor", row.getAs[Long]("__quality")),
         ("5_repetition_cap", row.getAs[Long]("__rep"))) ++
       afterLm.map(_ => ("6_lm_floor", row.getAs[Long]("__lm"))).toSeq ++
-      ruleNames.map(r => (s"rule:$r", row.getAs[Long](r))))
+      ruleNames.map(r => (s"rule:$r", row.getAs[Long](r))) ++
+      // near-dup routing signal (exact work done + the 50·|docs| budget
+      // line it is judged against + the cap-approximation flag) — free,
+      // it rode the materialization the pipeline performed anyway
+      Seq(
+        ("signal:candidate_pairs", nCandidatePairs),
+        ("signal:capped_shingles", nCappedShingles),
+        ("signal:pair_budget", 50L * nExact)))
       .toDF("stage", "n_docs")
     // every count action has run; free the intermediates deterministically.
     // Result-backing frontiers (afterNear on the default path, afterLm on

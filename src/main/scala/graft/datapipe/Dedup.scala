@@ -248,7 +248,8 @@ object Dedup {
       docs: DataFrame, n: Int = 3, threshold: Double = 0.5,
       maxDocsPerShingle: Int = 1000,
       textCol: String = "text", idCol: String = "doc_id",
-      scope: Option[graft.core.FrontierScope] = None): (DataFrame, String) = {
+      scope: Option[graft.core.FrontierScope] = None,
+      observation: Option[org.apache.spark.sql.Observation] = None): (DataFrame, String) = {
     // inverted-index WITHOUT a self-join: group postings per shingle and
     // emit ordered candidate pairs in-row. One evaluation of the shingle
     // expansion, two shuffles total (by shingle, then by pair); the
@@ -258,26 +259,39 @@ object Dedup {
       case Some(sc) => sc.frontier(df)
       case None => Materialize.frontier(df)
     }
-    val obsName = s"graft.ngram_pair_budget.${pairBudgetObsSeq.incrementAndGet()}"
+    val obsName = observation.map(_.name).getOrElse(
+      s"graft.ngram_pair_budget.${pairBudgetObsSeq.incrementAndGet()}")
     val df = size(col("docs"))
-    val postings = mat(shingleArrays(docs, n, textCol, idCol))
+    // df(df−1) is even, so >>1 is the exact integer df-choose-2
+    // (Column./ is double division and would widen the sum). Both
+    // sums coalesce to 0: on an empty/all-short-doc corpus a bare
+    // sum yields NULL and a caller reading the routing signal would
+    // get null-valued metrics instead of zeros (the same coalesce
+    // discipline as VerifyScale.sig).
+    val sigMetrics = Seq(
+      coalesce(sum(when(df.between(2, maxDocsPerShingle),
+        shiftright(df.cast("long") * (df.cast("long") - 1L), 1)).otherwise(0L)),
+        lit(0L)).as("candidate_pairs"),
+      coalesce(sum(when(df > maxDocsPerShingle, 1L).otherwise(0L)), lit(0L))
+        .as("capped_shingles"),
+      count(lit(1)).as("n_postings"))
+    val grouped = mat(shingleArrays(docs, n, textCol, idCol))
       // see shingles(): explode re-evaluates its input per output row
       .withColumn("set_size", size(col("shingles")))
       .select(col(idCol), col("set_size"), explode(col("shingles")).as("shingle"))
       .groupBy("shingle")
       .agg(sort_array(collect_list(struct(col(idCol).as("id"), col("set_size")))).as("docs"))
-      // the observe sits BETWEEN the aggregate and the cap filter so the
-      // metrics see every posting, including the ones the cap drops
-      // (DedupSpec pins that the filter does not push below it)
-      .observe(obsName,
-        // df(df−1) is even, so >>1 is the exact integer df-choose-2
-        // (Column./ is double division and would widen the sum)
-        sum(when(df.between(2, maxDocsPerShingle),
-          shiftright(df.cast("long") * (df.cast("long") - 1L), 1)).otherwise(0L))
-          .as("candidate_pairs"),
-        sum(when(df > maxDocsPerShingle, 1L).otherwise(0L)).as("capped_shingles"),
-        count(lit(1)).as("n_postings"))
-      .where(size(col("docs")).between(2, maxDocsPerShingle))
+    // the observe sits BETWEEN the aggregate and the cap filter so the
+    // metrics see every posting, including the ones the cap drops
+    // (DedupSpec pins that the filter does not push below it). When the
+    // caller supplies an Observation, bind it (readable via .get after
+    // any action fires the plan — what Curate's stage report uses);
+    // otherwise keep the bare named observe readable from
+    // queryExecution.observedMetrics.
+    val postings = (observation match {
+      case Some(obs) => grouped.observe(obs, sigMetrics.head, sigMetrics.tail: _*)
+      case None => grouped.observe(obsName, sigMetrics.head, sigMetrics.tail: _*)
+    }).where(size(col("docs")).between(2, maxDocsPerShingle))
     val pairArrays = postings.select(flatten(
       transform(col("docs"), (x, i) =>
         transform(slice(col("docs"), i + 2, size(col("docs"))),
@@ -311,6 +325,37 @@ object Dedup {
         col("size_a").cast("long").as("size_a"),
         col("size_b").cast("long").as("size_b"), col("jaccard"))
     (out, obsName)
+  }
+
+  /** Direct (one extra job) computation of the pair-budget signal:
+    * (candidate_pairs, capped_shingles) over the same distinct-shingle
+    * postings [[ngramJaccardPairsWithSignal]]'s observe measures.
+    *
+    * Exists for the observe's one blind spot: when the pair pipeline's
+    * RESULT is empty (no shingle-sharing pair at all, or none surviving
+    * downstream joins), AQE's empty-relation propagation replaces the
+    * joined branch — including the CollectMetricsExec — mid-execution,
+    * the metrics never reach the listener, and the Observation completes
+    * with an EMPTY row (measured in CurateSpec: every zero-pair fixture).
+    * Callers fall back to this direct aggregate exactly then, i.e. only
+    * when the postings stage was degenerate-cheap anyway.
+    */
+  def pairBudgetSignal(docs: DataFrame, n: Int = 3,
+                       maxDocsPerShingle: Int = 1000,
+                       textCol: String = "text", idCol: String = "doc_id"): (Long, Long) = {
+    val sc = new graft.core.FrontierScope
+    try {
+      val df = col("df")
+      val r = sc.frontier(shingleArrays(docs, n, textCol, idCol))
+        .select(explode(col("shingles")).as("shingle"))
+        .groupBy("shingle").agg(count(lit(1)).as("df"))
+        .agg(
+          coalesce(sum(when(df.between(2, maxDocsPerShingle),
+            shiftright(df * (df - 1L), 1)).otherwise(0L)), lit(0L)),
+          coalesce(sum(when(df > maxDocsPerShingle, 1L).otherwise(0L)), lit(0L)))
+        .first()
+      (r.getLong(0), r.getLong(1))
+    } finally sc.close()
   }
 
   /** Exact Jaccard VERIFICATION of a candidate pair set — the second

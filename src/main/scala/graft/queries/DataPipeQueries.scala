@@ -1302,6 +1302,10 @@ object DataPipeQueries {
        |  CROSS JOIN LATERAL (SELECT unnest(generate_series(1, len(t) - 2)) AS i)
        |  WHERE len(t) >= 3),
        |csizes AS (SELECT doc_id, count(*) AS set_size FROM csh GROUP BY doc_id),
+       |csig AS (
+       |  SELECT coalesce(sum(CASE WHEN df BETWEEN 2 AND 1000 THEN (df*(df-1))//2 ELSE 0 END), 0) AS candidate_pairs,
+       |         coalesce(sum(CASE WHEN df > 1000 THEN 1 ELSE 0 END), 0) AS capped_shingles
+       |  FROM (SELECT shingle, count(*) AS df FROM csh GROUP BY shingle)),
        |cinter AS (
        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
        |  FROM csh a JOIN csh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
@@ -2136,7 +2140,10 @@ object DataPipeQueries {
          |  UNION ALL SELECT '3_lang_filter', count(*) FROM langed
          |  UNION ALL SELECT '4_quality_floor', count(*) FROM qual
          |  UNION ALL SELECT '5_repetition_cap', count(*) FROM crep
-         |  UNION ALL SELECT '6_curated_id_sum', coalesce(sum(doc_id), 0) FROM crep)
+         |  UNION ALL SELECT '6_curated_id_sum', coalesce(sum(doc_id), 0) FROM crep
+         |  UNION ALL SELECT 'signal:candidate_pairs', candidate_pairs FROM csig
+         |  UNION ALL SELECT 'signal:capped_shingles', capped_shingles FROM csig
+         |  UNION ALL SELECT 'signal:pair_budget', 50 * count(*) FROM exact)
          |ORDER BY stage""".stripMargin,
     "curate_ruleset_pipeline" -> {
       val perRuleRows = qualityRuleSql.map { case (name, pred) =>
@@ -2159,6 +2166,9 @@ object DataPipeQueries {
          |  UNION ALL SELECT '4_quality_floor', count(*) FROM pass
          |  UNION ALL SELECT '5_repetition_cap', count(*) FROM pass
          |  UNION ALL SELECT '6_curated_id_sum', coalesce(sum(doc_id), 0) FROM pass
+         |  UNION ALL SELECT 'signal:candidate_pairs', candidate_pairs FROM csig
+         |  UNION ALL SELECT 'signal:capped_shingles', capped_shingles FROM csig
+         |  UNION ALL SELECT 'signal:pair_budget', 50 * count(*) FROM exact
          |$perRuleRows)
          |ORDER BY stage""".stripMargin
     },

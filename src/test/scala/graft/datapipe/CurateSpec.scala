@@ -59,6 +59,56 @@ class CurateSpec extends SparkSpec {
     assert(curated.collect().map(_.getAs[Long]("doc_id")).toSet == Set(1L))
   }
 
+  test("pair-budget routing signal is surfaced in the stage report") {
+    val s = spark; import s.implicits._
+    val good = "the quick brown fox and the lazy dog of a house with many different words inside"
+    val docs = Seq(
+      (1L, good + " contact me at jane@corp.com today"),
+      (2L, good + " contact me at jane@corp.com today"),
+      (3L, good + " contact me at jane@corp.com now"),
+      (4L, "der hund und die katze und das haus und der garten und nicht mehr"),
+      (5L, "spam spam spam spam spam spam spam spam spam the"),
+      (6L, "the cat and the dog of a house walked to a park and found many things there")
+    ).toDF("doc_id", "text")
+    val (_, counts) = Curate.run(docs)
+    val c = counts.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // the budget line is 50·|post-exact-dedup docs| (the d2→d2b routing
+    // threshold documented on ngramJaccardPairsWithSignal)
+    assert(c("signal:pair_budget") == 50L * c("1_exact_dedup"))
+    assert(c("signal:capped_shingles") == 0L)
+    // candidate_pairs must equal the independent Σ df-choose-2 over the
+    // post-exact-dedup distinct-shingle postings (df ≤ default cap 1000)
+    val afterExact = Dedup.exactKeep(docs)
+    val expected = Dedup.shingles(afterExact, n = 3)
+      .groupBy("shingle").agg(count(lit(1)).as("df"))
+      .where(col("df") >= 2)
+      .agg(coalesce(sum(col("df") * (col("df") - 1) / 2), lit(0.0)))
+      .first().getDouble(0).toLong
+    assert(c("signal:candidate_pairs") == expected && expected > 0L)
+
+    // zero-pair corpus: AQE's empty-relation propagation prunes the
+    // branch carrying the observe (the Observation completes EMPTY) and
+    // the direct-aggregate fallback must supply the signal instead.
+    // Shared stopwords still produce shared shingles (candidate work)
+    // without any pair crossing the jaccard threshold.
+    val disjoint = Seq(
+      (1L, "the quick brown fox and the lazy dog of a house with many different words inside"),
+      (2L, "the garden path and the stone wall of a tower with seven ancient carved gates there"),
+      (3L, "the river bend and the misty hill of a valley with twelve golden autumn leaves falling")
+    ).toDF("doc_id", "text")
+    val (_, counts2) = Curate.run(disjoint)
+    val c2 = counts2.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(c2("2_near_dedup") == 3L, "fixture must produce zero pairs")
+    val expected2 = Dedup.shingles(disjoint, n = 3)
+      .groupBy("shingle").agg(count(lit(1)).as("df"))
+      .where(col("df") >= 2)
+      .agg(coalesce(sum(col("df") * (col("df") - 1) / 2), lit(0.0)))
+      .first().getDouble(0).toLong
+    assert(c2("signal:candidate_pairs") == expected2,
+      "fallback signal must equal the direct Σ df-choose-2")
+    assert(c2("signal:pair_budget") == 50L * c2("1_exact_dedup"))
+  }
+
   test("opt-in line stages: boilerplate stripped before dedup, empty docs drop") {
     val s = spark; import s.implicits._
     val good = "the quick brown fox and the lazy dog of a house with many different words inside"
