@@ -22,26 +22,33 @@ import org.apache.spark.sql.functions._
   */
 object Winnowing {
 
-  /** Per-position k-gram hashes. The production path (portable=false)
-    * is the native [[graft.functions.GramHashes]] pass — one xxhash64
-    * per TOKEN plus a k-term polynomial combine per gram, no gram-string
-    * materialization, array<long> (position = index; WinnowSelect
-    * accepts it directly). `portable` keeps the md5 24-bit-prefix twin
-    * over the space-joined gram string — the contract the DuckDB oracle
-    * reproduces bit-for-bit — as array<struct<pos,h>> (within-document
+  /** Per-position k-gram hashes, both families native and both as
+    * array<long> (position = index; WinnowSelect takes the bare stream).
+    * Production (portable=false) is [[graft.functions.GramHashes]] —
+    * one xxhash64 per TOKEN plus a k-term polynomial combine per gram.
+    * `portable` is [[graft.functions.Md5GramHashes]] — the md5
+    * 24-bit-prefix VALUES the DuckDB oracle reproduces bit-for-bit,
+    * computed by streaming token bytes into the digest instead of the
+    * replaced transform/array_join/md5/conv string chain (within-document
     * 24-bit collisions are negligible at document gram counts; the
     * production path keeps the full 64 bits).
     */
   private def gramHashes(toks: Column, k: Int, portable: Boolean): Column =
-    if (!portable)
+    if (portable)
+      call_function(graft.functions.GraftFunctions.md5GramHashesName,
+        toks, lit(k))
+    else
       call_function(graft.functions.GraftFunctions.gramHashesName,
         toks, lit(k), lit(0L))
-    else
-      transform(sequence(lit(1), greatest(size(toks) - k + 1, lit(1))), i => {
-        val gram = array_join(slice(toks, i, lit(k)), " ")
-        val h = conv(substring(md5(gram), 1, 6), 16, 10).cast("long")
-        struct((i - 1).cast("int").as("pos"), h.as("h"))
-      })
+
+  /** The replaced declarative portable gram hashing, kept as the spec's
+    * value oracle for [[graft.functions.Md5GramHashes]].
+    */
+  private[graft] def gramHashesMd5Declarative(toks: Column, k: Int): Column =
+    transform(sequence(lit(1), greatest(size(toks) - k + 1, lit(1))), i => {
+      val gram = array_join(slice(toks, i, lit(k)), " ")
+      conv(substring(md5(gram), 1, 6), 16, 10).cast("long")
+    })
 
   /** Winnowed fingerprints: one output row per selected gram —
     * (idCol, pos, fp). Documents with fewer than `k` tokens produce no
@@ -92,12 +99,11 @@ object Winnowing {
     val toks = TextAnalysis.tokens(col(textCol))
     val zero = struct(lit(-1).cast("int").as("pos"),
       lit(null).cast("long").as("h"))
-    // production gram hashes arrive as array<long> (see gramHashes);
-    // the declarative fold below wants the (pos, h) struct shape — wrap
-    // so the twin pins SELECTION parity on identical hash values
+    // gram hashes arrive as array<long> in both families (see
+    // gramHashes); the declarative fold below wants the (pos, h) struct
+    // shape — wrap so the twin pins SELECTION parity on identical values
     def asStructs(g: Column): Column =
-      if (portable) g
-      else transform(g, (h, i) => struct(i.cast("int").as("pos"), h.as("h")))
+      transform(g, (h, i) => struct(i.cast("int").as("pos"), h.as("h")))
     graft.core.Parallelism.widenForCpu(docs)
       .where(size(toks) >= k)
       .withColumn("__t", toks)

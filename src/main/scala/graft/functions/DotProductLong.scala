@@ -82,6 +82,7 @@ object GraftFunctions {
   val nearestCodeName = "graft_nearest_code"
   val winnowSelectName = "graft_winnow_select"
   val gramHashesName = "graft_gram_hashes"
+  val md5GramHashesName = "graft_md5_gram_hashes"
 
   /** Distributed Bloom-filter build over xxhash64 of the argument —
     * Spark's own `BloomFilterAggregate` (the engine uses it for runtime
@@ -156,6 +157,9 @@ object GraftFunctions {
     registry.createOrReplaceTempFunction(
       gramHashesName,
       (args: Seq[Expression]) => GramHashes(args(0), args(1), args(2)), "built-in")
+    registry.createOrReplaceTempFunction(
+      md5GramHashesName,
+      (args: Seq[Expression]) => Md5GramHashes(args(0), args(1)), "built-in")
     warmUpOnce()
   }
 
