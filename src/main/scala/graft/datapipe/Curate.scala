@@ -156,8 +156,15 @@ object Curate {
       if (pairSig.contains("candidate_pairs"))
         (pairSig("candidate_pairs").asInstanceOf[Long],
           pairSig("capped_shingles").asInstanceOf[Long])
-      else Dedup.pairBudgetSignal(afterExact, cfg.ngramN,
-        textCol = textCol, idCol = idCol)
+      else {
+        // operational visibility: the fallback re-shingles the corpus —
+        // a pipeline operator should know the stage report paid for it
+        org.slf4j.LoggerFactory.getLogger("graft.datapipe.Curate").warn(
+          "curate: pair-budget observe pruned (empty pair branch); " +
+            "recomputing signal directly")
+        Dedup.pairBudgetSignal(afterExact, cfg.ngramN,
+          textCol = textCol, idCol = idCol)
+      }
 
     // annotate every remaining stage as a boolean column (pure map over the
     // frontier) so counts and the curated filter share one plan
