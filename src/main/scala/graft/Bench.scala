@@ -78,6 +78,23 @@ object Bench {
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = false))
     }
+    // Heap settle between measured runs (r16, closing the per-JVM
+    // bimodality residual): the r15 sweep-agreement analysis isolated the
+    // last disagreement mechanism as cross-row heap/GC contamination —
+    // a row that runs right after a heap-heavy neighbor (d2b after d2)
+    // inherits a full old gen and pays that neighbor's collection inside
+    // its own measured window, and WHICH rows collide differs per JVM
+    // lifetime. A forced full GC plus a short pause after every run
+    // returns the heap to a common baseline so each measurement starts
+    // from the same allocator state. This runs in time()'s finally,
+    // AFTER the elapsed time is computed — the settle is never billed to
+    // any row. Cost: ~0.1-1 s per run of unbilled wall clock.
+    val gcSettleMs = sys.env.get("SPARK_GRAFT_GC_SETTLE_MS")
+      .flatMap(_.toLongOption).getOrElse(250L)
+    def settleHeap(): Unit = if (gcSettleMs > 0) {
+      System.gc()
+      Thread.sleep(gcSettleMs)
+    }
     def time(f: => Unit): Double = {
       val t0 = System.nanoTime()
       // a failed row must be VISIBLE (-1 in the artifact AND a stderr
@@ -101,7 +118,7 @@ object Bench {
           throw new IllegalStateException("bench sweep aborted: dead SparkContext", e)
         }
         -1.0
-      } finally if (!spark.sparkContext.isStopped) dropBlocks()
+      } finally if (!spark.sparkContext.isStopped) { dropBlocks(); settleHeap() }
     }
 
     // Pipeline workloads run FIRST (before the ~100-query sweep) and 3x
@@ -113,12 +130,16 @@ object Bench {
     // the artifact as _runN keys for drift diagnosis.
     // median over the SUCCESSFUL runs only (time() marks a failed run
     // -1.0): a failure must not drag the "median" down to the fastest
-    // success. No successes -> -1.0; failures stay visible in the runs map.
-    def median3(f: => Unit): (Double, Seq[Double]) = {
-      val runs = Seq.fill(3)(time(f))
+    // success. No successes -> -1.0; failures stay visible in the runs
+    // map. ONE definition shared by the pipeline rows (fixed 3 runs,
+    // the BASELINE.md comparison protocol) and the query sweep
+    // (SPARK_GRAFT_RUNS) so the median-over-successes rule cannot drift.
+    def medianOf(n: Int)(f: => Unit): (Double, Seq[Double]) = {
+      val runs = Seq.fill(n)(time(f))
       val ok = runs.filter(_ >= 0).sorted
       (if (ok.isEmpty) -1.0 else ok(ok.size / 2), runs)
     }
+    def median3(f: => Unit): (Double, Seq[Double]) = medianOf(3)(f)
     // BASELINE.md: ingest+aggregate 1 symbol x full trading year (<60s)
     val yearBars = 252 * 390
     val (pipeYear, pipeYearRuns) =
@@ -152,11 +173,7 @@ object Bench {
     // n_runs is recorded so artifacts are comparable across protocols.
     val nRuns = sys.env.get("SPARK_GRAFT_RUNS")
       .flatMap(_.toIntOption).filter(_ >= 1).getOrElse(3)
-    def medianN(f: => Unit): (Double, Seq[Double]) = {
-      val runs = Seq.fill(nRuns)(time(f))
-      val ok = runs.filter(_ >= 0).sorted
-      (if (ok.isEmpty) -1.0 else ok(ok.size / 2), runs)
-    }
+    def medianN(f: => Unit): (Double, Seq[Double]) = medianOf(nRuns)(f)
     var extraRuns = Seq.empty[(String, Double)]
     // noop sink, not count(): count() lets Catalyst prune every unused
     // column, so a no-filter pure-projection query (fingerprints, line

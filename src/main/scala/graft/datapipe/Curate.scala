@@ -46,7 +46,18 @@ object Curate {
       qualityRuleset: Option[QualityRules.Config] = None,
       dedupLinesWithinDoc: Boolean = false,
       boilerplateMinDocFreq: Option[Long] = None,
-      lmScoreFloorMicro: Option[Long] = None)
+      lmScoreFloorMicro: Option[Long] = None,
+      // opt-in near-dup auto-routing: measure the exhaustive operator's
+      // pair budget FIRST (one linear shingle+count job over the
+      // exact-dedup frontier) and take the two-stage LSH-propose +
+      // Jaccard-verify path (d2b, Lee et al. 2022) when candidate_pairs
+      // exceeds pairBudgetFactor·|docs| — the measured crossover where
+      // the exhaustive Σdf² posting cost leaves its envelope (SCALE.md:
+      // ×15.7 vs ×7.4 for 10× rows at sf10). Default off: the default
+      // path keeps the zero-extra-job observe ride and the exhaustive
+      // (recall-oracle) pair set.
+      autoRouteNearDup: Boolean = false,
+      pairBudgetFactor: Long = 50L)
 
   /** Returns (curated documents with redacted text, stage counts).
     *
@@ -135,36 +146,86 @@ object Curate {
     // the exhaustive d2 path leaves its envelope (candidate_pairs above
     // the 50·|docs| budget line ⇒ route to the two-stage LSH+verify d2b).
     val pairScope = new graft.core.FrontierScope
-    val pairObs = new Observation(
-      "curate_pair_budget_" + java.util.UUID.randomUUID().toString.take(8))
-    val (pairs, _) = Dedup.ngramJaccardPairsWithSignal(afterExact, cfg.ngramN,
-      cfg.jaccardThreshold, textCol = textCol, idCol = idCol,
-      scope = Some(pairScope), observation = Some(pairObs))
+    val pairBudget = cfg.pairBudgetFactor * nExact
+    // autoRouteNearDup computes the routing signal UP FRONT — one linear
+    // shingle+count job over the already-materialized exact-dedup
+    // frontier — because the path choice needs it before the pair stage
+    // runs; the decision and both outcomes are logged and surfaced as a
+    // `route:` stage row. The default path keeps the free observe ride.
+    val preSignal: Option[(Long, Long)] =
+      if (cfg.autoRouteNearDup)
+        Some(Dedup.pairBudgetSignal(afterExact, cfg.ngramN,
+          textCol = textCol, idCol = idCol))
+      else None
+    val overBudget = preSignal.exists(_._1 > pairBudget)
+    val routeName = if (overBudget) "d2b_lsh_verify" else "d2_exhaustive"
+    if (cfg.autoRouteNearDup)
+      org.slf4j.LoggerFactory.getLogger("graft.datapipe.Curate").info(
+        s"curate: near-dup auto-route -> $routeName (candidate_pairs=" +
+          s"${preSignal.get._1}, budget=$pairBudget)")
+    val pairObs =
+      if (preSignal.isDefined) None
+      else Some(new Observation(
+        "curate_pair_budget_" + java.util.UUID.randomUUID().toString.take(8)))
+    val pairs =
+      if (overBudget)
+        // two-stage scale path: LSH bands propose, exact Jaccard disposes
+        // (same composition as the d2b query row; pair-set equality with
+        // the exhaustive operator is DedupSpec-pinned at threshold 0.5)
+        Dedup.jaccardVerifyCandidates(afterExact,
+          Dedup.minhashLshCandidates(afterExact, n = cfg.ngramN,
+            textCol = textCol, idCol = idCol),
+          cfg.ngramN, cfg.jaccardThreshold, textCol, idCol)
+      else
+        Dedup.ngramJaccardPairsWithSignal(afterExact, cfg.ngramN,
+          cfg.jaccardThreshold, textCol = textCol, idCol = idCol,
+          scope = Some(pairScope), observation = pairObs)._1
     val afterNearH =
       Materialize.frontierHandle(Dedup.nearDupKeep(afterExact, pairs, idCol))
     pairScope.close()
     val afterNear = afterNearH.df
-    // the materialization above executed the postings stage, so the
-    // observation has completed; .get returns without blocking. One
-    // documented blind spot: a ZERO-pair corpus lets AQE's
+    // The materialization above executed the postings stage, so on the
+    // observe path the metrics normally arrive promptly. One documented
+    // blind spot: a ZERO-pair corpus — which a LARGE corpus can hit for
+    // real when no pair clears the jaccard threshold (e.g. many shared
+    // boilerplate shingles but no near-duplicate docs) — lets AQE's
     // empty-relation propagation prune the branch holding the
     // CollectMetricsExec mid-execution, completing the observation with
-    // an EMPTY row — fall back to the direct aggregate exactly then
-    // (degenerate case, the postings stage was cheap).
-    val pairSig = pairObs.get
-    val (nCandidatePairs, nCappedShingles) =
-      if (pairSig.contains("candidate_pairs"))
-        (pairSig("candidate_pairs").asInstanceOf[Long],
-          pairSig("capped_shingles").asInstanceOf[Long])
+    // an EMPTY row. The read below is BOUNDED (never blocks the pipeline
+    // on a listener that will not fire); on the empty/pruned outcome the
+    // signal is recomputed directly from the materialized exact-dedup
+    // frontier — one extra linear re-tokenize/re-shingle pass, roughly
+    // the postings stage's map cost paid a second time, which the warn
+    // makes visible.
+    val (nCandidatePairs, nCappedShingles) = preSignal.getOrElse {
+      val obs = pairObs.get
+      // bounded read via the public future: a completed future (the
+      // normal delivery AND the pruned-empty-row outcome) returns
+      // immediately; only a listener that never fires at all waits out
+      // the 5 s bound before taking the recompute fallback
+      val row =
+        try Some(scala.concurrent.Await.result(obs.future,
+          scala.concurrent.duration.Duration(5, java.util.concurrent.TimeUnit.SECONDS)))
+        catch { case _: java.util.concurrent.TimeoutException => None }
+      val sig: Map[String, Any] = row match {
+        case Some(r) if r.schema != null && r.schema.nonEmpty =>
+          r.schema.fieldNames.zipWithIndex
+            .map { case (n, i) => n -> r.get(i) }.toMap
+        case _ => Map.empty
+      }
+      if (sig.contains("candidate_pairs"))
+        (sig("candidate_pairs").asInstanceOf[Long],
+          sig("capped_shingles").asInstanceOf[Long])
       else {
         // operational visibility: the fallback re-shingles the corpus —
         // a pipeline operator should know the stage report paid for it
         org.slf4j.LoggerFactory.getLogger("graft.datapipe.Curate").warn(
           "curate: pair-budget observe pruned (empty pair branch); " +
-            "recomputing signal directly")
+            "recomputing signal directly from the exact-dedup frontier")
         Dedup.pairBudgetSignal(afterExact, cfg.ngramN,
           textCol = textCol, idCol = idCol)
       }
+    }
 
     // annotate every remaining stage as a boolean column (pure map over the
     // frontier) so counts and the curated filter share one plan
@@ -276,13 +337,17 @@ object Curate {
         ("5_repetition_cap", row.getAs[Long]("__rep"))) ++
       afterLm.map(_ => ("6_lm_floor", row.getAs[Long]("__lm"))).toSeq ++
       ruleNames.map(r => (s"rule:$r", row.getAs[Long](r))) ++
-      // near-dup routing signal (exact work done + the 50·|docs| budget
-      // line it is judged against + the cap-approximation flag) — free,
-      // it rode the materialization the pipeline performed anyway
+      // near-dup routing signal (exact pair work + the budget line it is
+      // judged against + the cap-approximation flag) — on the default
+      // path it rode the materialization the pipeline performed anyway.
+      // The route row names the path the stage took; it appears only
+      // when autoRouteNearDup actually made a decision (the default
+      // path's report shape is a fixed cross-engine contract).
       Seq(
         ("signal:candidate_pairs", nCandidatePairs),
         ("signal:capped_shingles", nCappedShingles),
-        ("signal:pair_budget", 50L * nExact)))
+        ("signal:pair_budget", pairBudget)) ++
+      (if (cfg.autoRouteNearDup) Seq((s"route:$routeName", 1L)) else Nil))
       .toDF("stage", "n_docs")
     // every count action has run; free the intermediates deterministically.
     // Result-backing frontiers (afterNear on the default path, afterLm on

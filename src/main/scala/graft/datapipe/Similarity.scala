@@ -421,6 +421,16 @@ object Similarity {
     * (broadcast); each stored vector's score is the sum of its m looked-up
     * entries — no decompression, one broadcast join + one (id) partial
     * aggregate. Returns (id, pq_dist) ascending (ties to smaller id).
+    *
+    * ==Do not ship raw ADC rankings at scale== Measured
+    * (`bench_out/recall_sf10.json`): raw ADC planted recall COLLAPSES as
+    * the corpus grows — 0.705 at 20k vectors (sf1) down to 0.35 at 200k
+    * (sf10) — because quantization distortion misranks an ever-larger
+    * pool of near-ties at the m=4, ksub=16 code rate. A 10× shortlist +
+    * exact re-rank ([[pqTopKRerank]]) recovers 0.99–1.00 at BOTH scales
+    * for ~k·mult extra exact dots. This entry point is the building
+    * block; the production contract is [[pqTopKRerank]] (full-scan PQ)
+    * or [[ivfPqTopK]] with a re-ranked shortlist (see SCALE.md).
     */
   def pqTopK(codes: DataFrame, codebooks: DataFrame, query: DataFrame, k: Int,
              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
@@ -441,6 +451,36 @@ object Similarity {
       .groupBy(idCol)
       .agg(sum(col("__d")).as("pq_dist"))
       .orderBy(col("pq_dist"), col(idCol))
+      .limit(k)
+  }
+
+  /** PQ-ADC search with exact re-rank — the PRODUCTION full-scan-PQ
+    * contract (Jégou 2011 §V-C's two-stage refinement): [[pqTopK]]
+    * proposes a `k·mult` shortlist from compressed codes (the corpus
+    * touched only through byte codes), then the shortlist's FULL vectors
+    * — k·mult rows, broadcast-size at any corpus scale — are fetched and
+    * re-ranked by exact quantized cosine. The compressed scan stays the
+    * only corpus-wide pass; the exact pass is O(k·mult) dots, so the
+    * re-rank costs ~nothing while repairing ADC's quantization
+    * misranking (measured: planted recall 0.35 raw → 0.99 re-ranked at
+    * sf10, `bench_out/recall_sf10.json`). Output matches
+    * [[bruteForceTopK]]: (id, cosine) descending, ties to smaller id.
+    */
+  def pqTopKRerank(codes: DataFrame, codebooks: DataFrame, vecs: DataFrame,
+                   query: DataFrame, k: Int, mult: Int = 10,
+                   idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(mult >= 1, "mult must be positive")
+    graft.functions.GraftFunctions.register(vecs.sparkSession)
+    val shortlist = pqTopK(codes, codebooks, query, k * mult, idCol, vecCol)
+      .select(col(idCol))
+    val q = query.limit(1)
+      .select(Vectors.quantize(col(vecCol)).as("q_query"))
+    vecs.join(broadcast(shortlist), Seq(idCol))
+      .select(col(idCol), Vectors.quantize(col(vecCol)).as("q_vec"))
+      .crossJoin(broadcast(q))
+      .withColumn("cosine", Vectors.cosineQN(col("q_vec"), col("q_query")))
+      .select(col(idCol), col("cosine"))
+      .orderBy(desc("cosine"), col(idCol))
       .limit(k)
   }
 

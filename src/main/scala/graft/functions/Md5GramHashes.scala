@@ -26,9 +26,10 @@ import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType, S
   * single-space separators (byte-equal to the joined string, the
   * MinhashMd5 technique); no gram string, no hex string, no conv.
   *
-  * Null tokens (impossible from `split`) digest as empty, matching
-  * `array_join`'s null-skip only for the all-null edge; callers
-  * guarantee non-null tokens. Returns empty below k tokens.
+  * Null tokens (impossible from `split`) are skipped entirely —
+  * neither their bytes nor a separator are emitted — exactly matching
+  * `array_join`'s null-skip for every gram shape, not just the
+  * all-null edge. Returns empty below k tokens.
   */
 case class Md5GramHashes(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -71,9 +72,11 @@ object Md5GramHashes {
     val toks = new Array[Array[Byte]](m)
     var t = 0
     while (t < m) {
-      toks(t) =
-        if (tokens.isNullAt(t)) Array.emptyByteArray
-        else tokens.getUTF8String(t).getBytes
+      // null stays null (not empty bytes): array_join drops null
+      // elements AND their separators, so a null token must contribute
+      // nothing to the digest — an empty byte string would still emit
+      // the space separator and hash differently from the oracle
+      toks(t) = if (tokens.isNullAt(t)) null else tokens.getUTF8String(t).getBytes
       t += 1
     }
     val digest = md.get()
@@ -82,9 +85,14 @@ object Md5GramHashes {
     while (i <= m - k) {
       digest.reset()
       var w = 0
+      var emitted = 0
       while (w < k) {
-        if (w > 0) digest.update(Space)
-        digest.update(toks(i + w))
+        val tok = toks(i + w)
+        if (tok != null) {
+          if (emitted > 0) digest.update(Space)
+          digest.update(tok)
+          emitted += 1
+        }
         w += 1
       }
       val d = digest.digest()

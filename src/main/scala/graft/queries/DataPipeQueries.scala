@@ -446,6 +446,20 @@ object DataPipeQueries {
         e.where(col("vec_id") === 0), k = 20)
     }),
 
+    // The PRODUCTION full-scan-PQ contract (r16): ADC proposes a 10·k
+    // shortlist from compressed codes, exact quantized cosine re-ranks
+    // the shortlist's full vectors. Raw ADC's planted recall collapses
+    // with corpus growth (0.705 at sf1 -> 0.35 at sf10,
+    // bench_out/recall_sf10.json); the 10x re-rank holds 0.99-1.00 at
+    // both scales for k·mult extra exact dots.
+    "sim6_pq_rr" -> ((s, dir) => {
+      val e = embs(s, dir)
+      val cb = graft.core.Materialize.frontier(
+        Similarity.pqCodebooks(e, m = 4, ksub = 16, portable = true))
+      Similarity.pqTopKRerank(Similarity.pqAssign(e, cb), cb, e,
+        e.where(col("vec_id") === 0), k = 20, mult = 10)
+    }),
+
     // IVF + PQ composed — the billion-vector ANN architecture: IVF
     // routes the query to 3 probed cells, PQ's ADC table ranks the
     // candidates inside them; full vectors never fetched or decompressed
@@ -1946,6 +1960,49 @@ object DataPipeQueries {
          |SELECT a.vec_id, CAST(sum(q.d) AS BIGINT) AS pq_dist
          |FROM assign a JOIN qtab q USING (m, code)
          |GROUP BY a.vec_id ORDER BY pq_dist, vec_id LIMIT 20""".stripMargin,
+    // sim6's ADC chain proposing a 200-row shortlist, then the exact
+    // quantized-cosine re-rank (sim1's scoring) over shortlist vectors
+    "sim6_pq_rr" ->
+      s"""WITH $quantCte,
+         |msub AS (SELECT unnest(range(0, 4)) AS m),
+         |meta AS (SELECT (len(q) + 3) // 4 AS L FROM qv LIMIT 1),
+         |seeds AS (
+         |  SELECT code, q FROM (
+         |    SELECT q, row_number() OVER (
+         |      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS code
+         |    FROM qv)
+         |  WHERE code < 16),
+         |cb AS (
+         |  SELECT m, code, q[m * L + 1 : (m + 1) * L] AS qc
+         |  FROM seeds CROSS JOIN meta CROSS JOIN msub),
+         |sub AS (
+         |  SELECT vec_id, m, q[m * L + 1 : (m + 1) * L] AS qx
+         |  FROM qv CROSS JOIN meta CROSS JOIN msub),
+         |dist AS (
+         |  SELECT vec_id, m, code,
+         |    CAST(list_sum(list_transform(list_zip(qc, qc), s -> s[1] * s[2]))
+         |      AS BIGINT)
+         |    - 2 * CAST(list_sum(list_transform(list_zip(qx, qc), s -> s[1] * s[2]))
+         |      AS BIGINT) AS d
+         |  FROM sub JOIN cb USING (m)),
+         |assign AS (
+         |  SELECT vec_id, m, code FROM (
+         |    SELECT vec_id, m, code,
+         |      row_number() OVER (PARTITION BY vec_id, m ORDER BY d, code) AS rn
+         |    FROM dist)
+         |  WHERE rn = 1),
+         |qtab AS (SELECT m, code, d FROM dist WHERE vec_id = 0),
+         |shortlist AS (
+         |  SELECT a.vec_id
+         |  FROM assign a JOIN qtab q USING (m, code)
+         |  GROUP BY a.vec_id ORDER BY CAST(sum(q.d) AS BIGINT), a.vec_id
+         |  LIMIT 200),
+         |qy AS (SELECT q AS qq FROM qv WHERE vec_id = 0)
+         |SELECT v.vec_id,
+         |       ${dotD("v.q", "qy.qq")}
+         |         / (sqrt(${dotD("v.q", "v.q")}) * sqrt(${dotD("qy.qq", "qy.qq")})) AS cosine
+         |FROM qv v JOIN shortlist USING (vec_id) CROSS JOIN qy
+         |ORDER BY cosine DESC, v.vec_id LIMIT 20""".stripMargin,
     "sim5_int8_topk" ->
       s"""WITH $quantCte,
          |sc AS (

@@ -109,6 +109,52 @@ class CurateSpec extends SparkSpec {
     assert(c2("signal:pair_budget") == 50L * c2("1_exact_dedup"))
   }
 
+  test("autoRouteNearDup routes on the pair budget — both directions") {
+    val s = spark; import s.implicits._
+    // UNDER budget: the standard fixture's candidate_pairs is far below
+    // 50·|docs|, so the auto-router must keep the exhaustive path and
+    // reproduce the default path's report and survivors exactly
+    val good = "the quick brown fox and the lazy dog of a house with many different words inside"
+    val docs = Seq(
+      (1L, good + " contact me at jane@corp.com today"),
+      (2L, good + " contact me at jane@corp.com today"),
+      (3L, good + " contact me at jane@corp.com now"),
+      (4L, "der hund und die katze und das haus und der garten und nicht mehr"),
+      (5L, "spam spam spam spam spam spam spam spam spam the"),
+      (6L, "the cat and the dog of a house walked to a park and found many things there")
+    ).toDF("doc_id", "text")
+    val (curatedD, countsD) = Curate.run(docs)
+    val (curatedA, countsA) =
+      Curate.run(docs, Curate.Config(autoRouteNearDup = true))
+    val cd = countsD.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val ca = countsA.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(ca("route:d2_exhaustive") == 1L)
+    assert(!ca.contains("route:d2b_lsh_verify"))
+    assert(ca("signal:candidate_pairs") <= ca("signal:pair_budget"))
+    // identical report apart from the route row (the default path's
+    // report shape is a fixed cross-engine contract — no route row there)
+    assert(!cd.keys.exists(_.startsWith("route:")))
+    assert(ca.filterNot(_._1.startsWith("route:")) == cd)
+    assert(curatedA.collect().map(_.getAs[Long]("doc_id")).toSet ==
+      curatedD.collect().map(_.getAs[Long]("doc_id")).toSet)
+
+    // OVER budget: three near-identical ~80-token docs share 78 shingles
+    // at df=3 — 234 candidate pairs over the 150 budget line — so the
+    // stage must switch to the LSH-propose + Jaccard-verify path and
+    // still collapse the near-dup cluster to its lowest id
+    val base = (1 to 80).map(i => s"w$i").mkString(" ")
+    val nd = Seq(
+      (1L, base + " alpha"), (2L, base + " bravo"), (3L, base + " charlie")
+    ).toDF("doc_id", "text")
+    val (_, counts2) = Curate.run(nd, Curate.Config(autoRouteNearDup = true))
+    val c2 = counts2.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(c2("route:d2b_lsh_verify") == 1L)
+    assert(!c2.contains("route:d2_exhaustive"))
+    assert(c2("signal:candidate_pairs") > c2("signal:pair_budget"))
+    assert(c2("1_exact_dedup") == 3L)
+    assert(c2("2_near_dedup") == 1L)
+  }
+
   test("opt-in line stages: boilerplate stripped before dedup, empty docs drop") {
     val s = spark; import s.implicits._
     val good = "the quick brown fox and the lazy dog of a house with many different words inside"

@@ -138,6 +138,29 @@ class SimilaritySpec extends SparkSpec {
       "codes must be m entries in [0, ksub)")
   }
 
+  test("PQ re-rank: equals brute force when the shortlist covers; query-first at 10x") {
+    val e = embs
+    val cb = Similarity.pqCodebooks(e, m = 4, ksub = 16)
+    val codes = Similarity.pqAssign(e, cb)
+    val q = e.where(col("vec_id") === 7)
+    val n = e.count().toInt
+    // mult sized so the ADC shortlist is the whole corpus: the re-rank
+    // then IS brute force — exact id AND cosine equality
+    val full = Similarity.pqTopKRerank(codes, cb, e, q, k = 10, mult = (n + 9) / 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val brute = Similarity.bruteForceTopK(e, q, k = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(full == brute,
+      "full-coverage re-rank must reproduce brute force exactly")
+    // production knobs (mult = 10): query retrieves itself, cosine ~1,
+    // and every score is an EXACT cosine (bounded by 1), not an ADC sum
+    val rr = Similarity.pqTopKRerank(codes, cb, e, q, k = 10).collect()
+    assert(rr.length == 10)
+    assert(rr.head.getAs[Long]("vec_id") == 7L)
+    assert(math.abs(rr.head.getAs[Double]("cosine") - 1.0) < 1e-9)
+    assert(rr.forall(r => math.abs(r.getAs[Double]("cosine")) <= 1.0 + 1e-9))
+  }
+
   test("IVF+PQ: results come from probed cells and equal PQ ranking of the candidate set") {
     val e = embs
     val centroids = e.where(col("vec_id") % 50 === 0)

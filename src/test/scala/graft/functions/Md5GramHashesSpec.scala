@@ -33,6 +33,30 @@ class Md5GramHashesSpec extends SparkSpec {
     }
   }
 
+  test("null tokens skip both bytes and separator, matching array_join") {
+    val s = spark; import s.implicits._
+    GraftFunctions.register(s)
+    // grams with a null in every position (leading / interior / trailing /
+    // all-null): array_join drops the element AND its separator, so e.g.
+    // ["a", null, "b"] at k=3 must hash as "a b" (single space), not "a  b"
+    val docs = Seq(
+      (1L, Seq[String](null, "a", "b", null, "c")),
+      (2L, Seq[String]("x", null, null, "y")),
+      (3L, Seq[String](null, null, null)),
+      (4L, Seq[String]("lone", null))
+    ).toDF("id", "toks")
+    for (k <- Seq(2, 3)) {
+      val native = call_function(GraftFunctions.md5GramHashesName,
+        col("toks"), lit(k))
+      val decl = graft.datapipe.Winnowing.gramHashesMd5Declarative(col("toks"), k)
+      val bad = docs.where(size(col("toks")) >= k)
+        .select(col("id"), native.as("n"), decl.as("d"))
+        .where(not(col("n") === col("d")))
+        .count()
+      assert(bad == 0L, s"null-token mismatch at k=$k")
+    }
+  }
+
   test("24-bit range and determinism under repartition") {
     val s = spark; import s.implicits._
     GraftFunctions.register(s)

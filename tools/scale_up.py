@@ -25,6 +25,7 @@ genuinely larger dataset would:
 Usage: python3 tools/scale_up.py SRC_DIR DST_DIR K
 e.g.   python3 tools/scale_up.py /root/testdata/sf0.1 bench_data/sf1 10
 """
+import contextlib
 import os
 import re
 import sys
@@ -117,8 +118,13 @@ def main() -> None:
                 out_rows += part.num_rows
             writer.close()
         except BaseException:
-            writer.close()
-            os.unlink(tmp)
+            # close() itself can raise here (footer flush on OOM/disk-full);
+            # suppress so the ORIGINAL exception propagates and the temp
+            # file is still removed either way
+            with contextlib.suppress(Exception):
+                writer.close()
+            with contextlib.suppress(Exception):
+                os.unlink(tmp)
             raise
         os.replace(tmp, dst)
         print(f"{name}: {src.num_rows} -> {out_rows}", flush=True)
