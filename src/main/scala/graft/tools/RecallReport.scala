@@ -121,7 +121,8 @@ object RecallReport {
       * `pq` scans everything (coverage = 1), so its gap is pure
       * distortion and `pq_rr10` shows how much a 10x shortlist repairs.
       */
-    def curve(corpus: DataFrame): Seq[(String, Double)] = {
+    def curve(corpus: DataFrame, nProbes: Seq[Int],
+              pqMults: Seq[Int]): Seq[(String, Double)] = {
       graft.functions.GraftFunctions.register(spark)
       val c = graft.core.Materialize.frontier(corpus)
       val centroids = graft.core.Materialize.frontier(
@@ -137,7 +138,6 @@ object RecallReport {
       def rerank(q: DataFrame, shortlist: DataFrame): DataFrame =
         Similarity.bruteForceTopK(
           c.join(shortlist.select("vec_id"), Seq("vec_id")), q, k = K)
-      val nProbes = Seq(1, 3, 5, 10)
       val hits = scala.collection.mutable.Map.empty[String, Double]
       def add(k2: String, v: Double): Unit =
         hits(k2) = hits.getOrElse(k2, 0.0) + v
@@ -170,8 +170,14 @@ object RecallReport {
               Similarity.ivfPqTopK(c, centroids, codebooks, q, 10 * K, p)))).size.toDouble / K)
         }
         add("pq", (truth & ids(Similarity.pqTopK(pqCodes, codebooks, q, K))).size.toDouble / K)
-        add("pq_rr10", (truth & ids(rerank(q,
-          Similarity.pqTopK(pqCodes, codebooks, q, 10 * K)))).size.toDouble / K)
+        // pq scans every code (coverage = 1), so the shortlist-multiplier
+        // sweep isolates how much exact re-rank budget repairs ADC
+        // distortion — the candidate-multiplier half of the operating
+        // curve (r16 item 6: natural neighborhoods get the wider sweep)
+        pqMults.foreach { mu =>
+          add(s"pq_rr$mu", (truth & ids(rerank(q,
+            Similarity.pqTopK(pqCodes, codebooks, q, mu * K)))).size.toDouble / K)
+        }
       }
       hits.toSeq.sortBy(_._1).map { case (k2, v) => k2 -> v / NQueries }
     }
@@ -180,8 +186,12 @@ object RecallReport {
       rs.map { case (k2, v) => s""""$k2":${f"$v%.3f"}""" }.mkString(",")
     val natural = report(e)
     val plantedR = report(e.unionByName(planted))
-    val curvePlanted = curve(e.unionByName(planted))
-    val curveNatural = curve(e)
+    // planted keeps the r12 operating points (comparable across rounds);
+    // natural gets the widened knob sweep (r16 item 6): probe levels up
+    // toward nlist ≈ √n and larger exact-re-rank shortlists, to locate —
+    // or honestly rule out — a knee on structureless data
+    val curvePlanted = curve(e.unionByName(planted), Seq(1, 3, 5, 10), Seq(10))
+    val curveNatural = curve(e, Seq(1, 3, 5, 10, 25, 50, 100), Seq(10, 30, 100))
     val randomBaseline = K.toDouble / n
     val line =
       s"""{"metric":"ann_recall@$K","n_vectors":$n,"n_queries":$NQueries,""" +
