@@ -1,0 +1,38 @@
+#!/usr/bin/env bash
+# Cross-JVM median sweep protocol driver (SCALE.md r16): run graft.Bench
+# K times, each in a FRESH JVM with SPARK_GRAFT_RUNS=1 (one timed run per
+# row after the shared warmup + block-drop + GC settle), writing each
+# JVM's artifact to OUT_DIR/jvm<i>/<sf>.json. Aggregate with
+# tools/merge_sweeps.py (per-row cross-JVM median). Measurement tooling
+# only — not part of the shipped library.
+#
+# The JVM flags replicate build.sbt's forked-run options exactly
+# (JDK17 add-opens, Xms=Xmx pinned heap) so a java-launched sweep is
+# code- and flag-identical to an `sbt runMain graft.Bench` sweep; only
+# sbt's resident parent JVM is absent, which the serial-box rule wants
+# gone anyway.
+#
+# Usage: tools/sweep_protocol.sh SF_DIR OUT_DIR K [HEAP]
+set -euo pipefail
+SF_DIR=$1; OUT_DIR=$2; K=$3; HEAP=${4:-48g}
+ADD_OPENS=""
+for p in java.lang java.lang.invoke java.lang.reflect java.io java.net \
+         java.nio java.util java.util.concurrent java.util.concurrent.atomic; do
+  ADD_OPENS="$ADD_OPENS --add-opens java.base/$p=ALL-UNNAMED"
+done
+for p in sun.nio.ch sun.nio.cs sun.security.action sun.util.calendar; do
+  ADD_OPENS="$ADD_OPENS --add-opens java.base/$p=ALL-UNNAMED"
+done
+CP="target/scala-2.13/classes:/opt/spark/jars/*"
+for i in $(seq 1 "$K"); do
+  d="$OUT_DIR/jvm$i"
+  mkdir -p "$d"
+  echo "[sweep] JVM $i/$K -> $d" >&2
+  SPARK_GRAFT_RUNS=1 SPARK_GRAFT_SF_DIR="$SF_DIR" SPARK_GRAFT_BENCH_OUT="$d" \
+    ${SPARK_GRAFT_ONLY:+SPARK_GRAFT_ONLY="$SPARK_GRAFT_ONLY"} \
+    java -Xms"$HEAP" -Xmx"$HEAP" $ADD_OPENS \
+      -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
+      -cp "$CP" graft.Bench > "$d/stdout.log" 2> "$d/stderr.log" \
+    || { echo "[sweep] JVM $i FAILED — see $d/stderr.log" >&2; exit 1; }
+  tail -1 "$d/stdout.log" >&2
+done
