@@ -960,26 +960,36 @@ object DataPipeQueries {
     // text-derived values only (n_kept / token sum — invariant to WHICH
     // copy of a duplicate survives, which arrival order doesn't fix).
     "stream_doc_curate" -> ((s, dir) => {
-      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-      import s.implicits._
-      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
       val base = docs(s, dir).select("doc_id", "text")
       val withCopies = base.unionByName(base.where(col("doc_id") < 50)
         .select((col("doc_id") + 1000000000L).as("doc_id"), col("text")))
-      val mem = MemoryStream[(Long, String)]
-      mem.addData(withCopies.collect().map(r => (r.getLong(0), r.getString(1))).toSeq)
-      val stream = mem.toDF().toDF("doc_id", "text")
+      // Stage the input as parquet and drive a FILE-SOURCE stream over it:
+      // the corpus stays distributed end-to-end. The previous MemoryStream
+      // drive collect()ed every document into one driver-side batch array
+      // and accumulated the kept docs in a memory sink — both overflow the
+      // JVM's 2 GB array limit at sf100 (5M docs; measured r16). With no
+      // maxFilesPerTrigger the source takes all staged files as ONE batch,
+      // so dedup-within-watermark sees exactly the single-batch semantics
+      // the MemoryStream drive had (and the DISTINCT-text oracle pins).
+      val inDir = java.nio.file.Files.createTempDirectory("graft_sdc_in").toString
+      withCopies
         .withColumn("ingest_ts",
           timestamp_micros(lit(1704202200000000L) + col("doc_id")))
+        .write.mode("overwrite").parquet(inDir)
+      val stream = s.readStream.schema(s.read.parquet(inDir).schema).parquet(inDir)
       val out = graft.streaming.StreamingDocs.curateStream(
         stream, QualityRules.Config(), normalizeKey = false)
       val ckpt = java.nio.file.Files.createTempDirectory("graft_sdc_ckpt").toString
-      val q = out.writeStream.format("memory").queryName("stream_doc_sink")
+      val outDir = java.nio.file.Files.createTempDirectory("graft_sdc_out").toString
+      // sink only the summary inputs (id + token count): the row measures
+      // the streaming curate operator, not a full-text sink rewrite
+      val q = out.select(col("doc_id"), col("n_tokens"))
+        .writeStream.format("parquet").option("path", outDir)
         .outputMode("append").option("checkpointLocation", ckpt).start()
       try q.processAllAvailable() finally q.stop()
-      s.sql("""SELECT CAST(count(*) AS BIGINT) AS n_kept,
-              |       CAST(sum(n_tokens) AS BIGINT) AS kept_tokens
-              |FROM stream_doc_sink""".stripMargin)
+      s.read.parquet(outDir).agg(
+        count(lit(1)).cast("long").as("n_kept"),
+        sum(col("n_tokens")).cast("long").as("kept_tokens"))
     }),
 
     // Streaming incremental-LSH near-dup: near-dups of the corpus
