@@ -21,12 +21,16 @@ object Decontaminate {
     * n_matched_ngrams (distinct shingles hit) and n_benchmarks (distinct
     * benchmark rows hit).
     *
-    * Two `countDistinct`s in one agg would plan an Expand that doubles
-    * every matched row before the exchange — on a heavily contaminated
-    * corpus that is the big frame. Instead each count pre-`distinct`s its
-    * own (id, key) projection and the two plain aggs join on id; the
-    * shared contamination join is broadcast-map-side (no shuffle), so
-    * evaluating it once per branch costs a rescan but never an exchange.
+    * Plan shape (single-pass): the contamination join is broadcast
+    * map-side, and BOTH distinct counts come from one `collect_set` agg
+    * over it — one corpus scan, one exchange keyed on the doc id whose
+    * volume is the map-side-deduped matched set (contamination-
+    * proportional), no Expand. Two `countDistinct`s in one agg would
+    * plan an Expand that doubles every matched row pre-exchange; two
+    * separate branches (the pre-r17 shape) re-shingled the whole corpus
+    * per branch because a map-side join leaves no exchange to reuse.
+    * Per-doc set sizes are bounded: matched shingles by the doc's own
+    * length, matched benchmarks by the (broadcast-small) eval suite.
     */
   def contaminated(
       docs: DataFrame, benchmark: DataFrame, n: Int = 13, minMatches: Int = 1,
@@ -39,12 +43,10 @@ object Decontaminate {
       .withColumnRenamed("shingle", "__bshingle")
     val matched = docSh
       .join(broadcast(benchSh), col("shingle") === col("__bshingle"))
-    val ngramHits = matched.select(col(idCol), col("shingle")).distinct()
-      .groupBy(idCol).agg(count(lit(1)).as("n_matched_ngrams"))
-    val benchHits = matched.select(col(idCol), col(benchIdCol)).distinct()
-      .groupBy(idCol).agg(count(lit(1)).as("n_benchmarks"))
-    // inner join: any matched doc has >=1 distinct shingle AND bench hit
-    ngramHits.join(benchHits, Seq(idCol))
+      .select(col(idCol), col("shingle"), col(benchIdCol))
+    matched.groupBy(idCol)
+      .agg(size(collect_set(col("shingle"))).cast("long").as("n_matched_ngrams"),
+           size(collect_set(col(benchIdCol))).cast("long").as("n_benchmarks"))
       .where(col("n_matched_ngrams") >= minMatches)
   }
 

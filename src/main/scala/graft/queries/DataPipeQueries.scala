@@ -23,6 +23,74 @@ object DataPipeQueries {
   private def docs(s: SparkSession, dir: String) = Tables.load(s, dir, "documents")
   private def embs(s: SparkSession, dir: String) = Tables.load(s, dir, "embeddings")
 
+  /** Shared drive for the streaming-curate rows: stage documents ∪ exact
+    * copies (ids +1e9) as parquet, run a FILE-SOURCE stream through
+    * [[graft.streaming.StreamingDocs.curateStream]] into a parquet sink
+    * of (doc_id, n_tokens) only, and return the order-invariant summary
+    * (n_kept / token sum — invariant to WHICH copy of a duplicate
+    * survives). The corpus stays distributed end-to-end: the previous
+    * MemoryStream drive collect()ed every document into one driver-side
+    * batch array and overflowed the JVM's 2 GB array limit at sf100
+    * (5M docs; measured r16).
+    *
+    * `filesPerTrigger` None = all staged files as ONE batch (the
+    * DISTINCT-text single-batch contract the oracle pins); Some(n) =
+    * multi-trigger drive proving fingerprint state survives ACROSS
+    * micro-batches. Cross-trigger retention is sound here: staged part
+    * files are path-ordered originals-then-copies (unionByName
+    * concatenates partitions), original event times span only |docs|
+    * microseconds — far inside the 10-minute watermark — so the
+    * watermark never evicts a fingerprint before its copies arrive.
+    *
+    * The summary row is materialized EAGERLY and the staged input /
+    * checkpoint / output trees are deleted before returning: at sf100
+    * each is GBs of /tmp, and the sweep protocol multiplies any leak by
+    * K JVMs (r16 advice item).
+    */
+  private def streamDocCurateDrive(
+      s: SparkSession, dir: String, filesPerTrigger: Option[Int]): DataFrame = {
+    val base = docs(s, dir).select("doc_id", "text")
+    val withCopies = base.unionByName(base.where(col("doc_id") < 50)
+      .select((col("doc_id") + 1000000000L).as("doc_id"), col("text")))
+    val inDir = java.nio.file.Files.createTempDirectory("graft_sdc_in")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_sdc_ckpt")
+    val outDir = java.nio.file.Files.createTempDirectory("graft_sdc_out")
+    try {
+      withCopies
+        .withColumn("ingest_ts",
+          timestamp_micros(lit(1704202200000000L) + col("doc_id")))
+        .write.mode("overwrite").parquet(inDir.toString)
+      val reader = s.readStream.schema(s.read.parquet(inDir.toString).schema)
+      val stream = filesPerTrigger
+        .fold(reader)(n => reader.option("maxFilesPerTrigger", n))
+        .parquet(inDir.toString)
+      val out = graft.streaming.StreamingDocs.curateStream(
+        stream, QualityRules.Config(), normalizeKey = false)
+      // sink only the summary inputs (id + token count): the row measures
+      // the streaming curate operator, not a full-text sink rewrite
+      val q = out.select(col("doc_id"), col("n_tokens"))
+        .writeStream.format("parquet").option("path", outDir.toString)
+        .outputMode("append").option("checkpointLocation", ckpt.toString).start()
+      try q.processAllAvailable() finally q.stop()
+      val r = s.read.parquet(outDir.toString).agg(
+        count(lit(1)).cast("long").as("n_kept"),
+        sum(col("n_tokens")).cast("long").as("kept_tokens")).collect()(0)
+      import s.implicits._
+      Seq((r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1)))
+        .toDF("n_kept", "kept_tokens")
+    } finally {
+      Seq(inDir, ckpt, outDir).foreach(deleteTree)
+    }
+  }
+
+  private def deleteTree(root: java.nio.file.Path): Unit =
+    if (java.nio.file.Files.exists(root)) {
+      val walk = java.nio.file.Files.walk(root)
+      try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(p => java.nio.file.Files.deleteIfExists(p))
+      finally walk.close()
+    }
+
   /** The documents scan widened to session parallelism (core.Parallelism):
     * the whole corpus fits one compressed scan split well past sf10, so
     * any row whose per-doc expressions are built HERE (fixture
@@ -959,38 +1027,17 @@ object DataPipeQueries {
     // text, the quality ruleset filters, and the sink is summarized by
     // text-derived values only (n_kept / token sum — invariant to WHICH
     // copy of a duplicate survives, which arrival order doesn't fix).
-    "stream_doc_curate" -> ((s, dir) => {
-      val base = docs(s, dir).select("doc_id", "text")
-      val withCopies = base.unionByName(base.where(col("doc_id") < 50)
-        .select((col("doc_id") + 1000000000L).as("doc_id"), col("text")))
-      // Stage the input as parquet and drive a FILE-SOURCE stream over it:
-      // the corpus stays distributed end-to-end. The previous MemoryStream
-      // drive collect()ed every document into one driver-side batch array
-      // and accumulated the kept docs in a memory sink — both overflow the
-      // JVM's 2 GB array limit at sf100 (5M docs; measured r16). With no
-      // maxFilesPerTrigger the source takes all staged files as ONE batch,
-      // so dedup-within-watermark sees exactly the single-batch semantics
-      // the MemoryStream drive had (and the DISTINCT-text oracle pins).
-      val inDir = java.nio.file.Files.createTempDirectory("graft_sdc_in").toString
-      withCopies
-        .withColumn("ingest_ts",
-          timestamp_micros(lit(1704202200000000L) + col("doc_id")))
-        .write.mode("overwrite").parquet(inDir)
-      val stream = s.readStream.schema(s.read.parquet(inDir).schema).parquet(inDir)
-      val out = graft.streaming.StreamingDocs.curateStream(
-        stream, QualityRules.Config(), normalizeKey = false)
-      val ckpt = java.nio.file.Files.createTempDirectory("graft_sdc_ckpt").toString
-      val outDir = java.nio.file.Files.createTempDirectory("graft_sdc_out").toString
-      // sink only the summary inputs (id + token count): the row measures
-      // the streaming curate operator, not a full-text sink rewrite
-      val q = out.select(col("doc_id"), col("n_tokens"))
-        .writeStream.format("parquet").option("path", outDir)
-        .outputMode("append").option("checkpointLocation", ckpt).start()
-      try q.processAllAvailable() finally q.stop()
-      s.read.parquet(outDir).agg(
-        count(lit(1)).cast("long").as("n_kept"),
-        sum(col("n_tokens")).cast("long").as("kept_tokens"))
-    }),
+    "stream_doc_curate" -> ((s, dir) =>
+      streamDocCurateDrive(s, dir, filesPerTrigger = None)),
+
+    // The multi-trigger twin: same staged corpus, same summary, but the
+    // file source is bounded to 4 files per micro-batch — proving the
+    // dedup fingerprint state holds ACROSS triggers (the single-batch
+    // drive above only exercises within-batch dedup). Shares the
+    // single-batch oracle: equality of the two rows IS the r16 verdict's
+    // asked-for semantics check.
+    "stream_doc_curate_mt" -> ((s, dir) =>
+      streamDocCurateDrive(s, dir, filesPerTrigger = Some(4))),
 
     // Streaming incremental-LSH near-dup: near-dups of the corpus
     // (truncated copies, ids +1e9) and novel docs (synthetic qz-token
@@ -1389,6 +1436,32 @@ object DataPipeQueries {
     "high_dup_token_ratio" -> s"dup_token_ratio > ${qrCfg.maxDupTokenRatio}",
     "high_dup_line_ratio" -> s"dup_line_ratio > ${qrCfg.maxDupLineRatio}",
     "low_alpha_token_ratio" -> s"alpha_token_ratio < ${qrCfg.minAlphaTokenRatio}")
+
+  /** One oracle for BOTH streaming-curate drives (single-batch and
+    * multi-trigger): the curated set is the DISTINCT-text,
+    * ruleset-passing slice of documents ∪ copies, whatever the batch
+    * boundaries.
+    */
+  private lazy val streamDocCurateSql: String = {
+    val anyFail = qualityRuleSql.map(_._2).mkString("(", ") OR (", ")")
+    s"""WITH inp AS (
+       |  SELECT text FROM documents
+       |  UNION ALL
+       |  SELECT text FROM documents WHERE doc_id < 50),
+       |u AS (SELECT DISTINCT text FROM inp),
+       |m AS (
+       |  SELECT text,
+       |    string_split_regex(lower(trim(text)), '\\s+') AS t,
+       |    string_split(text, chr(10)) AS ln
+       |  FROM u),
+       |x AS (
+       |  SELECT
+       |    $qualityMetricExprs
+       |  FROM m)
+       |SELECT CAST(count(*) AS BIGINT) AS n_kept,
+       |       CAST(sum(n_tokens) AS BIGINT) AS kept_tokens
+       |FROM x WHERE NOT coalesce($anyFail, false)""".stripMargin
+  }
 
   /** Shared t10 scoring body: ruleset-kept training slice, bigram-LM
     * counts, and per-doc quantized score `sc` (doc_id, n_bigrams,
@@ -2098,26 +2171,9 @@ object DataPipeQueries {
          |SELECT vec_id, centroid_id, CAST(sel_rank AS BIGINT) AS sel_rank
          |FROM sel WHERE sel_rank <= 25
          |ORDER BY centroid_id, sel_rank""".stripMargin,
-    "stream_doc_curate" -> {
-      val anyFail = qualityRuleSql.map(_._2).mkString("(", ") OR (", ")")
-      s"""WITH inp AS (
-         |  SELECT text FROM documents
-         |  UNION ALL
-         |  SELECT text FROM documents WHERE doc_id < 50),
-         |u AS (SELECT DISTINCT text FROM inp),
-         |m AS (
-         |  SELECT text,
-         |    string_split_regex(lower(trim(text)), '\\s+') AS t,
-         |    string_split(text, chr(10)) AS ln
-         |  FROM u),
-         |x AS (
-         |  SELECT
-         |    $qualityMetricExprs
-         |  FROM m)
-         |SELECT CAST(count(*) AS BIGINT) AS n_kept,
-         |       CAST(sum(n_tokens) AS BIGINT) AS kept_tokens
-         |FROM x WHERE NOT coalesce($anyFail, false)""".stripMargin
-    },
+    "stream_doc_curate" -> streamDocCurateSql,
+    // batch boundaries are invisible to the curated set: same oracle
+    "stream_doc_curate_mt" -> streamDocCurateSql,
     "stream_neardup" ->
       s"""WITH inc AS (
          |  SELECT doc_id + 1000000000 AS doc_id,

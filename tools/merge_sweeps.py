@@ -55,6 +55,9 @@ def main() -> None:
     if args and args[0].startswith("--stat="):
         stat = args[0].split("=", 1)[1]
         args = args[1:]
+    if stat not in ("fast2", "median", "min"):
+        sys.exit(f"merge_sweeps.py: unknown --stat={stat} "
+                 f"(expected fast2|median|min)")
     out_path, in_paths = args[0], args[1:]
     sweeps = [json.load(open(p)) for p in in_paths]
     keys = sorted(set.intersection(*(set(s["queries"]) for s in sweeps)))

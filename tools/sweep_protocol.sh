@@ -1,10 +1,16 @@
 #!/usr/bin/env bash
-# Cross-JVM median sweep protocol driver (SCALE.md r16): run graft.Bench
+# Cross-JVM sweep protocol driver (SCALE.md r16): run graft.Bench
 # K times, each in a FRESH JVM with SPARK_GRAFT_RUNS=1 (one timed run per
 # row after the shared warmup + block-drop + GC settle), writing each
 # JVM's artifact to OUT_DIR/jvm<i>/<sf>.json. Aggregate with
-# tools/merge_sweeps.py (per-row cross-JVM median). Measurement tooling
-# only — not part of the shipped library.
+# tools/merge_sweeps.py — default statistic fast2 (mean of the two
+# fastest JVMs; --stat=median is the comparison mode). Measurement
+# tooling only — not part of the shipped library.
+#
+# Before the first JVM the input parquet is read once to /dev/null: the
+# r16 marathon measured the first ~5 serial JVMs on a cold box paying
+# 2-4x on IO-adjacent rows while the page cache fills — a machine-
+# lifetime bias fast2 absorbs but a pre-read removes at the source.
 #
 # The JVM flags replicate build.sbt's forked-run options exactly
 # (JDK17 add-opens, Xms=Xmx pinned heap) so a java-launched sweep is
@@ -24,6 +30,8 @@ for p in sun.nio.ch sun.nio.cs sun.security.action sun.util.calendar; do
   ADD_OPENS="$ADD_OPENS --add-opens java.base/$p=ALL-UNNAMED"
 done
 CP="target/scala-2.13/classes:/opt/spark/jars/*"
+echo "[sweep] page-cache pre-read of $SF_DIR" >&2
+cat "$SF_DIR"/*.parquet > /dev/null 2>&1 || true
 for i in $(seq 1 "$K"); do
   d="$OUT_DIR/jvm$i"
   mkdir -p "$d"
