@@ -64,12 +64,23 @@ object GraphRank {
       sym.join(sym.groupBy("src").agg(count(lit(1)).as("deg")), Seq("src")))
     val edges = edgesH.df
     var ranksH: Option[graft.core.Frontier] = None
-    var ranks = edges.select(col("src").as("id")).distinct()
-      .withColumn("r", lit(Scale))
-    (1 to iters).foreach { _ =>
-      val nextH = Materialize.frontierHandle(
-        edges.join(ranks, edges("src") === ranks("id"))
+    var ranks: DataFrame = null
+    (1 to iters).foreach { i =>
+      // iteration 1's rank table would be the constant Scale for every
+      // node (uniform init), so joining it in is an algebraic no-op: the
+      // contribution is Scale div deg straight off the degree-annotated
+      // edge table. Skipping the join also removes the init rank table's
+      // node-set distinct — two shuffles of the edge list gone per call
+      // (guide §2.4: remove exchanges the algebra doesn't require). In a
+      // symmetrized self-loop-free graph every node appears as a dst, so
+      // the iteration-1 output covers exactly the nodes the explicit
+      // uniform table covered.
+      val contrib =
+        if (i == 1) edges.select(col("dst"), expr(s"$Scale div deg").as("c"))
+        else edges.join(ranks, edges("src") === ranks("id"))
           .select(col("dst"), expr("r div deg").as("c"))
+      val nextH = Materialize.frontierHandle(
+        contrib
           .groupBy("dst")
           .agg(sum(col("c")).as("s"))
           .select(col("dst").as("id"),

@@ -94,7 +94,7 @@ final class JobRepo(spark: SparkSession, path: String,
 
   private def append(jobs: Seq[Job]): Unit = {
     jobs.toDF().withColumn("seq", lit(JobRepo.nextSeq()))
-      .repartition(1).write.mode(SaveMode.Append).parquet(path)
+      .coalesce(1).write.mode(SaveMode.Append).parquet(path)
     // each append adds one file; fold the log back to one when it crowds
     // so per-read cost stays bounded between explicit compact() calls
     if (autoCompactFiles > 0) {
@@ -162,7 +162,7 @@ final class JobRepo(spark: SparkSession, path: String,
       row.getAs[Long]("created_at"), row.getAs[Long]("updated_at"))
     val kept = rows.filter(row => keep(toJob(row)))
     spark.createDataFrame(java.util.Arrays.asList(kept: _*), latestDf.schema)
-      .repartition(1).write.mode(SaveMode.Append).parquet(path)
+      .coalesce(1).write.mode(SaveMode.Append).parquet(path)
     val f = fs()
     before.foreach(p => f.delete(p, false))
     fileCountCache = logFiles().size
@@ -208,7 +208,10 @@ final class Checkpoints(spark: SparkSession, path: String) {
 
   def save(cp: DataFrame): Unit =
     cp.select("symbol", "last_ts_ns")
-      .repartition(1).write.mode(SaveMode.Overwrite).parquet(path)
+      // coalesce, not repartition: these are dimension-scale metadata
+      // rows — a single narrow task writes them without the exchange a
+      // repartition(1) inserts (one fewer stage per save/append)
+      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(path)
 
   /** Resume point for a job window [startNs, endNs): checkpoint + 1 bar if
     * valid, else job start (ref: services.py:476-491 validation).

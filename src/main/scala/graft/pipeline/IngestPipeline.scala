@@ -34,32 +34,39 @@ final class IngestPipeline(
     * same job replaces its own partitions (T8).
     */
   def runJob(bars: DataFrame, jobId: String): (Long, Long) = {
-    val (clean, errors) = RuleSet.split(bars)
-    val cached = clean.cache()
+    // ONE validation-context pass, cached: the clean rows, every resample
+    // frame AND the error report read this cache. Previously the errors
+    // branch re-derived source + per-symbol window from scratch (a second
+    // full pass + exchange — guide §2.4: share the exchange) and the
+    // clean/error counts were two extra jobs; now the clean count rides
+    // the raw write's own scan via Observation (guide §1.2: don't pay an
+    // extra pass for a number an existing action already computes) and
+    // the error count is a cache-backed scan that replaces the old
+    // frontier materialization + count pair.
+    val ctx = RuleSet.withContext(bars).cache()
     try {
+      val (clean, errors) = RuleSet.splitCtx(ctx)
+      import org.apache.spark.sql.functions.{count, lit}
+      val cleanObs = new org.apache.spark.sql.Observation()
       // compactPartitions: without it each of the shuffle tasks writes a
       // sliver into every (frame, symbol, date) dir -> tens of thousands
       // of tiny files per job; with it, one file per partition (the
       // pre-write shuffle is tiny relative to file-open cost)
-      rawStore.write(cached, FrameSpec.F1m, compactPartitions = true)
+      rawStore.write(clean.observe(cleanObs, count(lit(1)).as("n")),
+        FrameSpec.F1m, compactPartitions = true)
       // all frames in ONE write: union the resampled frames (each tagged
       // with its frame partition value) -> single job, single commit
-      import org.apache.spark.sql.functions.lit
       val allFrames = frames.map { f =>
-        val agg = if (f.name == "1d") Resampler.resampleDaily(cached)
-                  else Resampler.resample(cached, f)
+        val agg = if (f.name == "1d") Resampler.resampleDaily(clean)
+                  else Resampler.resample(clean, f)
         agg.withColumn("frame", lit(f.name))
       }.reduce(_ unionByName _)
       aggStore.writeFrames(allFrames, compactPartitions = true)
-      // frontier (localCheckpoint locally): materialized once, GC-cleaned,
-      // no session-long pin; scale path spills to scratch table/replicated
-      // disk (same rationale as ScdMerge)
-      val errMat = graft.core.Materialize.frontier(errors)
-      val nErr = errMat.count()
-      CsvReportSink.write(errMat, reportRoot, jobId) // header-only when clean
+      val nErr = errors.count() // cache-backed; no frontier needed anymore
+      CsvReportSink.write(errors, reportRoot, jobId, knownCount = Some(nErr))
       views.refreshViews()
-      (cached.count(), nErr)
-    } finally cached.unpersist()
+      (cleanObs.get("n").asInstanceOf[Long], nErr)
+    } finally ctx.unpersist()
   }
 
   /** Ad-hoc SQL over the refreshed bars_* views. */
@@ -85,12 +92,16 @@ final class IngestPipeline(
         val agg = if (f.name == "1d") Resampler.resampleDaily(cached)
                   else Resampler.resample(cached, f)
         agg.withColumn("frame", lit(f.name))
-      }.reduce(_ unionByName _).cache()
-      try {
-        aggStore.writeFrames(allFrames, compactPartitions = true)
-        views.refreshViews()
-        allFrames.count()
-      } finally allFrames.unpersist()
+      }.reduce(_ unionByName _)
+      // the written-row count rides the write's own scan (Observation) —
+      // allFrames is consumed exactly once, so the old cache + separate
+      // count() pass bought nothing but an extra job and pinned blocks
+      import org.apache.spark.sql.functions.count
+      val obs = new org.apache.spark.sql.Observation()
+      aggStore.writeFrames(allFrames.observe(obs, count(lit(1)).as("n")),
+        compactPartitions = true)
+      views.refreshViews()
+      obs.get("n").asInstanceOf[Long]
     } finally cached.unpersist()
   }
 }

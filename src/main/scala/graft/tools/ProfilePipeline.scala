@@ -22,17 +22,22 @@ object ProfilePipeline {
     val base = java.nio.file.Files.createTempDirectory("prof").toString
     val bars = SyntheticSource.bars(spark, Seq("AAPL"), 1704202200000000000L, 252 * 390)
     t("gen_count")(bars.count())
-    val (clean, errors) = RuleSet.split(bars)
-    val cached = clean.cache()
-    t("validate_cache_count")(cached.count())
-    t("raw_write")(new graft.storage.ParquetStore(spark, s"$base/raw").write(cached, FrameSpec.F1m, compactPartitions = true))
+    // mirrors IngestPipeline.runJob's r17 shape: one cached validation
+    // context; the raw write fills the cache and carries the clean count
+    val ctx = RuleSet.withContext(bars).cache()
+    val (clean, errors) = RuleSet.splitCtx(ctx)
+    val obs = new org.apache.spark.sql.Observation()
+    t("raw_write_fills_cache")(new graft.storage.ParquetStore(spark, s"$base/raw")
+      .write(clean.observe(obs, count(lit(1)).as("n")), FrameSpec.F1m, compactPartitions = true))
     val allFrames = FrameSpec.defaults.map { f =>
-      val agg = if (f.name == "1d") Resampler.resampleDaily(cached) else Resampler.resample(cached, f)
+      val agg = if (f.name == "1d") Resampler.resampleDaily(clean) else Resampler.resample(clean, f)
       agg.withColumn("frame", lit(f.name))
     }.reduce(_ unionByName _)
     t("agg_write")(new graft.storage.ParquetStore(spark, s"$base/agg").writeFrames(allFrames, compactPartitions = true))
     t("errors_count")(errors.count())
     t("views")(new graft.views.ViewCatalog(spark, s"$base/agg").refreshViews())
+    t("clean_count_from_obs")(obs.get("n"))
+    ctx.unpersist()
     spark.stop()
   }
 }

@@ -14,7 +14,13 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object CsvReportSink {
 
-  def write(errors: DataFrame, reportRoot: String, jobId: String): Unit = {
+  /** `knownCount`: a caller that already holds the error count (e.g. from
+    * an Observation riding another action) passes it here so the
+    * header-only decision costs zero extra jobs; None falls back to an
+    * `isEmpty` probe.
+    */
+  def write(errors: DataFrame, reportRoot: String, jobId: String,
+            knownCount: Option[Long] = None): Unit = {
     // clear any previous run's report first: a re-run with different (or
     // zero) error symbols must not leave stale per-symbol files behind —
     // and the session may be in dynamic partition-overwrite mode, which
@@ -22,7 +28,7 @@ object CsvReportSink {
     val dir = new Path(s"$reportRoot/$jobId")
     val fs = dir.getFileSystem(errors.sparkSession.sparkContext.hadoopConfiguration)
     if (fs.exists(dir)) fs.delete(dir, true)
-    if (errors.isEmpty) {
+    if (knownCount.map(_ == 0L).getOrElse(errors.isEmpty)) {
       // reference parity: an empty report still materializes with a header
       val out = fs.create(new Path(dir, "empty.csv"), true)
       out.write((errors.columns.mkString(",") + "\n").getBytes("UTF-8"))

@@ -52,24 +52,37 @@ object RuleSet {
       .withColumn("dup_count", count(lit(1)).over(peers))
   }
 
-  /** All error rows (symbol, ts_ns, reason) for a bars DataFrame. */
-  def validate(bars: DataFrame): DataFrame = {
+  /** Error rows (symbol, ts_ns, reason) from a frame that ALREADY carries
+    * the [[withContext]] columns — the shared-context half of [[splitCtx]].
+    */
+  private def errorsFromCtx(ctx: DataFrame): DataFrame = {
     val reasons = array(rules.map { case (name, pred) =>
       when(pred, lit(name)).otherwise(lit(null).cast("string"))
     }: _*)
-    withContext(bars)
+    ctx
       .withColumn("reason", explode(filter(reasons, _.isNotNull)))
       .select("symbol", "ts_ns", "reason")
   }
 
-  /** Split into (clean, errors): clean rows are those with no error at all. */
-  def split(bars: DataFrame): (DataFrame, DataFrame) = {
+  /** All error rows (symbol, ts_ns, reason) for a bars DataFrame. */
+  def validate(bars: DataFrame): DataFrame = errorsFromCtx(withContext(bars))
+
+  /** Split a frame that ALREADY carries the [[withContext]] columns into
+    * (clean, errors). Both branches derive from the SAME plan node, so a
+    * caller that caches `ctx` pays the per-symbol window exchange+sort
+    * once for the whole job — clean rows, every resample frame, and the
+    * error report all read the cached context instead of re-deriving
+    * source + window per branch.
+    */
+  def splitCtx(ctx: DataFrame): (DataFrame, DataFrame) = {
     val anyError = rules.map(_._2).reduce(_ || _)
-    val ctx = withContext(bars)
     val clean = ctx.where(!coalesce(anyError, lit(false)))
       .select("symbol", "ts_ns", "open", "high", "low", "close", "volume")
-    (clean, validate(bars))
+    (clean, errorsFromCtx(ctx))
   }
+
+  /** Split into (clean, errors): clean rows are those with no error at all. */
+  def split(bars: DataFrame): (DataFrame, DataFrame) = splitCtx(withContext(bars))
 
   /** Top-K error reasons (ref: validation/infrastructure/repositories.py:138-143). */
   def topErrors(errors: DataFrame, k: Int = 5): DataFrame =
