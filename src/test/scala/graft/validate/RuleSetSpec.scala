@@ -76,6 +76,30 @@ class RuleSetSpec extends SparkSpec {
     assert(errors.count() == 1)
   }
 
+  test("splitCtx over a cached context: errors re-use the cache (no second window) and equal validate()") {
+    val s = spark; import s.implicits._
+    val bad = ok(1).copy(volume = -5L)
+    val bars = Seq(ok(0), bad, ok(2)).toDF()
+    val ctx = RuleSet.withContext(bars).cache()
+    try {
+      val (clean, errors) = RuleSet.splitCtx(ctx)
+      clean.count() // fill the cache the way runJob's raw write does
+      val plan = errors.queryExecution.executedPlan.toString
+      // the r17 pipeline contract: the errors branch reads the one cached
+      // context instead of re-deriving source + per-symbol window
+      assert(plan.contains("InMemoryTableScan"), s"expected cache scan:\n$plan")
+      // the InMemoryRelation node renders its STORED plan (which built the
+      // cache and rightly contains the one Window) — only the live portion
+      // above it must be window-free
+      val live = plan.split("InMemoryRelation")(0)
+      assert(!live.contains("Window"), s"expected no second window pass:\n$plan")
+      // and branch results equal the one-shot API exactly
+      assert(errors.collect().map(_.toSeq).toSet ==
+        RuleSet.validate(bars).collect().map(_.toSeq).toSet)
+      assert(clean.count() == 2)
+    } finally ctx.unpersist()
+  }
+
   test("plan shape: all window rules share ONE symbol exchange") {
     val s = spark; import s.implicits._
     val plan = RuleSet.validate(Seq(ok(0), ok(1), ok(2)).toDF())

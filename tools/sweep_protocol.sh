@@ -36,8 +36,12 @@ for i in $(seq 1 "$K"); do
   d="$OUT_DIR/jvm$i"
   mkdir -p "$d"
   echo "[sweep] JVM $i/$K -> $d" >&2
+  # env(1), not a bare VAR=val word: an assignment produced by ${:+}
+  # expansion is NOT recognized as an assignment by the shell (assignment
+  # detection precedes parameter expansion), so the previous form made
+  # subset sweeps die with "SPARK_GRAFT_ONLY=...: command not found"
   SPARK_GRAFT_RUNS=1 SPARK_GRAFT_SF_DIR="$SF_DIR" SPARK_GRAFT_BENCH_OUT="$d" \
-    ${SPARK_GRAFT_ONLY:+SPARK_GRAFT_ONLY="$SPARK_GRAFT_ONLY"} \
+    env ${SPARK_GRAFT_ONLY:+SPARK_GRAFT_ONLY="$SPARK_GRAFT_ONLY"} \
     java -Xms"$HEAP" -Xmx"$HEAP" $ADD_OPENS \
       -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
       -cp "$CP" graft.Bench > "$d/stdout.log" 2> "$d/stderr.log" \
