@@ -21,9 +21,27 @@ object Bench {
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
       .getOrElse(Set.empty)
     def wanted(name: String): Boolean = only.isEmpty || only(name)
+    // Scale-adaptive shuffle partitioning (guide §2.2/§2.5): the final
+    // partition count must come from the DATA, not a constant — 32 fixed
+    // partitions at sf100 put ~600 MB of sort state in every task of the
+    // heavy joins/windows (j4_range_join measured 10 GB of disk spill and
+    // 124 s of GC per run). Raising only the AQE pre-coalesce ceiling to
+    // 8x the core count keeps the decision adaptive: AQE's
+    // parallelism-first coalescing (Spark 4 default) computes the target
+    // partition size from the actual shuffle bytes at runtime, so small
+    // inputs coalesce back to ~core-count partitions (the sf0.1 driver
+    // bench keeps its shape) while large inputs keep enough partitions to
+    // sort without spilling. Production twin: initialPartitionNum ~ a few
+    // multiples of total cluster cores; the env override exists for
+    // sweeps that need the r16 shape back.
+    val initialParts = sys.env.get("SPARK_GRAFT_INITIAL_PARTS")
+      .flatMap(_.toIntOption)
+      .getOrElse(scala.util.Try(cpus.trim.toInt).getOrElse(32) * 8)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+        initialParts.toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

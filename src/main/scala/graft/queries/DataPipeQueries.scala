@@ -104,8 +104,10 @@ object DataPipeQueries {
 
   /** documents ∪ mutated near-copies (ids +1e9, last 5 tokens dropped)
     * — guarantees the near-dup detectors have true positives to find.
+    * graft-visible so measurement tools (PlanDumpR17) can reconstruct
+    * pre-optimization plan shapes over the same fixture.
     */
-  private def docsWithNearDups(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def docsWithNearDups(s: SparkSession, dir: String): DataFrame = {
     val d = docs(s, dir)
     val t = TextAnalysis.tokens(col("text"))
     val mutated = d.where(col("doc_id") < 50)
@@ -978,9 +980,17 @@ object DataPipeQueries {
     // Cross-document winnowing matches over the near-dup fixture:
     // shared-fingerprint counts per document pair via the (fp)-keyed
     // inverted index (postings capped at 64 docs/fp, pairs >= 2 shared).
+    // r17: the aggregated pair table is frontiered before the declared
+    // ORDER BY — a global sort's range-partitioner samples its child by
+    // RE-EXECUTING it, which here re-ran the whole reduce-side pair
+    // aggregation over a 5.4 GB shuffle (measured at sf100: two stages
+    // each reading 5.4 GB and spilling 6.5 GB for one 4.7 MB result).
+    // The frontier materializes the small aggregate once; sample and
+    // sort read it back. Same rows, same order, same oracle hash.
     "d17_winnow_matches" -> ((s, dir) =>
-      Winnowing.matches(docsWithNearDups(s, dir), k = 4, w = 4,
-          minShared = 2, portable = true)
+      graft.core.Materialize.frontier(
+          Winnowing.matches(docsWithNearDups(s, dir), k = 4, w = 4,
+            minShared = 2, portable = true))
         .orderBy("id_a", "id_b")),
 
     // PMI phrase mining (word2vec-style discounted score, integer

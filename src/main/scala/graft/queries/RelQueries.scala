@@ -102,20 +102,33 @@ object RelQueries {
     // J4: point-in-time range join (ref create_symbol_views.sql:10-18):
     // each order joined to the customer's account-balance "version" —
     // here: order matched to its customer's order-sequence interval.
+    //
+    // r17: computed as a backward as-of join, not an interval join. The
+    // intervals are ADJACENT by construction (valid_to = lead(valid_from)
+    // per custkey), so "l_shipdate in [valid_from, valid_to)" is exactly
+    // "the version with the greatest valid_from <= l_shipdate" — including
+    // duplicate valid_from values, where only the greatest version_key
+    // owns a non-empty interval and AsofJoin's max-payload tie-break picks
+    // the same winner. The r16 shape (equi-join on custkey + range
+    // post-filter) streamed |versions_per_cust| × |lineitems_per_cust|
+    // rows per customer through the filter (~400/cust, 6.0e9 intermediate
+    // rows at sf100, measured 10 GB spill / 124 s GC); the as-of window
+    // pass is one sort of |versions|+|probes| rows with zero expansion
+    // (guide §3.3: avoid exploding joins). Result equality pinned by the
+    // unchanged DuckDB oracle row and AsofJoinSpec's interval-equivalence
+    // test (duplicate valid_from, pre-first-version probes).
     "j4_range_join" -> ((s, dir) => {
       val versions = t(s, dir, "orders")
-        .select(col("o_custkey").as("v_custkey"), col("o_orderdate").as("valid_from"),
+        .select(col("o_custkey").as("k"), col("o_orderdate").as("ts"),
           col("o_orderkey").as("version_key"))
-        .withColumn("valid_to",
-          lead(col("valid_from"), 1).over(
-            Window.partitionBy("v_custkey").orderBy(col("valid_from"), col("version_key"))))
-      val li = t(s, dir, "lineitem")
-        .join(t(s, dir, "orders").select("o_orderkey", "o_custkey", "o_orderdate"),
+      val probes = t(s, dir, "lineitem")
+        .select("l_orderkey", "l_shipdate")
+        .join(t(s, dir, "orders").select("o_orderkey", "o_custkey"),
           col("l_orderkey") === col("o_orderkey"))
-      li.join(versions,
-          col("o_custkey") === col("v_custkey") &&
-          col("l_shipdate") >= col("valid_from") &&
-          (col("valid_to").isNull || col("l_shipdate") < col("valid_to")))
+        .select(col("o_custkey").as("k"), col("l_shipdate").as("ts"))
+      graft.joins.AsofJoin.asofJoin(probes, versions,
+          on = "ts", by = Seq("k"), rightCols = Seq("version_key"))
+        .where(col("version_key").isNotNull) // pre-first-version probes: inner-join drop
         .groupBy("version_key")
         .agg(count(lit(1)).as("n_lineitems"))
         .orderBy("version_key")

@@ -68,6 +68,76 @@ object PlanDumpR17 {
     dump("g1_pagerank_iter1_after", iterate(
       edges.select(col("dst"), expr(s"${graft.datapipe.GraphRank.Scale} div deg").as("c"))))
 
+    // ---- d6 decontamination: two-branch rescan vs single-pass ----
+    // before (r16 shape): the broadcast contamination join `matched` was
+    // consumed by TWO separate distinct-then-count branches; because the
+    // join is map-side (no exchange to reuse) each branch re-tokenized and
+    // re-shingled the ENTIRE corpus. after: both distinct counts come from
+    // ONE collect_set aggregation — one corpus scan, one contamination-
+    // proportional exchange.
+    locally {
+      val docs = spark.range(0, 200).selectExpr(
+        "id as doc_id",
+        "concat('alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu nu xi doc', id) as text")
+      val bench = spark.range(0, 5).selectExpr(
+        "id as bench_id",
+        "'alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu nu xi' as text")
+      val n = 13
+      val docSh = graft.datapipe.Dedup.shingles(docs, n, "text", "doc_id")
+      val benchSh = graft.datapipe.Dedup.shingles(
+          bench.withColumnRenamed("text", "__btext"), n, "__btext", "bench_id")
+        .withColumnRenamed("shingle", "__bshingle")
+      val matched = docSh
+        .join(broadcast(benchSh), col("shingle") === col("__bshingle"))
+      val ngramHits = matched.select(col("doc_id"), col("shingle")).distinct()
+        .groupBy("doc_id").agg(count(lit(1)).as("n_matched_ngrams"))
+      val benchHits = matched.select(col("doc_id"), col("bench_id")).distinct()
+        .groupBy("doc_id").agg(count(lit(1)).as("n_benchmarks"))
+      dump("d6_decontaminate_before",
+        ngramHits.join(benchHits, Seq("doc_id")).where(col("n_matched_ngrams") >= 1))
+      dump("d6_decontaminate_after",
+        graft.datapipe.Decontaminate.contaminated(docs, bench, n = n))
+    }
+
+    // ---- j4_range_join: interval join vs backward as-of ----
+    // before (r16 shape): equi-join on custkey + range post-filter —
+    // streams |versions| x |lineitems| rows per customer through the
+    // filter (6.0e9 intermediate rows at sf100, 10 GB spill / 124 s GC
+    // measured). after: AsofJoin union+window — one sort, zero expansion.
+    locally {
+      val dir = "/root/testdata/sf0.01"
+      def t(n: String) = graft.core.Tables.load(spark, dir, n)
+      val versionsOld = t("orders")
+        .select(col("o_custkey").as("v_custkey"), col("o_orderdate").as("valid_from"),
+          col("o_orderkey").as("version_key"))
+        .withColumn("valid_to",
+          lead(col("valid_from"), 1).over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy("v_custkey").orderBy(col("valid_from"), col("version_key"))))
+      val liOld = t("lineitem")
+        .join(t("orders").select("o_orderkey", "o_custkey", "o_orderdate"),
+          col("l_orderkey") === col("o_orderkey"))
+      dump("j4_range_join_before",
+        liOld.join(versionsOld,
+            col("o_custkey") === col("v_custkey") &&
+            col("l_shipdate") >= col("valid_from") &&
+            (col("valid_to").isNull || col("l_shipdate") < col("valid_to")))
+          .groupBy("version_key")
+          .agg(count(lit(1)).as("n_lineitems"))
+          .orderBy("version_key"))
+      dump("j4_range_join_after",
+        graft.SparkEntry.queries("j4_range_join")(spark, dir))
+
+      // ---- d17_winnow_matches: orderBy sample re-execution vs frontier ----
+      dump("d17_winnow_matches_before",
+        graft.datapipe.Winnowing.matches(
+            graft.queries.DataPipeQueries.docsWithNearDups(spark, dir),
+            k = 4, w = 4, minShared = 2, portable = true)
+          .orderBy("id_a", "id_b"))
+      dump("d17_winnow_matches_after",
+        graft.SparkEntry.queries("d17_winnow_matches")(spark, dir))
+    }
+
     // ---- JobRepo.append single-row metadata write ----
     // before: repartition(1) -> Exchange SinglePartition ahead of the
     // write; after: coalesce(1) — no exchange, one narrow task.

@@ -41,8 +41,17 @@ object ProfCurateRoute {
       spark.sharedState.cacheManager.clearCache()
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
     }
-    drive("default", graft.datapipe.Curate.Config())
-    drive("autoroute", graft.datapipe.Curate.Config(autoRouteNearDup = true))
+    // args select the paths to drive (default: both). At sf100 the
+    // exhaustive default path is the Σdf² intrinsic the routing exists to
+    // avoid (~10× the sf10 273.8 s) — run `autoroute` alone there; the
+    // crossover evidence is the up-front pair-budget signal the routed
+    // run itself prints.
+    val modes = if (args.nonEmpty) args.toSeq else Seq("default", "autoroute")
+    modes.foreach {
+      case "default"   => drive("default", graft.datapipe.Curate.Config())
+      case "autoroute" => drive("autoroute", graft.datapipe.Curate.Config(autoRouteNearDup = true))
+      case other       => sys.error(s"unknown mode: $other")
+    }
     spark.stop()
   }
 }

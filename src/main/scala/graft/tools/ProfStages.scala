@@ -31,6 +31,14 @@ object ProfStages {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // mirror Bench's r17 scale-adaptive session config so profiles
+      // explain the numbers the bench actually measures; env overrides
+      // allow A/B-ing a single conf from the command line
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+        sys.env.getOrElse("SPARK_GRAFT_INITIAL_PARTS",
+          (scala.util.Try(cpus.trim.toInt).getOrElse(32) * 8).toString))
+      .config("spark.sql.join.preferSortMergeJoin",
+        sys.env.getOrElse("SPARK_GRAFT_PREFER_SMJ", "true"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

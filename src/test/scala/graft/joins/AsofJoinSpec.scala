@@ -87,6 +87,42 @@ class AsofJoinSpec extends SparkSpec {
     }
   }
 
+  test("adjacent-interval containment equals backward as-of (the r17 j4 rewrite contract)") {
+    // versions with: a duplicate valid_from (only the greatest version_key
+    // owns a non-empty interval), an open last interval (valid_to null),
+    // and probes before the first version (match nothing)
+    val versions = Seq(
+      ("a", 10L, 1L), ("a", 10L, 2L), ("a", 20L, 3L), // dup valid_from at 10
+      ("b", 50L, 4L)
+    ).toDF("k", "ts", "version_key")
+    val probes = Seq(
+      ("a", 5L),  // before first version -> dropped
+      ("a", 10L), ("a", 12L), // inside [10,20) -> version 2 (dup winner)
+      ("a", 20L), ("a", 99L), // open last interval -> version 3
+      ("b", 49L), // before first version -> dropped
+      ("b", 50L), ("b", 60L)  // -> version 4
+    ).toDF("k", "ts")
+    // reference: the explicit interval join (the pre-r17 j4 shape)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("k").orderBy(col("ts"), col("version_key"))
+    val iv = versions
+      .withColumn("valid_to", lead(col("ts"), 1).over(w))
+      .withColumnRenamed("ts", "valid_from")
+      .withColumnRenamed("k", "vk")
+    val expected = probes.join(iv,
+        col("k") === col("vk") && col("ts") >= col("valid_from") &&
+          (col("valid_to").isNull || col("ts") < col("valid_to")))
+      .groupBy("version_key").agg(count(lit(1)).as("n"))
+      .orderBy("version_key").as[(Long, Long)].collect()
+    val actual = AsofJoin.asofJoin(probes, versions,
+        on = "ts", by = Seq("k"), rightCols = Seq("version_key"))
+      .where(col("version_key").isNotNull)
+      .groupBy("version_key").agg(count(lit(1)).as("n"))
+      .orderBy("version_key").as[(Long, Long)].collect()
+    assert(actual === expected)
+    assert(actual === Seq((2L, 2L), (3L, 2L), (4L, 2L))) // v1's empty interval matches nothing
+  }
+
   test("plan has exactly one Exchange per side and no join operator") {
     val out = AsofJoin.asofJoin(left, right, on = "t", by = Seq("k"),
       rightCols = Seq("v"))
