@@ -109,8 +109,14 @@ object AsofJoin {
     def spec(dir: String) = {
       val onOrd = if (dir == "backward") col("__on").asc else col("__on").desc
       val tieOrd = if (allowExactMatches) col("__is_left").asc else col("__is_left").desc
+      // the right-duplicate tie-break orders by __r's FIELDS, not the
+      // struct value: identical lexicographic order (null struct == all-
+      // null fields, and left/right rows are already separated by the tag
+      // layer), but plain-column sort keys stay on the codegen'd
+      // comparator path where a struct comparator does not
+      val rTie = col(s"__r.$on").asc +: rightCols.map(c => col(s"__r.$c").asc)
       Window.partitionBy(by.map(col): _*)
-        .orderBy(onOrd, tieOrd, col("__r").asc)
+        .orderBy((Seq(onOrd, tieOrd) ++ rTie): _*)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     }
     def within(m: Column, dir: String): Column = tolerance match {
