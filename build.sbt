@@ -45,3 +45,8 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
+// Ad-hoc flags for A/B measurement runs (e.g.
+// SPARK_GRAFT_JAVA_OPTS="-Dspark.graft.sortFrontier.enabled=false"):
+// forked mains read spark.* system properties into the session conf.
+javaOptions ++= sys.env.get("SPARK_GRAFT_JAVA_OPTS").toSeq
+  .flatMap(_.split("\\s+").filter(_.nonEmpty))

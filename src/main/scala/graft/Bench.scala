@@ -37,11 +37,24 @@ object Bench {
     val initialParts = sys.env.get("SPARK_GRAFT_INITIAL_PARTS")
       .flatMap(_.toIntOption)
       .getOrElse(scala.util.Try(cpus.trim.toInt).getOrElse(32) * 8)
+    // AQE must also size the shuffles INSIDE cached plans (r18; guide
+    // §2.2): Spark pins a cached plan's output partitioning by default,
+    // which left every .cache()'d subtree (the IngestPipeline validation
+    // context, reAggregate's bars cache) running at the RAW
+    // initialPartitionNum ceiling above — 256 tiny tasks per cached-plan
+    // shuffle — instead of byte-derived counts. Measured back-to-back at
+    // sf0.1: s9_report_roundtrip 1.99 -> 1.08 s, s5 1.20 -> 0.75,
+    // agg_reaggregate 1.45 -> 1.05; heavy non-cached rows unchanged
+    // (median-of-3 A/B committed in bench_out/r18_ab/sf10_heavy_*). Same
+    // additions-only, env-overridable class as the r17 ceiling itself.
+    val aqeCachedPlans = sys.env.getOrElse("SPARK_GRAFT_AQE_CACHED", "true")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
         initialParts.toString)
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+        aqeCachedPlans)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

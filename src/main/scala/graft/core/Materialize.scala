@@ -276,6 +276,48 @@ object Materialize {
     (h, obs.get)
   }
 
+  val SortFrontierConf = "spark.graft.sortFrontier.enabled"
+
+  /** Frontier-before-declared-ORDER-BY, suite-wide (guide §2.4/§5; r17
+    * VERDICT item 1 — the general form of the d17 fix): a global sort
+    * executes its child once for the range-partitioner's sampling pass and
+    * once for the real output pass, so every declared deterministic
+    * ORDER BY re-runs its pipeline's final (post-last-exchange) stage as
+    * pure measurement-shaped waste — d17 alone re-ran a 5.4 GB/6.5 GB-spill
+    * aggregation for a 4.7 MB result (133 s at sf100). This helper LAZILY
+    * persists the pre-sort child when — and only when — it carries real
+    * final-stage computation ([[PlanShim.cheapToRescan]] skips
+    * scan-/union-/repartition-shaped children, where the sample pass costs
+    * one re-read of already-stored bytes and a cache would just copy
+    * them). Lazy persist, NOT an eager localCheckpoint: the sampling pass
+    * itself populates the cache (RangePartitioner.sketch scans every
+    * child partition in full), so the child executes exactly once with
+    * ZERO added jobs — an eager materialization job was measured as a net
+    * +27 s across the sf0.1 sweep, its fixed job cost swamping the saved
+    * re-execution on sub-second rows. Rows, order, schema identical by
+    * construction; the oracle hash-compare pins it per query.
+    *
+    * DEFAULT OFF (`spark.graft.sortFrontier.enabled=true` opts a session
+    * in). Measured verdict, r18: the suite-wide rewrite LOSES — sf0.1
+    * +27 s (eager) / +68 s (lazy persist without AQE-in-cache) / ~neutral
+    * (persist + canChangeCachedPlanOutputPartitioning=true), sf10 net
+    * +35–67 s, because the heaviest rows' pre-sort outputs (d2 pair
+    * table, j4 per-version counts) cost more to build as columnar cache
+    * batches than their final-stage re-execution costs, while the rows
+    * that win save only fractions of a second. The sample-pass tax is
+    * real but is the FINAL post-shuffle stage only; where that stage is
+    * catastrophic the fix belongs at the specific row (d17's explicit
+    * frontier, r17 §8). Kept as an opt-in for such cases and for the
+    * committed A/B evidence (bench_out/r18_ab/, OPTIMIZATION_r18.md
+    * §1).
+    */
+  def frontierBeforeSort(df: DataFrame): DataFrame =
+    if (!df.sparkSession.conf.getOption(SortFrontierConf).exists(_.toBoolean)) df
+    else org.apache.spark.sql.graftshim.PlanShim.frontierTopSort(
+      df,
+      p => !org.apache.spark.sql.graftshim.PlanShim.cheapToRescan(p),
+      child => child.persist(StorageLevel.MEMORY_AND_DISK))
+
   /** Run `f` with a fresh [[FrontierScope]]; every frontier materialized
     * through the scope is released when `f` returns (or throws). The
     * last action on any frame derived from a scoped frontier must run

@@ -47,23 +47,59 @@ final class IngestPipeline(
     try {
       val (clean, errors) = RuleSet.splitCtx(ctx)
       import org.apache.spark.sql.functions.{count, lit}
+      // Materialize the cache with ONE job that is ALSO the error count
+      // (double duty — no extra pass): the concurrent writers below then
+      // read computed cache blocks instead of racing to compute them
+      // (concurrent FIRST use of a cold cache double-computes partitions).
+      val nErr = errors.count()
       val cleanObs = new org.apache.spark.sql.Observation()
-      // compactPartitions: without it each of the shuffle tasks writes a
-      // sliver into every (frame, symbol, date) dir -> tens of thousands
-      // of tiny files per job; with it, one file per partition (the
-      // pre-write shuffle is tiny relative to file-open cost)
-      rawStore.write(clean.observe(cleanObs, count(lit(1)).as("n")),
-        FrameSpec.F1m, compactPartitions = true)
-      // all frames in ONE write: union the resampled frames (each tagged
-      // with its frame partition value) -> single job, single commit
-      val allFrames = frames.map { f =>
-        val agg = if (f.name == "1d") Resampler.resampleDaily(clean)
-                  else Resampler.resample(clean, f)
-        agg.withColumn("frame", lit(f.name))
-      }.reduce(_ unionByName _)
-      aggStore.writeFrames(allFrames, compactPartitions = true)
-      val nErr = errors.count() // cache-backed; no frontier needed anymore
-      CsvReportSink.write(errors, reportRoot, jobId, knownCount = Some(nErr))
+      // The raw write, the frames write and the CSV report are
+      // independent consumers of the one cached context — overlap them
+      // from a small driver pool (guide §2.6: actions are only sequential
+      // because the driver calls them sequentially; the next job's tasks
+      // back-fill executors freed by the current job's tail, and the
+      // driver-side output commits overlap the other job's compute).
+      // Job descriptions are thread-local, so each job labels itself.
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(3)
+      implicit val ec: scala.concurrent.ExecutionContext =
+        scala.concurrent.ExecutionContext.fromExecutor(pool)
+      try {
+        val sc = spark.sparkContext
+        val fRaw = scala.concurrent.Future {
+          sc.setJobDescription(s"ingest $jobId: raw write")
+          // compactPartitions: without it each of the shuffle tasks writes
+          // a sliver into every (frame, symbol, date) dir -> tens of
+          // thousands of tiny files per job; with it, one file per
+          // partition (the pre-write shuffle is tiny relative to
+          // file-open cost)
+          rawStore.write(clean.observe(cleanObs, count(lit(1)).as("n")),
+            FrameSpec.F1m, compactPartitions = true)
+        }
+        val fAgg = scala.concurrent.Future {
+          sc.setJobDescription(s"ingest $jobId: frames write")
+          // all frames in ONE write: union the resampled frames (each
+          // tagged with its frame partition value) -> single job, single
+          // commit
+          val allFrames = frames.map { f =>
+            val agg = if (f.name == "1d") Resampler.resampleDaily(clean)
+                      else Resampler.resample(clean, f)
+            agg.withColumn("frame", lit(f.name))
+          }.reduce(_ unionByName _)
+          aggStore.writeFrames(allFrames, compactPartitions = true)
+        }
+        val fCsv = scala.concurrent.Future {
+          sc.setJobDescription(s"ingest $jobId: error report")
+          CsvReportSink.write(errors, reportRoot, jobId, knownCount = Some(nErr))
+        }
+        // wait for ALL THREE before failing: throwing while a sibling
+        // write is in flight would hand a half-committed job to the
+        // caller's recovery logic; dynamic partition overwrite keeps the
+        // re-run idempotent either way
+        val all = Seq(fRaw, fAgg, fCsv)
+        all.foreach(f => scala.concurrent.Await.ready(
+          f, scala.concurrent.duration.Duration.Inf))
+        all.foreach(_.value.get.get) // rethrow the first failure, if any
+      } finally pool.shutdown()
       views.refreshViews()
       (cleanObs.get("n").asInstanceOf[Long], nErr)
     } finally ctx.unpersist()

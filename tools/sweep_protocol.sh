@@ -44,6 +44,7 @@ for i in $(seq 1 "$K"); do
     env ${SPARK_GRAFT_ONLY:+SPARK_GRAFT_ONLY="$SPARK_GRAFT_ONLY"} \
     java -Xms"$HEAP" -Xmx"$HEAP" $ADD_OPENS \
       -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
+      ${SPARK_GRAFT_JAVA_OPTS:-} \
       -cp "$CP" graft.Bench > "$d/stdout.log" 2> "$d/stderr.log" \
     || { echo "[sweep] JVM $i FAILED — see $d/stderr.log" >&2; exit 1; }
   tail -1 "$d/stdout.log" >&2
