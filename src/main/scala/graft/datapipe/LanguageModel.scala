@@ -269,13 +269,44 @@ object LanguageModel {
     val sharedV = targetUnigrams.select("token")
       .union(sourceUnigrams.select("token"))
       .distinct().agg(count(lit(1)).as("__v"))
-    val t = score(candidates, targetUnigrams, targetBigrams,
-        textCol, idCol, Some(sharedV))
-      .select(col(idCol), col("mean_logp_micro").as("target_logp_micro"))
-    val s = score(candidates, sourceUnigrams, sourceBigrams,
-        textCol, idCol, Some(sharedV))
-      .select(col(idCol), col("mean_logp_micro").as("source_logp_micro"))
-    t.join(s, Seq(idCol))
+    // ONE scoring pass for BOTH models (r18; guide §1.2 — two [[score]]
+    // calls each re-derived the exploded candidate pairs and shuffled
+    // them by (w1, w2) and by (w1) separately, then re-joined the two
+    // score tables on id: stage-profiled at sf10 as the two dominant
+    // steady-state stages, ~75-98 s task-time EACH, on identical
+    // inputs). Joining both models' tables off one pair frame keys the
+    // two bigram joins (and the two unigram joins) identically, so each
+    // exchange of the pair frame is planned once and both per-model
+    // log-probs come out of a single per-doc aggregate — the id-join
+    // disappears. Per-model arithmetic is byte-identical to [[score]]
+    // (same smoothing, same clamp, same floor-mean), so the selected
+    // set and every emitted score match the oracle unchanged.
+    val scored = bigramPairs(candidates, textCol, idCol)
+      .join(targetBigrams.select(col("w1"), col("w2"), col("n_bg").as("__t_nbg")),
+        Seq("w1", "w2"), "left")
+      .join(sourceBigrams.select(col("w1"), col("w2"), col("n_bg").as("__s_nbg")),
+        Seq("w1", "w2"), "left")
+      .join(targetUnigrams.select(col("token").as("w1"), col("n_w").as("__t_nw")),
+        Seq("w1"), "left")
+      .join(sourceUnigrams.select(col("token").as("w1"), col("n_w").as("__s_nw")),
+        Seq("w1"), "left")
+      .crossJoin(broadcast(sharedV))
+      .withColumn("__t_logp", QualityClassifier.quantLog(least(lit(1.0),
+        (coalesce(col("__t_nbg"), lit(0L)) + 1L).cast("double") /
+          (coalesce(col("__t_nw"), lit(0L)) + col("__v")).cast("double"))))
+      .withColumn("__s_logp", QualityClassifier.quantLog(least(lit(1.0),
+        (coalesce(col("__s_nbg"), lit(0L)) + 1L).cast("double") /
+          (coalesce(col("__s_nw"), lit(0L)) + col("__v")).cast("double"))))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("__n"),
+        sum(col("__t_logp")).as("__t_sum"),
+        sum(col("__s_logp")).as("__s_sum"))
+      .select(col(idCol),
+        floor(col("__t_sum").cast("double") / col("__n").cast("double"))
+          .cast("long").as("target_logp_micro"),
+        floor(col("__s_sum").cast("double") / col("__n").cast("double"))
+          .cast("long").as("source_logp_micro"))
+    scored
       .withColumn("ml_score_micro",
         col("target_logp_micro") - col("source_logp_micro"))
       .orderBy(desc("ml_score_micro"), col(idCol))

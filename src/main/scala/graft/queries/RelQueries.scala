@@ -103,32 +103,70 @@ object RelQueries {
     // each order joined to the customer's account-balance "version" —
     // here: order matched to its customer's order-sequence interval.
     //
-    // r17: computed as a backward as-of join, not an interval join. The
-    // intervals are ADJACENT by construction (valid_to = lead(valid_from)
-    // per custkey), so "l_shipdate in [valid_from, valid_to)" is exactly
-    // "the version with the greatest valid_from <= l_shipdate" — including
+    // SCALE-ROUTED between two result-identical plans (r18; VERDICT r17
+    // item 3 — the d2/d2b routing pattern applied to the join strategy):
+    //
+    //   - interval plan (the r16 shape): equi-join on custkey + range
+    //     post-filter against adjacent [valid_from, valid_to) intervals.
+    //     Streams |versions_per_cust| × |probes_per_cust| rows per
+    //     customer through the filter — ~2× FASTER than the as-of plan
+    //     at mid scale (sf10 measured 7.7 vs 14.3 s fast2, r17), but the
+    //     expansion is superlinear in scale (6.0e9 intermediate rows,
+    //     10 GB spill, 124 s GC per run at sf100).
+    //   - as-of plan (the r17 shape): union + one window pass via
+    //     AsofJoin — zero row expansion, sf100 spill 0, decade ratio
+    //     8.2× (sublinear), but its union sort constants lose to the
+    //     interval plan's cheap expansion at mid scale.
+    //
+    // The route keys on the optimizer's size estimate of the VERSIONS
+    // side (a pure scan → ≈ file bytes; NOT a testdata path): expansion
+    // risk grows with the version table, so small versions take the
+    // interval plan and at-scale versions the as-of plan. Threshold
+    // `spark.graft.j4.intervalMaxBytes` (default 512 MB: sf10's 240 MB
+    // orders routes interval, sf100's 1.8 GB routes as-of; a 100 TB
+    // orders table is 3 orders of magnitude past it). Equality of the
+    // two plans: the intervals are ADJACENT by construction (valid_to =
+    // lead(valid_from) per custkey), so interval containment ≡ "the
+    // version with the greatest valid_from <= l_shipdate" — including
     // duplicate valid_from values, where only the greatest version_key
-    // owns a non-empty interval and AsofJoin's max-payload tie-break picks
-    // the same winner. The r16 shape (equi-join on custkey + range
-    // post-filter) streamed |versions_per_cust| × |lineitems_per_cust|
-    // rows per customer through the filter (~400/cust, 6.0e9 intermediate
-    // rows at sf100, measured 10 GB spill / 124 s GC); the as-of window
-    // pass is one sort of |versions|+|probes| rows with zero expansion
-    // (guide §3.3: avoid exploding joins). Result equality pinned by the
-    // unchanged DuckDB oracle row and AsofJoinSpec's interval-equivalence
-    // test (duplicate valid_from, pre-first-version probes).
+    // owns a non-empty interval and AsofJoin's max-payload tie-break
+    // picks the same winner — pinned by AsofJoinSpec's
+    // interval-equivalence test and the unchanged DuckDB oracle row
+    // (which exercises the interval branch at oracle scale; both
+    // branches are bit-identical on the same inputs).
     "j4_range_join" -> ((s, dir) => {
-      val versions = t(s, dir, "orders")
+      val intervalMax = s.conf.getOption("spark.graft.j4.intervalMaxBytes")
+        .flatMap(_.toLongOption).getOrElse(512L << 20)
+      val versionsBase = t(s, dir, "orders")
         .select(col("o_custkey").as("k"), col("o_orderdate").as("ts"),
           col("o_orderkey").as("version_key"))
-      val probes = t(s, dir, "lineitem")
-        .select("l_orderkey", "l_shipdate")
-        .join(t(s, dir, "orders").select("o_orderkey", "o_custkey"),
-          col("l_orderkey") === col("o_orderkey"))
-        .select(col("o_custkey").as("k"), col("l_shipdate").as("ts"))
-      graft.joins.AsofJoin.asofJoin(probes, versions,
-          on = "ts", by = Seq("k"), rightCols = Seq("version_key"))
-        .where(col("version_key").isNotNull) // pre-first-version probes: inner-join drop
+      val matched =
+        if (graft.core.Materialize.estimateBytes(versionsBase) <= intervalMax) {
+          val versions = versionsBase
+            .withColumnRenamed("k", "v_custkey")
+            .withColumnRenamed("ts", "valid_from")
+            .withColumn("valid_to", lead(col("valid_from"), 1).over(
+              Window.partitionBy("v_custkey")
+                .orderBy(col("valid_from"), col("version_key"))))
+          t(s, dir, "lineitem")
+            .select("l_orderkey", "l_shipdate")
+            .join(t(s, dir, "orders").select("o_orderkey", "o_custkey"),
+              col("l_orderkey") === col("o_orderkey"))
+            .join(versions,
+              col("o_custkey") === col("v_custkey") &&
+                col("l_shipdate") >= col("valid_from") &&
+                (col("valid_to").isNull || col("l_shipdate") < col("valid_to")))
+        } else {
+          val probes = t(s, dir, "lineitem")
+            .select("l_orderkey", "l_shipdate")
+            .join(t(s, dir, "orders").select("o_orderkey", "o_custkey"),
+              col("l_orderkey") === col("o_orderkey"))
+            .select(col("o_custkey").as("k"), col("l_shipdate").as("ts"))
+          graft.joins.AsofJoin.asofJoin(probes, versionsBase,
+              on = "ts", by = Seq("k"), rightCols = Seq("version_key"))
+            .where(col("version_key").isNotNull) // pre-first-version: inner drop
+        }
+      matched
         .groupBy("version_key")
         .agg(count(lit(1)).as("n_lineitems"))
         .orderBy("version_key")

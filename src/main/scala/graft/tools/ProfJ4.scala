@@ -82,6 +82,22 @@ object ProfJ4 {
         .agg(sum(col("__n")).as("n_lineitems"))
         .orderBy("version_key")
 
+    // the r16 interval plan (equi-join on custkey + range post-filter)
+    def interval: DataFrame = {
+      val iv = versions
+        .withColumnRenamed("k", "v_custkey")
+        .withColumnRenamed("ts", "valid_from")
+        .withColumn("valid_to", lead(col("valid_from"), 1).over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy("v_custkey").orderBy(col("valid_from"), col("version_key"))))
+      probes.join(iv,
+          col("k") === col("v_custkey") &&
+            col("pts") >= col("valid_from") &&
+            (col("valid_to").isNull || col("pts") < col("valid_to")))
+        .groupBy("version_key").agg(count(lit(1)).as("n_lineitems"))
+        .orderBy("version_key")
+    }
+
     def dropBlocks(): Unit = {
       spark.sharedState.cacheManager.clearCache()
       spark.sparkContext.getPersistentRDDs.values
@@ -96,7 +112,8 @@ object ProfJ4 {
     def med(xs: Seq[Double]): Double = { val s = xs.sorted; s(s.size / 2) }
 
     val variants: Seq[(String, () => DataFrame)] =
-      Seq("asof" -> (() => asof), "arr" -> (() => arr), "arrAgg" -> (() => arrAgg))
+      Seq("asof" -> (() => asof), "interval" -> (() => interval),
+        "arr" -> (() => arr), "arrAgg" -> (() => arrAgg))
     variants.foreach { case (_, mk) => time(exec(mk())) } // warm JIT/codegen
     variants.foreach { case (n, mk) =>
       val runs = Seq.fill(nRuns)(time(exec(mk())))
@@ -104,7 +121,7 @@ object ProfJ4 {
     }
     // equivalence: bit-exact rows against the shipped plan
     val ref = asof.collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
-    Seq("arr" -> arr, "arrAgg" -> arrAgg).foreach { case (n, df) =>
+    Seq("interval" -> interval, "arr" -> arr, "arrAgg" -> arrAgg).foreach { case (n, df) =>
       val got = df.collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
       println(s"PROFJ4 equiv $n = ${got == ref} (${got.size} rows)")
     }

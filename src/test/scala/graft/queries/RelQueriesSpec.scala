@@ -41,4 +41,49 @@ class RelQueriesSpec extends SparkSpec {
       === microsAF.toDouble / 1e4)
     assert(out(("A", "F")).getAs[Long]("count_order") === 3L)
   }
+
+  // r18: j4 is scale-routed between the r16 interval plan and the r17
+  // as-of plan on the versions-side size estimate. Both branches must be
+  // bit-identical on the same inputs — including the risk surface the
+  // r17 AsofJoinSpec pinned: duplicate valid_from versions (only the
+  // greatest version_key owns a non-empty interval), the open last
+  // interval, and probes before a customer's first version (dropped).
+  test("j4 routing: interval and as-of branches are bit-identical") {
+    import spark.implicits._
+    import java.sql.Date
+    val dir = tmpDir("j4route")
+    val d = (s: String) => Date.valueOf(s)
+    Seq(
+      // cust 1: plain adjacent intervals
+      (101L, 1L, d("2024-01-10")), (102L, 1L, d("2024-02-10")),
+      // cust 2: duplicate valid_from — only orderkey 202 owns the interval
+      (201L, 2L, d("2024-01-05")), (202L, 2L, d("2024-01-05")),
+      (203L, 2L, d("2024-03-01")),
+      // cust 3: single open interval
+      (301L, 3L, d("2024-06-01")))
+      .toDF("o_orderkey", "o_custkey", "o_orderdate")
+      .write.parquet(s"$dir/orders.parquet")
+    Seq(
+      (101L, d("2024-01-15")), (101L, d("2024-02-10")), // boundary: 2nd version
+      (102L, d("2024-02-09")), // ships before its own order: 1st version
+      (201L, d("2024-01-05")), // dup valid_from boundary -> 202
+      (202L, d("2024-02-28")), (203L, d("2024-03-01")),
+      (301L, d("2024-05-31")), // before cust 3's first version: dropped
+      (301L, d("2024-07-01")))
+      .toDF("l_orderkey", "l_shipdate")
+      .write.parquet(s"$dir/lineitem.parquet")
+
+    def run(): Seq[(Long, Long)] = RelQueries.queries("j4_range_join")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+
+    spark.conf.set("spark.graft.j4.intervalMaxBytes", Long.MaxValue.toString)
+    val interval = try run() finally spark.conf.unset("spark.graft.j4.intervalMaxBytes")
+    spark.conf.set("spark.graft.j4.intervalMaxBytes", "0")
+    val asof = try run() finally spark.conf.unset("spark.graft.j4.intervalMaxBytes")
+
+    assert(interval == asof)
+    // and both equal the hand-computed oracle result
+    assert(interval == Seq((101L, 2L), (102L, 1L), (202L, 2L), (203L, 1L),
+      (301L, 1L)))
+  }
 }
